@@ -1,0 +1,166 @@
+"""FDLP modulation spectral features (M-vectors).
+
+Parity target: /root/reference/src/featgen/computeModulationSpectrum.py
+getFeats (:30-205): per 10 ms frame and mel/cochlear band, LPC->cepstral
+modulation coefficients coeff_0..coeff_n, with optional complex modulation
+(analytic ifft, complex LPC), 1/f noise compensation, absolute value,
+even-coefficient subsetting and unity-gain; output frames x
+(nfilters * feat_len). Default analysis window is hanning (square with
+--no_window).
+
+TPU-first structure: frames x bands LPC problems are flattened and chunked
+under lax.map (frame rate is 100 Hz with 0.5 s windows, so the problem count
+is ~50x the FDLP spectrogram's — chunking bounds FFT workspace).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speech_recognition_tools_tpu.dsp.filterbanks import parse_fbank_type
+from speech_recognition_tools_tpu.ops.autocorr import circular_autocorr
+from speech_recognition_tools_tpu.ops.cepstrum import lpc_to_cepstrum
+from speech_recognition_tools_tpu.ops.framing import (
+    frame_count,
+    frame_params,
+    frame_signal,
+)
+from speech_recognition_tools_tpu.ops.levinson import lpc_from_autocorr
+from speech_recognition_tools_tpu.ops.windows import WINDOWS
+
+
+@dataclass(frozen=True)
+class ModSpecConfig:
+    srate: int = 16000
+    nfilters: int = 15
+    coeff_0: int = 5
+    coeff_n: int = 30
+    order: int = 50
+    fduration: float = 0.5
+    frate: int = 100
+    fbank_type: str = "mel,1"
+    keep_even: bool = False
+    complex_modulation: bool = False
+    compensate_noise: bool = False
+    absolute_value: bool = False
+    set_unity_gain: bool = False
+    no_window: bool = False
+    problem_chunk: int = 4096  # LPC problems per lax.map block
+
+    @property
+    def coeff_num(self) -> int:
+        return self.coeff_n - self.coeff_0 + 1
+
+    @property
+    def feat_len(self) -> int:
+        if self.keep_even:
+            temp = np.arange(0, self.coeff_num)
+            if self.coeff_0 % 2 == 0:
+                return temp[1::2].shape[0]
+            return temp[0::2].shape[0]
+        if self.complex_modulation:
+            return self.coeff_num if self.absolute_value else 2 * self.coeff_num
+        return self.coeff_num
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_samples"))
+def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int):
+    dtype = signals.dtype
+    window = "square" if cfg.no_window else "hanning"
+    fp = frame_params(cfg.srate, cfg.frate, cfg.fduration)
+    dur = (
+        int(cfg.fduration * cfg.srate)
+        if cfg.complex_modulation
+        else int(2 * cfg.fduration * cfg.srate)
+    )
+    fbank = parse_fbank_type(cfg.fbank_type, cfg.nfilters, dur, cfg.srate)
+    fbank = fbank[:, :-1]
+
+    win = jnp.asarray(WINDOWS[window](fp.flength_samples), dtype)
+    max_frames = int(frame_count(max_samples, fp))
+    frames, num_frames = frame_signal(signals, num_samples, fp, win, max_frames)
+    B = signals.shape[0]
+
+    if cfg.complex_modulation:
+        half = int(cfg.fduration * cfg.srate / 2)
+        trans = jnp.fft.ifft(frames, axis=-1)[..., :half]
+    else:
+        from speech_recognition_tools_tpu.ops.dct import dct2
+
+        trans = dct2(frames) * jnp.asarray(
+            1.0 / np.sqrt(2 * int(cfg.srate * cfg.fduration)), dtype
+        )
+    ndct = trans.shape[-1]
+    assert fbank.shape[1] == ndct, (fbank.shape, ndct)
+
+    # flatten (B*F, ndct) and expand bands lazily per chunk
+    P0 = B * max_frames
+    trans = trans.reshape(P0, ndct)
+    NB = cfg.nfilters
+    P = P0 * NB
+    chunk = min(cfg.problem_chunk, P)
+    npad = (-P) % chunk
+    fbank_d = jnp.asarray(fbank, trans.dtype if cfg.complex_modulation else dtype)
+
+    prob_idx = jnp.arange(P + npad)
+    bf = jnp.minimum(prob_idx // NB, P0 - 1)
+    band = prob_idx % NB
+    bf_blocks = bf.reshape(-1, chunk)
+    band_blocks = band.reshape(-1, chunk)
+
+    coeff_num = cfg.coeff_num
+    lim = cfg.coeff_n
+
+    def block(args):
+        bfb, bandb = args
+        z = jnp.take(trans, bfb, axis=0) * jnp.take(fbank_d, bandb, axis=0)
+        keepreal = not cfg.complex_modulation
+        r = circular_autocorr(z, cfg.order + 2, keepreal=keepreal)
+        xlpc, gg = lpc_from_autocorr(r, cfg.order)
+        if cfg.set_unity_gain:
+            gg = jnp.ones_like(gg)
+        cep = lpc_to_cepstrum(xlpc, gg, lim)
+        if not cfg.complex_modulation:
+            cep = jnp.real(cep)
+        return cep  # (chunk, lim)
+
+    ceps = jax.lax.map(block, (bf_blocks, band_blocks))
+    ceps = ceps.reshape(-1, lim)[:P].reshape(B, max_frames, NB, lim)
+
+    if cfg.compensate_noise:
+        if cfg.complex_modulation:
+            fmax = coeff_num / cfg.fduration
+        else:
+            fmax = coeff_num / (2 * cfg.fduration)
+        faxis = jnp.asarray(np.linspace(0, fmax, cfg.coeff_n), ceps.real.dtype)
+        ceps = ceps * faxis
+
+    sel = ceps[..., cfg.coeff_0 - 1 : cfg.coeff_n]  # coeff_0..coeff_n (1-based)
+    if cfg.complex_modulation:
+        if cfg.absolute_value:
+            feat = jnp.abs(sel)
+        else:
+            feat = jnp.concatenate([jnp.real(sel), jnp.imag(sel)], axis=-1)
+    else:
+        feat = jnp.abs(sel) if cfg.absolute_value else sel
+    if cfg.keep_even:
+        start = 1 if cfg.coeff_0 % 2 == 0 else 0
+        feat = feat[..., start::2]
+
+    feat = feat.reshape(B, max_frames, NB * cfg.feat_len).astype(dtype)
+    return feat, num_frames
+
+
+def modulation_spectrum_batch(
+    signals, num_samples, cfg: ModSpecConfig = ModSpecConfig(), *, dtype=jnp.float32
+):
+    """M-vector features for a zero-padded batch.
+
+    Returns (feats (B, Fmax, nfilters*feat_len), num_frames (B,)).
+    """
+    signals = jnp.asarray(signals, dtype)
+    num_samples = jnp.asarray(num_samples, jnp.int32)
+    return _modspec_impl(signals, num_samples, cfg, int(signals.shape[1]))

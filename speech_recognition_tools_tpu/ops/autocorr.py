@@ -1,0 +1,115 @@
+"""Circular autocorrelation for LPC.
+
+The reference computes per-band autocorrelation as
+ifft(fft(x) * conj(fft(x))) over the *same* length as the signal
+(`/root/reference/src/featgen/features.py:222-224` computeLpcFast), i.e. a
+circular autocorrelation. Only the first `order + 2` lags are consumed
+downstream.
+
+TPU notes (measured on v5e):
+  * XLA's FFT at non-power-of-two lengths (8000 = 2^6*5^3) is catastrophically
+    slow (~60000x slower than pow2); f64/c128 FFT does not compile at all.
+  * So the fast path zero-pads to the next power of two >= 2N and computes
+    the *linear* autocorrelation, then folds the circular wrap-around:
+    y_circ[k] = lin[k] + conj(lin[N-k]).
+  * The high-precision path (float64, needed for <1e-4 parity with the CPU
+    reference because the downstream Levinson recursion amplifies lag
+    rounding by ~1e6 on narrowband mel channels) avoids FFT entirely:
+    lags are computed as blocked einsums against statically-shifted copies —
+    f64 matmuls are software-emulated on TPU at ~1 TFLOP/s, which is ample
+    for the ~100 lags needed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def circular_autocorr(x: jax.Array, nlags: int, keepreal: bool = True) -> jax.Array:
+    """Circular autocorrelation, first `nlags` lags.
+
+    Args:
+      x: (..., N) real signal (complex allowed when keepreal=False).
+      nlags: number of lags to return (<= N).
+      keepreal: take the real part (reference keepreal=True).
+
+    Returns: (..., nlags).
+    """
+    n = x.shape[-1]
+    m = _next_pow2(2 * n)
+    iscomplex = jnp.iscomplexobj(x)
+    if iscomplex:
+        spec = jnp.fft.fft(x, n=m, axis=-1)
+        lin = jnp.fft.ifft(spec * jnp.conj(spec), axis=-1)
+    else:
+        spec = jnp.fft.rfft(x, n=m, axis=-1)
+        lin = jnp.fft.irfft(spec * jnp.conj(spec), n=m, axis=-1)
+    head = lin[..., :nlags]
+    # wrap-around lags N-1 .. N-nlags+1 (lag 0 has no wrap term)
+    tail = lin[..., n - nlags + 1 : n][..., ::-1]
+    if iscomplex:
+        tail = jnp.conj(tail)
+    zero = jnp.zeros(x.shape[:-1] + (1,), lin.dtype)
+    y = head + jnp.concatenate([zero, tail], axis=-1)
+    if keepreal:
+        y = jnp.real(y)
+    return y
+
+
+def circular_autocorr_f64(x: jax.Array, nlags: int, lag_block: int = 16) -> jax.Array:
+    """Float64 circular autocorrelation of a real signal without FFT.
+
+    y_circ[k] = sum_m x[m] x[m+k]  +  sum_{m<k} x[m] x[m+N-k]
+
+    Both terms are computed as einsums against statically-shifted copies,
+    blocked over lags to bound the (..., block, N) f64 workspace. All lags
+    are static Python ints so the shifts are static slices (no gather, which
+    f64 einsum cannot lower on TPU).
+    """
+    n = x.shape[-1]
+    x = x.astype(jnp.float64)
+    batch = x.shape[:-1]
+    blocks = []
+    for k0 in range(0, nlags, lag_block):
+        ks = list(range(k0, min(k0 + lag_block, nlags)))
+        # forward: x[m] * x[m+k] — shift-left copies, zero-padded
+        fwd_shift = jnp.stack(
+            [
+                jnp.concatenate(
+                    [x[..., k:], jnp.zeros(batch + (k,), x.dtype)], axis=-1
+                )
+                for k in ks
+            ],
+            axis=-2,
+        )  # (..., block, N)
+        fwd = jnp.einsum(
+            "...n,...kn->...k",
+            x,
+            fwd_shift,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # wrap: sum_{m=0}^{k-1} x[m] x[m+N-k] — head against shifted tail
+        wrap_shift = jnp.stack(
+            [
+                jnp.concatenate(
+                    [x[..., n - k :], jnp.zeros(batch + (n - k,), x.dtype)],
+                    axis=-1,
+                )
+                if k > 0
+                else jnp.zeros_like(x)
+                for k in ks
+            ],
+            axis=-2,
+        )
+        wrap = jnp.einsum(
+            "...n,...kn->...k",
+            x,
+            wrap_shift,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        blocks.append(fwd + wrap)
+    return jnp.concatenate(blocks, axis=-1)

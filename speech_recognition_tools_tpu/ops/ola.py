@@ -1,0 +1,108 @@
+"""Windowed overlap-add of per-frame pole-model envelopes.
+
+Replicates the OLA pointer logic of the reference FDLP driver
+(`/root/reference/src/featgen/computeFDLPSpectrogram.py:203-225`):
+
+  * frame 0 contributes the second half of its envelope, ms[kkb2:], at
+    output position 0;
+  * frame i >= 1 contributes its full kk-sample envelope at
+    ptr_i = (hop - kkb2) + (i-1)*hop + cumulative jitter, where the
+    reference adds randrange(2) per step;
+  * contributions falling outside [0, T) are dropped (the reference clips
+    the last two frames explicitly; middle frames never overflow).
+
+TPU-first design: instead of a scatter loop, the OLA is one matmul per
+utterance — envelope values (bands x frame*kk) times a one-hot placement
+matrix (frame*kk x T) built from broadcasted iotas. This is deterministic,
+fully batched, and rides the MXU.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def ola_positions(
+    max_frames: int,
+    hop: int,
+    kk: int,
+    kkb2: int,
+    jitter: jax.Array | None = None,
+):
+    """Output position of envelope tap k of frame i.
+
+    Args:
+      max_frames: static frame bound F.
+      hop: OLA hop int(np.round(fduration*frate*overlap_fraction)).
+      kk: envelope length int(np.round(fduration*frate)).
+      kkb2: int(np.round(fduration*frate/2)).
+      jitter: optional (F,) int array of per-step jitter in {0,1}
+        (reference: randrange(2) added after each frame i >= 1). None = 0.
+
+    Returns:
+      pos: (F, kk) int32 output index for each envelope tap.
+      valid: (F, kk) bool — False for frame-0 taps k < kkb2 (the reference
+        only uses ms[kkb2:] for the first frame).
+    """
+    i = jnp.arange(max_frames)[:, None]
+    k = jnp.arange(kk)[None, :]
+    if jitter is None:
+        cum_jit = jnp.zeros((max_frames, 1), jnp.int32)
+    else:
+        # jitter[u] is added when advancing from frame u to u+1 (u >= 1);
+        # frame i >= 2 sees sum of jitter[1..i-1].
+        j = jnp.where(jnp.arange(max_frames) >= 1, jitter, 0)
+        cum = jnp.cumsum(j) - j  # exclusive cumsum
+        cum_jit = cum[:, None].astype(jnp.int32)
+    offset = jnp.where(i == 0, -kkb2, (hop - kkb2) + (i - 1) * hop + cum_jit)
+    pos = offset + k
+    valid = jnp.where(i == 0, k >= kkb2, True)
+    return pos.astype(jnp.int32), valid
+
+
+def overlap_add(
+    env: jax.Array,
+    pos: jax.Array,
+    valid: jax.Array,
+    num_frames: jax.Array,
+    out_len_valid: jax.Array,
+    max_out_len: int,
+) -> jax.Array:
+    """Place envelopes at their OLA positions and sum.
+
+    Args:
+      env: (B, F, NB, kk) envelopes.
+      pos: (F, kk) or (B, F, kk) tap positions.
+      valid: (F, kk) static tap validity.
+      num_frames: (B,) valid frames per utterance.
+      out_len_valid: (B,) true output length T_b per utterance.
+      max_out_len: static output bound T.
+
+    Returns: (B, NB, T) accumulated envelopes (zero beyond T_b).
+    """
+    B, F, NB, kk = env.shape
+    if pos.ndim == 2:
+        pos = jnp.broadcast_to(pos[None], (B, F, kk))
+
+    mask = (
+        valid[None]
+        & (pos >= 0)
+        & (pos < out_len_valid[:, None, None])
+        & (jnp.arange(F)[None, :, None] < num_frames[:, None, None])
+    )
+
+    def one(env_b, pos_b, mask_b):
+        # (NB, F*kk) @ (F*kk, T) one-hot placement
+        vals = jnp.where(mask_b[:, None, :], env_b, 0.0)
+        vals = vals.transpose(1, 0, 2).reshape(NB, F * kk)
+        p = jnp.where(mask_b, pos_b, -1).reshape(F * kk)
+        onehot = (
+            p[:, None] == jnp.arange(max_out_len)[None, :]
+        ).astype(env_b.dtype)
+        return jnp.dot(
+            vals,
+            onehot,
+            preferred_element_type=vals.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return jax.vmap(one)(env, pos, mask)

@@ -1,0 +1,8 @@
+"""Shared utilities: CMVN, splicing, config, logging."""
+
+from speech_recognition_tools_tpu.utils.splice import splice_feats
+from speech_recognition_tools_tpu.utils.cmvn import (
+    cmvn_stats,
+    apply_cmvn,
+    cmvn_stats_masked,
+)

@@ -1,0 +1,278 @@
+"""Golden numeric parity tests of the DSP core against the CPU reference.
+
+Run in float64 on CPU (conftest enables x64); tolerances are tight because
+the computation graphs are mathematically identical — differences come only
+from FFT/solver rounding.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from speech_recognition_tools_tpu.dsp import (
+    FdlpConfig,
+    MelConfig,
+    MfccConfig,
+    ModSpecConfig,
+    cochlear_filterbank,
+    fdlp_spectrogram_batch,
+    mel_filterbank,
+    mel_spectrum_batch,
+    mfcc_batch,
+    modulation_spectrum_batch,
+)
+from speech_recognition_tools_tpu.ops import (
+    circular_autocorr,
+    frame_count,
+    frame_params,
+    frame_signal,
+    hamming,
+    hanning,
+    lpc_from_autocorr,
+    lpc_to_cepstrum,
+)
+
+import oracles
+import features as ref  # reference featgen library (path set by oracles)
+
+RNG = np.random.RandomState(1234)
+
+
+def _speechlike(n, srate=16000):
+    """Synthetic int16-scale speech-like signal (AR-filtered noise bursts)."""
+    t = np.arange(n) / srate
+    x = RNG.randn(n)
+    # slowly varying envelope + a couple of formant-like resonances
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t) ** 2
+    from scipy.signal import lfilter
+
+    x = lfilter([1.0], [1.0, -1.3, 0.8], x)
+    x = lfilter([1.0], [1.0, -0.6], x)
+    sig = x * env
+    return (sig / np.abs(sig).max() * 8000.0).astype(np.float64)
+
+
+class TestWindowsAndFbanks:
+    def test_hamming_hanning(self):
+        for n in (50, 320, 8000, 1):
+            np.testing.assert_allclose(hamming(n), np.hamming(n), rtol=0, atol=0)
+            np.testing.assert_allclose(hanning(n), np.hanning(n), rtol=0, atol=0)
+
+    @pytest.mark.parametrize("nfilters,nfft,warp", [(20, 16000, 1.0), (23, 1024, 1.0), (80, 48000, 0.9)])
+    def test_mel_fbank(self, nfilters, nfft, warp):
+        ours = mel_filterbank(nfilters, nfft, 16000, warp_fact=warp)
+        theirs = ref.createFbank(nfilters, nfft, 16000, warp_fact=warp)
+        np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+    @pytest.mark.parametrize("fixed", [1, 0])
+    def test_cochlear_fbank(self, fixed):
+        ours = cochlear_filterbank(30, 16000, 16000, om_w=0.2, alp=2.5, fixed=fixed, bet=2.5)
+        theirs = ref.createFbankCochlear(30, 16000, 16000, om_w=0.2, alp=2.5, fixed=fixed, bet=2.5)
+        np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+class TestFraming:
+    @pytest.mark.parametrize(
+        "n,frate,flength",
+        [(16000, 100, 0.02), (16000, 1 / (0.75 * 0.5), 0.5), (7321, 100, 0.025), (50000, 1 / (0.5 * 1.5), 1.5)],
+    )
+    def test_frames_match_generator(self, n, frate, flength):
+        sig = _speechlike(n)
+        fp = frame_params(16000, frate, flength)
+        oracle = np.array(list(ref.getFrames(sig, 16000, frate, flength, np.hamming)))
+        win = jnp.asarray(np.hamming(fp.flength_samples))
+        maxf = int(frame_count(n, fp))
+        assert maxf == oracle.shape[0]
+        frames, nframes = frame_signal(
+            jnp.asarray(sig)[None], jnp.asarray([n]), fp, win, maxf
+        )
+        assert int(nframes[0]) == oracle.shape[0]
+        np.testing.assert_allclose(np.asarray(frames[0]), oracle, atol=1e-9)
+
+    def test_batched_framing_with_padding(self):
+        n1, n2 = 16000, 9000
+        s1, s2 = _speechlike(n1), _speechlike(n2)
+        batch = np.zeros((2, n1))
+        batch[0], batch[1, :n2] = s1, s2
+        fp = frame_params(16000, 100, 0.02)
+        win = jnp.asarray(np.hamming(fp.flength_samples))
+        maxf = int(frame_count(n1, fp))
+        frames, nframes = frame_signal(
+            jnp.asarray(batch), jnp.asarray([n1, n2]), fp, win, maxf
+        )
+        oracle2 = np.array(list(ref.getFrames(s2, 16000, 100, 0.02, np.hamming)))
+        assert int(nframes[1]) == oracle2.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(frames[1, : oracle2.shape[0]]), oracle2, atol=1e-9
+        )
+
+
+class TestLpcChain:
+    def _band_signal(self, n=8000):
+        sig = _speechlike(n)
+        import scipy.fftpack as fftpack
+
+        fbank = ref.createFbank(20, 2 * n, 16000)
+        frames = np.array(list(ref.getFrames(sig, 16000, 2.0, n / 16000, np.hamming)))
+        ct = fftpack.dct(frames) / np.sqrt(2 * n)
+        return fbank[7, :-1] * ct[0]
+
+    def test_autocorr_circular(self):
+        x = self._band_signal()
+        oracle = np.real(np.fft.ifft(np.fft.fft(x) * np.conj(np.fft.fft(x))))[:60]
+        ours = np.asarray(circular_autocorr(jnp.asarray(x), 60))
+        np.testing.assert_allclose(ours, oracle, rtol=1e-10, atol=1e-6)
+
+    @pytest.mark.parametrize("order", [10, 50, 150])
+    def test_lpc_real(self, order):
+        x = self._band_signal()
+        xlpc_ref, gg_ref = ref.computeLpcFast(x.copy(), order)
+        r = circular_autocorr(jnp.asarray(x), order + 2)
+        xlpc, gg = lpc_from_autocorr(r, order)
+        np.testing.assert_allclose(np.asarray(xlpc), xlpc_ref, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(float(gg), gg_ref, rtol=1e-8)
+
+    def test_lpc_complex(self):
+        n = 4000
+        sig = _speechlike(8000)
+        import scipy.fftpack as fftpack
+
+        frames = np.array(list(ref.getFrames(sig, 16000, 2.0, 0.5, np.hanning)))
+        ct = fftpack.ifft(frames)[:, :n]
+        fbank = ref.createFbank(15, 8000, 16000)
+        x = fbank[5, :-1] * ct[0]
+        xlpc_ref, gg_ref = ref.computeLpcFast(x.copy(), 50, keepreal=False)
+        r = circular_autocorr(jnp.asarray(x), 52, keepreal=False)
+        xlpc, gg = lpc_from_autocorr(r, 50)
+        np.testing.assert_allclose(np.asarray(xlpc), xlpc_ref, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(complex(gg), gg_ref, rtol=1e-7)
+
+    @pytest.mark.parametrize("order,lim", [(50, 50), (50, 100), (150, 100), (30, 20)])
+    def test_cepstrum(self, order, lim):
+        x = self._band_signal()
+        xlpc_ref, gg_ref = ref.computeLpcFast(x.copy(), order)
+        oracle = ref.computeModSpecFromLpc(gg_ref, xlpc_ref.copy(), lim)
+        r = circular_autocorr(jnp.asarray(x), order + 2)
+        xlpc, gg = lpc_from_autocorr(r, order)
+        ours = np.asarray(lpc_to_cepstrum(xlpc, gg, lim))
+        np.testing.assert_allclose(ours, oracle, rtol=1e-5, atol=1e-8)
+
+
+class TestFdlpSpectrogram:
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(),  # defaults: 20 filters, 0.5 s, order 50
+            dict(nfilters=8, fduration=0.5, order=30, coeff_num=30, coeff_range="1,15"),
+            dict(overlap_fraction=0.5),
+            dict(odd_mod_zero=True),
+        ],
+    )
+    def test_parity_single(self, kwargs):
+        n = 24000
+        sig = _speechlike(n)
+        oracle = oracles.oracle_fdlp(sig, **kwargs)
+        cfg = FdlpConfig(**kwargs)
+        feats, nout = fdlp_spectrogram_batch(
+            sig[None], np.asarray([n]), cfg, dtype=jnp.float64
+        )
+        T = int(nout[0])
+        assert T == oracle.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(feats[0, :T]), oracle, rtol=1e-4, atol=1e-5
+        )
+
+    def test_parity_batch_ragged(self):
+        n1, n2 = 32000, 17000
+        s1, s2 = _speechlike(n1), _speechlike(n2)
+        batch = np.zeros((2, n1))
+        batch[0], batch[1, :n2] = s1, s2
+        cfg = FdlpConfig(nfilters=10)
+        feats, nout = fdlp_spectrogram_batch(
+            batch, np.asarray([n1, n2]), cfg, dtype=jnp.float64
+        )
+        for i, (sig, n) in enumerate(((s1, n1), (s2, n2))):
+            oracle = oracles.oracle_fdlp(sig, nfilters=10)
+            T = int(nout[i])
+            assert T == oracle.shape[0]
+            np.testing.assert_allclose(
+                np.asarray(feats[i, :T]), oracle, rtol=1e-4, atol=1e-5
+            )
+
+    def test_high_precision_f32_io_accuracy(self):
+        """precision='high' with f32 I/O must meet the 1e-4 north-star
+        tolerance (the f64 LPC chain kills the Levinson error
+        amplification; benign stages stay f32)."""
+        n = 24000
+        sig = _speechlike(n)
+        oracle = oracles.oracle_fdlp(sig)
+        cfg = FdlpConfig(precision="high")
+        feats, nout = fdlp_spectrogram_batch(
+            sig[None], np.asarray([n]), cfg, dtype=jnp.float32
+        )
+        T = int(nout[0])
+        err = np.max(np.abs(np.asarray(feats[0, :T], np.float64) - oracle))
+        assert err < 1e-4, f"max |delta log-feature| = {err}"
+
+    def test_fast_f32_sanity(self):
+        """Pure-f32 fast mode: loose bound (Levinson conditioning amplifies
+        rounding on narrowband channels; fine for feeding a network)."""
+        n = 24000
+        sig = _speechlike(n)
+        oracle = oracles.oracle_fdlp(sig)
+        feats, nout = fdlp_spectrogram_batch(
+            sig[None], np.asarray([n]), FdlpConfig(), dtype=jnp.float32
+        )
+        T = int(nout[0])
+        d = np.abs(np.asarray(feats[0, :T], np.float64) - oracle)
+        assert d.max() < 0.05 and d.mean() < 1e-3, (d.max(), d.mean())
+
+
+class TestMelMfccModspec:
+    def test_melspec_parity(self):
+        n = 16000
+        sig = _speechlike(n)
+        for st in ("log", "power"):
+            oracle = oracles.oracle_melspec(sig, spectrum_type=st)
+            feats, nf = mel_spectrum_batch(
+                sig[None], np.asarray([n]), MelConfig(spectrum_type=st), dtype=jnp.float64
+            )
+            F = int(nf[0])
+            assert F == oracle.shape[0]
+            np.testing.assert_allclose(np.asarray(feats[0, :F]), oracle, rtol=1e-8, atol=1e-8)
+
+    def test_mfcc_parity(self):
+        n = 16000
+        sig = _speechlike(n)
+        oracle = oracles.oracle_mfcc(sig, context=4)
+        feats, nf = mfcc_batch(
+            sig[None], np.asarray([n]), MfccConfig(context=4), dtype=jnp.float64
+        )
+        F = int(nf[0])
+        assert F == oracle.shape[0]
+        np.testing.assert_allclose(np.asarray(feats[0, :F]), oracle, rtol=1e-7, atol=1e-9)
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(),
+            dict(complex_modulation=True),
+            dict(complex_modulation=True, absolute_value=True),
+            dict(keep_even=True),
+            dict(compensate_noise=True, no_window=True),
+        ],
+    )
+    def test_modspec_parity(self, kwargs):
+        n = 12000
+        sig = _speechlike(n)
+        oracle = oracles.oracle_modspec(sig, nfilters=6, **kwargs)
+        cfg = ModSpecConfig(nfilters=6, problem_chunk=256, **kwargs)
+        feats, nf = modulation_spectrum_batch(
+            sig[None], np.asarray([n]), cfg, dtype=jnp.float64
+        )
+        F = int(nf[0])
+        assert F == oracle.shape[0]
+        np.testing.assert_allclose(
+            np.asarray(feats[0, :F]), oracle, rtol=1e-4, atol=1e-6
+        )
