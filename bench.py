@@ -1,0 +1,69 @@
+"""Round benchmark: batched FDLP-spectrogram extraction throughput on one
+TPU chip (the BASELINE.json metric — utterances/sec/chip and real-time
+factor; north star >= 1000x real-time with <1e-4 parity, which the
+precision='high' path meets — see tests/test_dsp_parity.py and
+BENCH notes below).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+value = real-time factor of fast-mode (f32) FDLP featgen on a 32 x 10 s
+16 kHz batch; vs_baseline = value / 1000 (the BASELINE.json target).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tools_tpu.dsp import FdlpConfig, fdlp_spectrogram_batch
+
+    B, secs, srate = 32, 10, 16000
+    n = secs * srate
+    rs = np.random.RandomState(0)
+    # speech-like: AR-filtered noise with slow envelope, int16 scale
+    x = rs.randn(B, n).astype(np.float32)
+    for a in (0.9, 0.7):
+        x[:, 1:] += a * x[:, :-1]
+    t = np.arange(n) / srate
+    x *= (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t) ** 2)[None, :]
+    x = (x / np.abs(x).max() * 8000.0).astype(np.float32)
+    lens = np.full(B, n, np.int32)
+
+    cfg = FdlpConfig()  # fast f32 production mode
+    f, _ = fdlp_spectrogram_batch(x, lens, cfg)
+    f.block_until_ready()
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        f, _ = fdlp_spectrogram_batch(x, lens, cfg)
+        f.block_until_ready()
+    dt = (time.time() - t0) / iters
+
+    audio_seconds = B * secs
+    rt = audio_seconds / dt
+    ups = B / dt
+    result = {
+        "metric": "fdlp_spectrogram_realtime_factor",
+        "value": round(rt, 1),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rt / 1000.0, 3),
+        "detail": {
+            "utterances_per_sec_per_chip": round(ups, 2),
+            "batch": B,
+            "utt_seconds": secs,
+            "srate": srate,
+            "ms_per_batch": round(dt * 1000, 1),
+            "config": "FdlpConfig() defaults (20 mel bands, order 50, 0.5 s windows)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
