@@ -1,0 +1,115 @@
+"""Shared CLI machinery: scp -> padded wav batches -> featgen -> ark.
+
+Replaces the reference's per-utterance python loop + queue.pl grid fan-out
+(make_FDLPspectrum_feats.sh:89-177) with length-bucketed device batches on
+one chip; multi-chip scaling shards the utterance axis over the mesh
+(parallel.make_mesh) instead of splitting scp files.
+"""
+
+import sys
+import time
+
+import numpy as np
+
+from speech_recognition_tools_tpu.dsp.augment import (
+    DIFF_FIR,
+)
+from speech_recognition_tools_tpu.io import (
+    read_scp,
+    read_segments,
+    write_ark_scp,
+)
+from speech_recognition_tools_tpu.io.wav import read_wav_scp_entry
+
+
+def load_signals(args, srate):
+    """Load wavs (scp or segments mode) and apply host-side augmentation
+    exactly like the reference CLIs (noise/reverb/diff before framing)."""
+    import scipy.signal
+
+    entries = read_scp(args.scp)
+    noise = None
+    noise_snr = None
+    if getattr(args, "add_noise", None) and args.add_noise not in ("clean", "diff"):
+        noise_info = args.add_noise.strip().split(",")
+        from scipy.io.wavfile import read as wav_read
+
+        _, noise = wav_read(f"noises/{noise_info[0]}.wav")
+        noise_snr = float(noise_info[1])
+    rir = None
+    if getattr(args, "add_reverb", None) and args.add_reverb != "clean":
+        from scipy.io.wavfile import read as wav_read
+
+        rir_files = {
+            "small_room": "./RIR/RIR_SmallRoom1_near_AnglA.wav",
+            "medium_room": "./RIR/RIR_MediumRoom1_far_AnglA.wav",
+            "large_room": "./RIR/RIR_LargeRoom1_far_AnglA.wav",
+        }
+        _, rir = wav_read(rir_files[args.add_reverb])
+        rir = rir[:, 1] / 2.0**15
+
+    if getattr(args, "scp_type", "wav") == "segment":
+        # segment scp: 'uttid recording-extended-filename' handled via
+        # wav-copy in the reference; here segments values are wav paths/pipes
+        pass
+
+    out = []
+    for key, value in entries:
+        try:
+            _, sig = read_wav_scp_entry(value, expected_srate=srate)
+        except Exception:
+            print(f"{sys.argv[0]}: skipping unreadable entry {key}")
+            continue
+        if getattr(args, "add_noise", None):
+            if args.add_noise == "diff":
+                sig = scipy.signal.convolve(sig, DIFF_FIR, mode="same")
+            elif args.add_noise != "clean" and noise is not None:
+                off = int(np.floor(np.random.rand() * (len(noise) - len(sig))))
+                ns = noise[off : off + len(sig)]
+                e_s = np.mean(sig**2)
+                e_n = np.mean(ns**2)
+                alp = np.sqrt(e_s / (e_n * 10 ** (noise_snr / 10)))
+                sig = sig + alp * ns
+        if rir is not None:
+            full = np.convolve(sig, rir)
+            xxc = np.correlate(sig, full, "valid")
+            ind = len(xxc) - np.argmax(xxc)
+            sig = full[ind : ind + len(sig)]
+        out.append((key, sig))
+    return out
+
+
+def run_batched(signals, batch_fn, batch_size=32, bucket_multiple=16000):
+    """Bucket signals by length and run the jitted featgen per bucket batch.
+
+    batch_fn(padded (B, Nmax), lens (B,)) -> (feats (B, T, D), nframes (B,)).
+    Returns {utt: (T_i, D)}.
+    """
+    order = np.argsort([len(s) for _, s in signals], kind="stable")
+    signals = [signals[i] for i in order]
+    feats = {}
+    for i in range(0, len(signals), batch_size):
+        group = signals[i : i + batch_size]
+        nmax = max(len(s) for _, s in group)
+        nmax = ((nmax + bucket_multiple - 1) // bucket_multiple) * bucket_multiple
+        batch = np.zeros((len(group), nmax), np.float32)
+        lens = np.zeros(len(group), np.int32)
+        for j, (_, s) in enumerate(group):
+            batch[j, : len(s)] = s
+            lens[j] = len(s)
+        out, nframes = batch_fn(batch, lens)
+        out = np.asarray(out)
+        nframes = np.asarray(nframes)
+        for j, (key, _) in enumerate(group):
+            feats[key] = out[j, : int(nframes[j])]
+    return feats
+
+
+def finish(args, feats, lens_attr="write_utt2num_frames"):
+    """Write ark/scp (+ optional .len) like the reference CLIs."""
+    write_ark_scp(feats, args.outfile)
+    if getattr(args, lens_attr.replace("-", "_"), False):
+        with open(args.outfile + ".len", "w") as f:
+            for key, mat in feats.items():
+                f.write(f"{key} {mat.shape[0]}\n")
+    print(f"{sys.argv[0]}: wrote {len(feats)} utterances -> {args.outfile}.ark")

@@ -1,0 +1,62 @@
+"""CLI end-to-end tests: wav scp in -> Kaldi ark out, parity vs oracle."""
+
+import os
+import sys
+
+import numpy as np
+from scipy.io.wavfile import write as wav_write
+
+import oracles
+from speech_recognition_tools_tpu.cli import (
+    compute_fdlp_spectrogram,
+    compute_mel_spectrum,
+)
+from speech_recognition_tools_tpu.io import read_mat_scp
+
+RS = np.random.RandomState(7)
+
+
+def _make_wavs(tmp_path, n_utts=3, srate=16000):
+    entries = []
+    sigs = {}
+    for i in range(n_utts):
+        n = srate + i * srate // 2
+        sig = (RS.randn(n) * 2000).astype(np.int16)
+        p = str(tmp_path / f"utt{i}.wav")
+        wav_write(p, srate, sig)
+        entries.append(f"utt{i} {p}")
+        sigs[f"utt{i}"] = sig.astype(np.float64)
+    scp = tmp_path / "wav.scp"
+    scp.write_text("\n".join(entries) + "\n")
+    return str(scp), sigs
+
+
+class TestFdlpCli:
+    def test_end_to_end_parity(self, tmp_path):
+        scp, sigs = _make_wavs(tmp_path)
+        out = str(tmp_path / "fdlp")
+        compute_fdlp_spectrogram.main(
+            [scp, out, "--nfilters", "8", "--write_utt2num_frames",
+             "--precision", "high"]
+        )
+        got = dict(read_mat_scp(out + ".scp"))
+        assert set(got) == set(sigs)
+        for utt, sig in sigs.items():
+            oracle = oracles.oracle_fdlp(sig, nfilters=8)
+            assert got[utt].shape == oracle.shape
+            np.testing.assert_allclose(got[utt], oracle, atol=2e-4)
+        lens = dict(
+            l.split() for l in open(out + ".len").read().splitlines()
+        )
+        assert int(lens["utt0"]) == got["utt0"].shape[0]
+
+
+class TestMelCli:
+    def test_end_to_end_parity(self, tmp_path):
+        scp, sigs = _make_wavs(tmp_path, n_utts=2)
+        out = str(tmp_path / "mel")
+        compute_mel_spectrum.main([scp, out, "--nfilters", "10"])
+        got = dict(read_mat_scp(out + ".scp"))
+        for utt, sig in sigs.items():
+            oracle = oracles.oracle_melspec(sig, nfilters=10)
+            np.testing.assert_allclose(got[utt], oracle, rtol=2e-4, atol=2e-4)
