@@ -1,0 +1,285 @@
+"""Decode, scoring, and enhancement tests (incl. oracles from the
+reference's own fgnt functions where importable)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference/recipes/chime4/local/nn-gev")
+
+# fgnt.signal_processing imports librosa (unavailable, only used for file IO
+# we never call) — stub it so the windowing oracle is importable.
+import types
+
+sys.modules.setdefault("librosa", types.ModuleType("librosa"))
+
+# old scipy API used by the reference: restore removed aliases
+import scipy.signal
+
+if not hasattr(scipy.signal, "blackman"):
+    scipy.signal.blackman = scipy.signal.windows.blackman
+
+from speech_recognition_tools_tpu.decode import (
+    collapse_repeats,
+    greedy_decode,
+    viterbi_decode,
+)
+from speech_recognition_tools_tpu.enhance import (
+    BLSTMMaskEstimator,
+    biorthogonal_synthesis_window,
+    blind_analytic_normalization,
+    estimate_ibm,
+    gev_beamform,
+    gev_vector,
+    istft,
+    mask_estimator_loss,
+    mvdr_vector,
+    pca_vector,
+    power_spectral_density_matrix,
+    quantile_mask,
+    stft,
+    wpe_dereverberate,
+)
+from speech_recognition_tools_tpu.eval import (
+    edit_distance_csid,
+    parse_kaldi_per_utt,
+    per_utt_fer,
+    score_hypotheses,
+    wer_from_csid,
+)
+
+RS = np.random.RandomState(11)
+
+
+class TestViterbi:
+    def test_matches_bruteforce(self):
+        B, T, S = 2, 6, 3
+        ll = np.log(RS.rand(B, T, S))
+        lt = np.log(RS.dirichlet(np.ones(S), S))  # rows sum to 1
+        li = np.log(np.ones(S) / S)
+        path, score = viterbi_decode(
+            jnp.asarray(ll), jnp.asarray(lt), jnp.asarray(li)
+        )
+        import itertools
+
+        for b in range(B):
+            best, best_p = None, -np.inf
+            for seq in itertools.product(range(S), repeat=T):
+                p = li[seq[0]] + ll[b, 0, seq[0]]
+                for t in range(1, T):
+                    p += lt[seq[t - 1], seq[t]] + ll[b, t, seq[t]]
+                if p > best_p:
+                    best, best_p = seq, p
+            np.testing.assert_allclose(float(score[b]), best_p, rtol=1e-6)
+            assert tuple(np.asarray(path[b])) == best
+
+    def test_lengths_masking(self):
+        B, T, S = 1, 8, 4
+        ll = np.log(RS.rand(B, T, S))
+        lt = np.log(RS.dirichlet(np.ones(S), S))
+        path, _ = viterbi_decode(
+            jnp.asarray(ll), jnp.asarray(lt), lengths=jnp.asarray([5])
+        )
+        assert np.all(np.asarray(path)[0, 5:] == -1)
+        assert np.all(np.asarray(path)[0, :5] >= 0)
+
+    def test_greedy_and_collapse(self):
+        ll = jnp.asarray(RS.randn(1, 6, 3))
+        ids = greedy_decode(ll, jnp.asarray([4]))
+        assert np.all(np.asarray(ids)[0, 4:] == -1)
+        assert collapse_repeats(np.asarray([1, 1, 2, 2, 2, 0, -1, -1])) == [1, 2, 0]
+
+
+class TestWer:
+    def test_csid_known(self):
+        ref = "a b c d".split()
+        hyp = "a x c d e".split()  # 1 sub + 1 ins
+        c, s, i, d = edit_distance_csid(ref, hyp)
+        assert (c, s, i, d) == (3, 1, 1, 0)
+        assert wer_from_csid(c, s, i, d) == pytest.approx(2 * 100 / 4)
+
+    def test_score_hypotheses(self):
+        refs = {"u1": ["a", "b"], "u2": ["c"]}
+        hyps = {"u1": ["a", "b"], "u2": ["d"]}
+        wer, per_utt = score_hypotheses(refs, hyps)
+        assert per_utt["u1"][0] == 0.0
+        assert per_utt["u2"][0] == 100.0
+        assert wer == pytest.approx(100.0 / 3)
+
+    def test_parse_kaldi_per_utt(self, tmp_path):
+        p = tmp_path / "per_utt"
+        p.write_text(
+            "utt1 csid 10 2 1 1\n"
+            "utt1 ref a b c\n"
+            "utt2 csid 5 0 0 0\n"
+        )
+        d = parse_kaldi_per_utt(str(p))
+        assert d["utt1"][0] == pytest.approx((2 + 1 + 1) * 100 / 13)
+        assert d["utt2"][0] == 0.0
+
+    def test_per_utt_fer(self):
+        post = {"u": np.eye(3)[np.asarray([0, 1, 2, 2])]}
+        ali = {"u": np.asarray([0, 1, 1, 2])}
+        fer = per_utt_fer(post, ali)
+        assert fer["u"] == pytest.approx(25.0)
+
+
+class TestStft:
+    def test_perfect_reconstruction(self):
+        x = RS.randn(2, 8000).astype(np.float32)
+        X = stft(x, size=1024, shift=256)
+        y = np.asarray(istft(X, size=1024, shift=256))
+        assert y.shape[-1] >= x.shape[-1]
+        np.testing.assert_allclose(y[:, : x.shape[-1]], x, atol=1e-4)
+
+    def test_reconstruction_512_128(self):
+        x = RS.randn(4000).astype(np.float64)
+        X = stft(x[None], size=512, shift=128)
+        y = np.asarray(istft(X, size=512, shift=128))[0]
+        np.testing.assert_allclose(y[: len(x)], x, atol=1e-8)
+
+    def test_biorthogonal_window_matches_reference(self):
+        import scipy.signal
+
+        from fgnt.signal_processing import _biorthogonal_window_loopy
+
+        win = scipy.signal.windows.blackman(1024, sym=True)
+        ours = biorthogonal_synthesis_window(win, 256)
+        theirs = _biorthogonal_window_loopy(win, 256)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+
+
+class TestBeamforming:
+    def _obs(self, F=5, D=4, T=50):
+        return (RS.randn(F, D, T) + 1j * RS.randn(F, D, T)).astype(np.complex128)
+
+    def test_psd_matches_reference(self):
+        from fgnt.beamforming import get_power_spectral_density_matrix
+
+        obs = self._obs()
+        mask = RS.rand(5, 50)
+        np.testing.assert_allclose(
+            power_spectral_density_matrix(obs, mask),
+            get_power_spectral_density_matrix(obs, mask.copy()),
+            rtol=1e-12,
+        )
+
+    def test_pca_mvdr_match_reference(self):
+        from fgnt.beamforming import get_mvdr_vector, get_pca_vector
+
+        obs = self._obs()
+        phi = power_spectral_density_matrix(obs)
+        ours = pca_vector(phi)
+        theirs = get_pca_vector(phi)
+        # eigenvectors defined up to phase: compare |<a,b>| = |a||b|
+        dots = np.abs(np.einsum("fd,fd->f", ours.conj(), theirs))
+        np.testing.assert_allclose(
+            dots, np.linalg.norm(ours, axis=1) * np.linalg.norm(theirs, axis=1),
+            rtol=1e-9,
+        )
+        # the reference get_mvdr_vector itself crashes on numpy>=2 (batched
+        # solve semantics changed), so verify the MVDR defining properties:
+        # distortionless constraint d^H w = 1 and Phi_NN w parallel to d.
+        noise = power_spectral_density_matrix(self._obs())
+        w = mvdr_vector(ours, noise)
+        np.testing.assert_allclose(
+            np.einsum("fd,fd->f", ours.conj(), w), 1.0, rtol=1e-9
+        )
+        phw = np.einsum("fde,fe->fd", noise, w)
+        cosang = np.abs(np.einsum("fd,fd->f", phw.conj(), ours)) / (
+            np.linalg.norm(phw, axis=1) * np.linalg.norm(ours, axis=1)
+        )
+        np.testing.assert_allclose(cosang, 1.0, rtol=1e-9)
+
+    def test_gev_maximises_rayleigh_quotient(self):
+        obs = self._obs()
+        noise_obs = self._obs()
+        phi_x = power_spectral_density_matrix(obs)
+        phi_n = power_spectral_density_matrix(noise_obs)
+        w = gev_vector(phi_x, phi_n)
+
+        def rq(v, f):
+            num = np.real(v.conj() @ phi_x[f] @ v)
+            den = np.real(v.conj() @ phi_n[f] @ v)
+            return num / den
+
+        for f in range(phi_x.shape[0]):
+            ours = rq(w[f], f)
+            for _ in range(20):
+                r = RS.randn(4) + 1j * RS.randn(4)
+                assert rq(r, f) <= ours * (1 + 1e-9)
+
+    def test_gev_beamform_improves_snr(self):
+        """Synthetic 4-mic scenario: GEV output should beat the best
+        single channel's SNR."""
+        F, D, T = 33, 4, 120
+        steer = RS.randn(F, D) + 1j * RS.randn(F, D)
+        s = RS.randn(F, T) + 1j * RS.randn(F, T)
+        n = 0.7 * (RS.randn(F, D, T) + 1j * RS.randn(F, D, T))
+        mix = steer[:, :, None] * s[:, None, :] + n
+        speech_mask = np.abs(s)[:, None, :] ** 2
+        speech_mask = (speech_mask / speech_mask.max())[:, 0, :]
+        out = gev_beamform(mix, speech_mask, 1.0 - speech_mask)
+        assert out.shape == (F, T)
+        # GEV weights have arbitrary per-bin gain/phase; judge by the SNR of
+        # the beamformed clean vs beamformed noise components.
+        from speech_recognition_tools_tpu.enhance.beamforming import (
+            apply_beamforming_vector,
+            blind_analytic_normalization,
+        )
+
+        phi_x = power_spectral_density_matrix(mix, speech_mask)
+        phi_n = power_spectral_density_matrix(mix, 1.0 - speech_mask)
+        w = blind_analytic_normalization(gev_vector(phi_x, phi_n), phi_n)
+        clean_part = steer[:, :, None] * s[:, None, :]
+        out_clean = apply_beamforming_vector(w, clean_part)
+        out_noise = apply_beamforming_vector(w, n)
+        snr_out = np.sum(np.abs(out_clean) ** 2) / np.sum(np.abs(out_noise) ** 2)
+        snr_in = max(
+            np.sum(np.abs(clean_part[:, d]) ** 2) / np.sum(np.abs(n[:, d]) ** 2)
+            for d in range(D)
+        )
+        assert snr_out > 1.5 * snr_in, (snr_in, snr_out)
+
+    def test_quantile_and_ibm(self):
+        from fgnt.mask_estimation import estimate_IBM
+        from fgnt.mask_estimation import quantile_mask as ref_qm
+
+        X = RS.randn(40, 513) + 1j * RS.randn(40, 513)
+        N = 0.5 * (RS.randn(40, 513) + 1j * RS.randn(40, 513))
+        ours = estimate_ibm(X, N)
+        theirs = estimate_IBM(X, N)
+        np.testing.assert_array_equal(ours[0], theirs[0])
+        np.testing.assert_array_equal(ours[1], theirs[1])
+        np.testing.assert_allclose(quantile_mask(X), ref_qm(X), rtol=1e-12)
+
+
+class TestWpe:
+    def test_reduces_reverberation(self):
+        sr, n = 16000, 16000
+        clean = RS.randn(2, n)
+        # synthetic late reverberation: strong echoes at 40/80 ms
+        rev = clean.copy()
+        for lag, g in ((640, 0.8), (1280, 0.5)):
+            rev[:, lag:] += g * clean[:, :-lag]
+        out = wpe_dereverberate(rev, size=512, shift=128)
+        err_before = np.mean((rev[:, : n] - clean) ** 2)
+        err_after = np.mean((out[:, : n] - clean) ** 2)
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+class TestMaskModel:
+    def test_blstm_mask_estimator(self):
+        m = BLSTMMaskEstimator(bins=64, hidden=16)
+        y = jnp.asarray(RS.rand(2, 12, 64), jnp.float32)
+        lengths = jnp.asarray([12, 9])
+        params = m.init({"params": jax.random.key(0)}, y, lengths)
+        sm, nm = m.apply(params, y, lengths)
+        assert sm.shape == (2, 12, 64)
+        assert float(jnp.min(sm)) >= 0 and float(jnp.max(sm)) <= 1
+        ibm_x = jnp.asarray(RS.rand(2, 12, 64) > 0.5, jnp.float32)
+        loss = mask_estimator_loss(sm, nm, ibm_x, 1 - ibm_x, lengths)
+        assert np.isfinite(float(loss))
