@@ -7,3 +7,18 @@ from speech_recognition_tools_tpu.eval.wer import (
     parse_kaldi_per_utt,
     per_utt_fer,
 )
+from speech_recognition_tools_tpu.eval.enhancement_metrics import (
+    cepsdist,
+    lpcllr,
+    fwsegsnr,
+    stoi,
+    sdr,
+)
+from speech_recognition_tools_tpu.eval.srmr import srmr
+from speech_recognition_tools_tpu.eval.info_theory import (
+    feats_minmax,
+    signal_label_histogram,
+    mark_transitions,
+    combine_histograms,
+    mutual_information,
+)
