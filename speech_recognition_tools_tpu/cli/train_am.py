@@ -1,0 +1,263 @@
+"""Acoustic-model training CLI.
+
+One driver + --arch dispatch replaces the reference's 23 train_*.py clones
+and the per-recipe train_*.sh wrappers (SURVEY.md §2.3, §2.7): egs dir in,
+self-describing checkpoints out, with the LR-halve-and-revert schedule and
+newest-checkpoint resume (the babysitter loop's contract).
+"""
+
+import argparse
+import json
+import os
+
+
+ARCHS = {
+    "rnn": "RNNClassifier",
+    "linear": "LinearConvStack",
+    "feedforward": "FeedforwardClassifier",
+    "multitask_ae": "AEClassifierMultitask",
+    "vae": "VAE",
+    "vae_classifier": "VAEClassifier",
+    "curl": "CurlMultistreamClassifier",
+    "pm_ae": "AutoencoderRNN",
+}
+
+
+def get_parser():
+    p = argparse.ArgumentParser("Train an acoustic / generative model")
+    p.add_argument("egs_dir", help="egs directory (io.build_egs output)")
+    p.add_argument("store_path", help="checkpoint directory")
+    p.add_argument("--dev_egs_dir", help="dev egs dir (defaults to egs_dir)")
+    p.add_argument("--arch", default="rnn", choices=sorted(ARCHS))
+    p.add_argument("--num_layers", type=int, default=3)
+    p.add_argument("--num_layers_dec", type=int, default=1)
+    p.add_argument("--hidden_dim", type=int, default=512)
+    p.add_argument("--bn_dim", type=int, default=64)
+    p.add_argument("--comp_num", type=int, default=2)
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--optimizer", default="adam")
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--lrr", type=float, default=0.5, help="LR reduction rate")
+    p.add_argument("--lr_tol", type=float, default=0.0)
+    p.add_argument("--clip_thresh", type=float, default=1.0)
+    p.add_argument("--loss", default="ce", choices=["ce", "mse", "vae_gauss", "vae_laplace"])
+    p.add_argument("--only_ae", action="store_true")
+    p.add_argument("--use_transformer", action="store_true")
+    p.add_argument("--time_shift", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard the batch axis over all devices")
+    return p
+
+
+def build_model(args, feat_dim, num_classes):
+    from speech_recognition_tools_tpu import models as M
+
+    if args.arch == "rnn":
+        return M.RNNClassifier(args.num_layers, args.hidden_dim, num_classes,
+                               args.dropout)
+    if args.arch == "linear":
+        return M.LinearConvStack(args.num_layers, args.hidden_dim, num_classes)
+    if args.arch == "feedforward":
+        return M.FeedforwardClassifier(args.num_layers, args.hidden_dim, num_classes)
+    if args.arch == "multitask_ae":
+        return M.AEClassifierMultitask(
+            out_size=num_classes, num_layers_enc=args.num_layers,
+            num_layers_class=args.num_layers_dec, num_layers_ae=args.num_layers_dec,
+            hidden_size=args.hidden_dim, bn_size=args.bn_dim, dropout=args.dropout,
+        )
+    if args.arch == "vae":
+        return M.VAE(
+            num_layers_enc=args.num_layers, num_layers_dec=args.num_layers_dec,
+            hidden_size=args.hidden_dim, bn_size=args.bn_dim, dropout=args.dropout,
+            only_ae=args.only_ae, use_transformer=args.use_transformer,
+        )
+    if args.arch == "vae_classifier":
+        return M.VAEClassifier(
+            out_size=num_classes, num_layers_enc=args.num_layers,
+            num_layers_class=args.num_layers_dec, num_layers_ae=args.num_layers_dec,
+            hidden_size=args.hidden_dim, bn_size=args.bn_dim, dropout=args.dropout,
+        )
+    if args.arch == "curl":
+        return M.CurlMultistreamClassifier(
+            out_size=num_classes, num_layers_enc=args.num_layers,
+            num_layers_dec=args.num_layers_dec, num_layers_class=args.num_layers_dec,
+            hidden_size=args.hidden_dim, hidden_size_classifier=args.hidden_dim,
+            bn_size=args.bn_dim, comp_num=args.comp_num,
+        )
+    if args.arch == "pm_ae":
+        return M.AutoencoderRNN(
+            num_layers_enc=args.num_layers, num_layers_dec=args.num_layers_dec,
+            hidden_size=args.hidden_dim, bn_size=args.bn_dim, dropout=args.dropout,
+        )
+    raise ValueError(args.arch)
+
+
+def make_loss(args, model):
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tools_tpu.models.vae import vae_loss
+    from speech_recognition_tools_tpu.train import (
+        masked_cross_entropy,
+        masked_frame_error,
+        masked_mse,
+    )
+
+    def loss_fn(params, batch, rng, train):
+        feats, lengths = batch["feats"], batch["lengths"]
+        rngs = {"sample": rng, "dropout": jax.random.fold_in(rng, 1),
+                "gumbel": jax.random.fold_in(rng, 2)}
+        mask = jnp.arange(feats.shape[1])[None, :] < lengths[:, None]
+        if args.arch in ("rnn", "linear"):
+            logits = model.apply(params, feats, lengths)
+            return masked_cross_entropy(logits, batch["labels"], lengths), {
+                "fer": masked_frame_error(logits, batch["labels"], lengths)
+            }
+        if args.arch == "feedforward":
+            _, logits = model.apply(params, feats)
+            return masked_cross_entropy(logits, batch["labels"], lengths), {
+                "fer": masked_frame_error(logits, batch["labels"], lengths)
+            }
+        if args.arch == "multitask_ae":
+            logits, recon = model.apply(params, feats, lengths)
+            ce = masked_cross_entropy(logits, batch["labels"], lengths)
+            mse = masked_mse(recon, feats, lengths)
+            return ce + mse, {"ce": ce, "mse": mse}
+        if args.arch == "vae":
+            recon, latent = model.apply(params, feats, lengths, rngs=rngs)
+            dist = "laplace" if args.loss == "vae_laplace" else "gauss"
+            ll, kl = vae_loss(feats, recon, latent, dist, mask)
+            return -(ll + kl), {"ll": ll, "kl": kl}
+        if args.arch == "vae_classifier":
+            logits, recon, latent = model.apply(params, feats, lengths, rngs=rngs)
+            ll, kl = vae_loss(feats, recon, latent, "gauss", mask)
+            ce = masked_cross_entropy(logits, batch["labels"], lengths)
+            return ce - (ll + kl), {"ce": ce}
+        if args.arch == "curl":
+            class_out, recon, latent = model.apply(params, feats, lengths, rngs=rngs)
+            cat = latent[0]  # (B, T, K) posterior over components
+            # supervised CURL loss: posterior-weighted per-stream CE +
+            # reconstruction (train_CURLclassifier_v2.py:33-71 analogue)
+            ces = jnp.stack([
+                masked_cross_entropy(class_out[k], batch["labels"], lengths)
+                for k in range(class_out.shape[0])
+            ])
+            w = jnp.mean(jnp.where(mask[..., None], cat, 0), axis=(0, 1))
+            ce = jnp.sum(ces * w / jnp.maximum(w.sum(), 1e-8))
+            mse = jnp.mean(jnp.stack([
+                masked_mse(recon[k], feats, lengths)
+                for k in range(recon.shape[0])
+            ]))
+            return ce + mse, {"ce": ce, "mse": mse}
+        if args.arch == "pm_ae":
+            ts = args.time_shift
+            if ts:
+                recon, _ = model.apply(params, feats[:, :-ts], lengths - ts)
+                return masked_mse(recon, feats[:, ts:], lengths - ts), {}
+            recon, _ = model.apply(params, feats, lengths)
+            return masked_mse(recon, feats, lengths), {}
+        raise ValueError(args.arch)
+
+    return loss_fn
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax
+
+    from speech_recognition_tools_tpu.io import iter_egs_batches, load_egs
+    from speech_recognition_tools_tpu.train import (
+        TrainConfig,
+        Trainer,
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg_egs, utts = load_egs(args.egs_dir)
+    dev_utts = (
+        load_egs(args.dev_egs_dir)[1] if args.dev_egs_dir else utts[-max(1, len(utts) // 10):]
+    )
+    num_classes = args.num_classes or cfg_egs.num_targets
+    model = build_model(args, cfg_egs.feat_dim, num_classes)
+
+    def _strip_keys(it):
+        for b in it:
+            yield {k: v for k, v in b.items() if k != "keys"}
+
+    def train_iter():
+        return _strip_keys(
+            iter_egs_batches(utts, args.batch_size, shuffle_seed=args.seed)
+        )
+
+    def dev_iter():
+        return _strip_keys(iter_egs_batches(dev_utts, args.batch_size))
+
+    first = next(train_iter())
+    import jax.numpy as jnp
+
+    init_rngs = {
+        "params": jax.random.key(args.seed),
+        "sample": jax.random.key(args.seed + 1),
+        "gumbel": jax.random.key(args.seed + 2),
+    }
+    if args.arch == "feedforward":
+        params = model.init(init_rngs, jnp.asarray(first["feats"]))
+    else:
+        params = model.init(
+            init_rngs, jnp.asarray(first["feats"]), jnp.asarray(first["lengths"])
+        )
+
+    trainer = Trainer(
+        make_loss(args, model),
+        TrainConfig(
+            optimizer=args.optimizer, learning_rate=args.learning_rate,
+            epochs=args.epochs, lrr=args.lrr, lr_tol=args.lr_tol,
+            clip_threshold=args.clip_thresh, seed=args.seed,
+        ),
+    )
+    state = trainer.init_state(params)
+
+    # babysitter-style resume: newest checkpoint wins
+    newest = latest_checkpoint(args.store_path)
+    if newest:
+        payload, meta = load_checkpoint(
+            newest, template={"params": state.params, "opt_state": state.opt_state}
+        )
+        state.params = payload["params"]
+        state.opt_state = payload["opt_state"]
+        state.best_params = state.params
+        state.epoch = int(meta.get("extra", {}).get("epoch", 0))
+        state.lr = float(meta.get("extra", {}).get("lr", args.learning_rate))
+        print(f"resumed from {newest} at epoch {state.epoch}")
+
+    hyper = {k: v for k, v in vars(args).items()}
+    hyper.update(
+        {
+            "feature_dim": cfg_egs.feat_dim,
+            "model_class": ARCHS[args.arch],
+            "num_classes": num_classes,  # resolved, not the CLI default
+        }
+    )
+
+    def checkpoint_fn(st):
+        save_checkpoint(
+            args.store_path, f"epoch_{st.epoch}", st.params, hyper,
+            opt_state=st.opt_state,
+            extra={"epoch": st.epoch, "lr": st.lr, "history": st.history},
+        )
+
+    trainer.fit(state, train_iter, dev_iter, checkpoint_fn=checkpoint_fn)
+    save_checkpoint(
+        args.store_path, "final", state.best_params, hyper,
+        extra={"history": state.history},
+    )
+    print(f"saved final model to {os.path.join(args.store_path, 'final')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,10 +48,16 @@ def load_checkpoint(path: str, template: Any = None):
         config = json.load(f)
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         data = f.read()
+    raw = flax.serialization.msgpack_restore(data)
     if template is not None:
-        payload = flax.serialization.from_bytes(template, data)
+        # restore only the keys the template asks for (a checkpoint may
+        # carry opt_state the caller doesn't want)
+        payload = {
+            k: flax.serialization.from_state_dict(v, raw[k])
+            for k, v in template.items()
+        }
     else:
-        payload = flax.serialization.msgpack_restore(data)
+        payload = raw
     return payload, config
 
 
