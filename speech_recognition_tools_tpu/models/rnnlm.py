@@ -1,0 +1,55 @@
+"""Recurrent language model for shallow fusion.
+
+Parity target: the reference trains word/char RNNLMs via ESPnet lm_train.py
+(run_fdlp_e1.sh:405-417; conf/lm.yaml: 1 layer, 1000 units) and fuses them
+in decoding with lm-weight 1.0 (conf/decode.yaml). This is the native
+equivalent: embedding -> GRU stack -> vocab logits, with a scoring helper
+for beam-search fusion.
+"""
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from speech_recognition_tools_tpu.models.recurrent import GRUStack
+
+
+class RNNLM(nn.Module):
+    vocab_size: int
+    embed_dim: int = 256
+    hidden: int = 1000
+    layers: int = 1
+
+    @nn.compact
+    def __call__(self, tokens, lengths=None):
+        """tokens (B, U) -> next-token logits (B, U, V)."""
+        if lengths is None:
+            lengths = jnp.full((tokens.shape[0],), tokens.shape[1], jnp.int32)
+        h = nn.Embed(self.vocab_size, self.embed_dim, name="embed")(
+            jnp.maximum(tokens, 0)
+        )
+        h = GRUStack(self.layers, self.hidden, name="rnn")(h, lengths)
+        return nn.Dense(self.vocab_size, name="output")(h)
+
+
+def lm_loss(model, params, tokens, lengths):
+    """Next-token CE over valid positions (targets = tokens shifted)."""
+    logits = model.apply(params, tokens[:, :-1], lengths - 1)
+    tgt = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, jnp.maximum(tgt, 0)[..., None], -1)[..., 0]
+    valid = (
+        jnp.arange(tgt.shape[1])[None, :] < (lengths - 1)[:, None]
+    ).astype(nll.dtype)
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def make_fusion_scorer(model, params):
+    """Returns lm_apply(prefix_tokens (K, U)) -> (K, V) next-token logprobs
+    for beam_search shallow fusion."""
+
+    def score(prefix):
+        logits = model.apply(params, prefix)
+        return jax.nn.log_softmax(logits[:, -1], axis=-1)
+
+    return score

