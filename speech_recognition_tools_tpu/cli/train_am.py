@@ -18,8 +18,13 @@ ARCHS = {
     "multitask_ae": "AEClassifierMultitask",
     "vae": "VAE",
     "vae_classifier": "VAEClassifier",
+    "arvae": "ARVAE",
     "curl": "CurlMultistreamClassifier",
     "pm_ae": "AutoencoderRNN",
+    "apc": "APC",
+    "cnn": "CNNFrameClassifier",
+    "cldnn": "CLDNN",
+    "multimod": "MultistreamRNN",
 }
 
 
@@ -93,6 +98,34 @@ def build_model(args, feat_dim, num_classes):
             num_layers_enc=args.num_layers, num_layers_dec=args.num_layers_dec,
             hidden_size=args.hidden_dim, bn_size=args.bn_dim, dropout=args.dropout,
         )
+    if args.arch == "arvae":
+        return M.ARVAE(
+            num_layers_enc=args.num_layers, num_layers_dec=args.num_layers_dec,
+            hidden_size=args.hidden_dim, bn_size=args.bn_dim,
+            num_outs=max(1, args.time_shift) if args.time_shift else 2,
+            dropout=args.dropout,
+        )
+    if args.arch == "apc":
+        from speech_recognition_tools_tpu.models.apc import APC
+
+        return APC(num_layers=args.num_layers, hidden_size=args.hidden_dim)
+    if args.arch == "cnn":
+        return M.CNNFrameClassifier(
+            out_channels=(args.hidden_dim // 8,) * args.num_layers_dec,
+            kernel=(3, 3), output_size=num_classes,
+        )
+    if args.arch == "cldnn":
+        return M.CLDNN(
+            out_channels=(args.hidden_dim // 8,), kernel=(3, 3),
+            hidden_size=args.hidden_dim, l_num_layers=args.num_layers,
+            d_num_layers=args.num_layers_dec, output_size=num_classes,
+        )
+    if args.arch == "multimod":
+        return M.MultistreamRNN(
+            num_streams=args.comp_num, num_layers_subband=args.num_layers,
+            hidden_size_subband=args.hidden_dim // args.comp_num,
+            num_layers=args.num_layers_dec, out_size=num_classes,
+        )
     raise ValueError(args.arch)
 
 
@@ -160,6 +193,43 @@ def make_loss(args, model):
                 return masked_mse(recon, feats[:, ts:], lengths - ts), {}
             recon, _ = model.apply(params, feats, lengths)
             return masked_mse(recon, feats, lengths), {}
+        if args.arch == "arvae":
+            outs, latent = model.apply(params, feats, lengths, rngs=rngs)
+            # decoder k predicts the input shifted by k frames
+            total_ll, total_kl = 0.0, 0.0
+            for k in range(outs.shape[0]):
+                tgt = feats if k == 0 else jnp.concatenate(
+                    [feats[:, k:], jnp.zeros_like(feats[:, :k])], axis=1
+                )
+                ll, kl = vae_loss(tgt, outs[k], latent, "gauss", mask)
+                total_ll, total_kl = total_ll + ll, total_kl + kl
+            n = outs.shape[0]
+            return -(total_ll + total_kl) / n, {}
+        if args.arch == "apc":
+            from speech_recognition_tools_tpu.models.apc import apc_loss
+
+            pred, _ = model.apply(params, feats, lengths)
+            ts = args.time_shift or 3
+            return apc_loss(pred, feats, lengths, ts), {}
+        if args.arch in ("cnn", "cldnn"):
+            x = jnp.swapaxes(feats, 1, 2)[:, None]  # (B, 1, D, T)
+            if args.arch == "cnn":
+                logits = model.apply(params, x)
+            else:
+                logits = model.apply(params, x, lengths)
+            return masked_cross_entropy(logits, batch["labels"], lengths), {
+                "fer": masked_frame_error(logits, batch["labels"], lengths)
+            }
+        if args.arch == "multimod":
+            # feature dim split into comp_num contiguous streams
+            D = feats.shape[-1] // args.comp_num
+            streams = [
+                feats[..., k * D : (k + 1) * D] for k in range(args.comp_num)
+            ]
+            logits = model.apply(params, streams, lengths)
+            return masked_cross_entropy(logits, batch["labels"], lengths), {
+                "fer": masked_frame_error(logits, batch["labels"], lengths)
+            }
         raise ValueError(args.arch)
 
     return loss_fn
@@ -205,12 +275,20 @@ def main(argv=None):
         "sample": jax.random.key(args.seed + 1),
         "gumbel": jax.random.key(args.seed + 2),
     }
+    f0 = jnp.asarray(first["feats"])
+    l0 = jnp.asarray(first["lengths"])
     if args.arch == "feedforward":
-        params = model.init(init_rngs, jnp.asarray(first["feats"]))
+        params = model.init(init_rngs, f0)
+    elif args.arch == "cnn":
+        params = model.init(init_rngs, jnp.swapaxes(f0, 1, 2)[:, None])
+    elif args.arch == "cldnn":
+        params = model.init(init_rngs, jnp.swapaxes(f0, 1, 2)[:, None], l0)
+    elif args.arch == "multimod":
+        D = f0.shape[-1] // args.comp_num
+        streams = [f0[..., k * D : (k + 1) * D] for k in range(args.comp_num)]
+        params = model.init(init_rngs, streams, l0)
     else:
-        params = model.init(
-            init_rngs, jnp.asarray(first["feats"]), jnp.asarray(first["lengths"])
-        )
+        params = model.init(init_rngs, f0, l0)
 
     trainer = Trainer(
         make_loss(args, model),

@@ -50,13 +50,16 @@ def build_egs(
     max_seq_len: int | None = None,
     shard_size: int = 512,
     num_targets: int | None = None,
+    semisup: bool = False,
 ):
     """Build an egs directory from an iterator of (utt, feat_matrix).
 
     Args:
       feats_iter: yields (utt, (T, D) array).
       labels: optional {utt: (T,) int array}; utterances without labels are
-        skipped when labels is given (reference drops them).
+        skipped when labels is given (reference drops them) unless
+        semisup=True, which fills label 0 for them
+        (data_prep_semisup.py:181 behaviour).
       cmvn: optional (mean, std) applied on the fly (recorded in config).
       context: optional splicing context (recorded; applied by the loader).
       max_seq_len: optional truncation (reference default 512; None = keep).
@@ -88,8 +91,11 @@ def build_egs(
         lab = None
         if labels is not None:
             if utt not in labels:
-                continue
-            lab = np.asarray(labels[utt], np.int32)
+                if not semisup:
+                    continue
+                lab = np.zeros(feat.shape[0], np.int32)
+            else:
+                lab = np.asarray(labels[utt], np.int32)
             m = min(len(lab), feat.shape[0])
             feat, lab = feat[:m], lab[:m]
         if cmvn is not None:

@@ -1,0 +1,133 @@
+"""Tests for deltas/PCA, delay-and-sum, APC, extra train_am archs, semisup."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_recognition_tools_tpu.enhance.delay_sum import delay_and_sum, gcc_phat
+from speech_recognition_tools_tpu.io import build_egs, load_egs
+from speech_recognition_tools_tpu.models.apc import APC, apc_loss
+from speech_recognition_tools_tpu.utils.transforms import (
+    add_deltas,
+    apply_pca,
+    estimate_pca,
+)
+
+RS = np.random.RandomState(17)
+
+
+class TestTransforms:
+    def test_deltas_shape_and_constant(self):
+        x = jnp.asarray(RS.randn(2, 20, 5), jnp.float32)
+        out = add_deltas(x, order=2)
+        assert out.shape == (2, 20, 15)
+        # deltas of a constant signal are zero
+        c = jnp.ones((1, 10, 3))
+        out = add_deltas(c, order=1)
+        np.testing.assert_allclose(np.asarray(out[..., 3:]), 0.0, atol=1e-7)
+
+    def test_delta_linear_ramp(self):
+        # x_t = t: delta = sum k*2k/(2*sum k^2) = 1 in the interior
+        T = 12
+        x = jnp.asarray(np.arange(T, dtype=np.float32))[None, :, None]
+        d = add_deltas(x, order=1)[0, :, 1]
+        np.testing.assert_allclose(np.asarray(d[2:-2]), 1.0, atol=1e-6)
+
+    def test_pca_roundtrip(self):
+        # low-rank data: PCA to 2 dims reconstructs the signal subspace
+        z = RS.randn(500, 2)
+        A = RS.randn(2, 6)
+        x = z @ A + 5.0
+        T, mean = estimate_pca(x, dim=2)
+        y = apply_pca(x, T, mean)
+        assert y.shape == (500, 2)
+        # projecting back recovers x up to numerical noise
+        x_rec = y @ np.asarray(T) + mean
+        np.testing.assert_allclose(x_rec, x, atol=1e-8)
+
+    def test_pca_whitening(self):
+        x = RS.randn(2000, 4) * np.asarray([10, 5, 1, 0.1])
+        T, mean = estimate_pca(x, normalize_variance=True)
+        y = apply_pca(x, T, mean)
+        np.testing.assert_allclose(np.var(y, axis=0), 1.0, rtol=0.1)
+
+
+class TestDelaySum:
+    def test_gcc_phat_finds_delay(self):
+        x = RS.randn(8000)
+        for true in (-37, 0, 55):
+            if true >= 0:
+                y = np.concatenate([np.zeros(true), x[: len(x) - true]])
+            else:
+                y = np.concatenate([x[-true:], np.zeros(-true)])
+            assert gcc_phat(y, x, 100) == true
+
+    def test_delay_and_sum_improves_snr(self):
+        n = 16000
+        clean = RS.randn(n)
+        D = 4
+        sigs = np.zeros((D, n))
+        for d in range(D):
+            td = d * 9
+            sigs[d, td:] = clean[: n - td]
+            sigs[d] += 0.8 * RS.randn(n)
+        out, delays, w = delay_and_sum(sigs, fs=16000)
+        # aligned sum should correlate better with clean than any channel
+        def corr(a, b):
+            return abs(np.dot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b))
+
+        best_ch = max(corr(sigs[d], clean) for d in range(D))
+        assert corr(out, clean) > best_ch
+
+
+class TestAPC:
+    def test_apc_trains(self):
+        m = APC(num_layers=1, hidden_size=16)
+        x = jnp.asarray(RS.randn(2, 20, 6), jnp.float32)
+        lengths = jnp.asarray([20, 15])
+        params = m.init({"params": jax.random.key(0)}, x, lengths)
+        pred, h = m.apply(params, x, lengths)
+        assert pred.shape == x.shape and h.shape == (2, 20, 16)
+        loss = apc_loss(pred, x, lengths, time_shift=3)
+        assert np.isfinite(float(loss))
+
+
+class TestSemisupEgs:
+    def test_semisup_fills_zero(self, tmp_path):
+        feats = {"a": RS.randn(10, 4).astype(np.float32),
+                 "b": RS.randn(8, 4).astype(np.float32)}
+        labels = {"a": np.ones(10, np.int32)}
+        out = build_egs(iter(feats.items()), str(tmp_path / "egs"),
+                        labels=labels, semisup=True)
+        _, utts = load_egs(out)
+        got = {k: l for k, _, l in utts}
+        assert set(got) == {"a", "b"}
+        np.testing.assert_array_equal(got["b"], np.zeros(8, np.int32))
+
+
+@pytest.mark.parametrize("arch,extra", [
+    ("cnn", ["--num_layers_dec", "1"]),
+    ("cldnn", ["--num_layers", "1", "--num_layers_dec", "1"]),
+    ("multimod", ["--comp_num", "2", "--num_layers", "1",
+                  "--num_layers_dec", "1"]),
+    ("arvae", ["--num_layers", "1", "--num_layers_dec", "1",
+               "--time_shift", "2"]),
+    ("apc", ["--num_layers", "1", "--time_shift", "2"]),
+])
+def test_train_am_archs(tmp_path, arch, extra):
+    from speech_recognition_tools_tpu.cli import train_am
+
+    feats = {f"u{i}": RS.randn(24, 8).astype(np.float32) for i in range(4)}
+    labels = {k: RS.randint(0, 3, 24).astype(np.int32) for k in feats}
+    egs = str(tmp_path / "egs")
+    build_egs(iter(feats.items()), egs, labels=labels, num_targets=3)
+    out = str(tmp_path / arch)
+    train_am.main(
+        [egs, out, "--arch", arch, "--hidden_dim", "16", "--bn_dim", "4",
+         "--epochs", "1", "--batch_size", "2"] + extra
+    )
+    import os
+
+    assert os.path.exists(os.path.join(out, "final", "state.msgpack"))
