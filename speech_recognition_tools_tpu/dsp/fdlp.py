@@ -44,7 +44,7 @@ import numpy as np
 
 from speech_recognition_tools_tpu.dsp.filterbanks import parse_fbank_type
 from speech_recognition_tools_tpu.ops.autocorr import (
-    circular_autocorr,
+    circular_autocorr_direct,
     circular_autocorr_f64,
 )
 from speech_recognition_tools_tpu.ops.cepstrum import lpc_to_cepstrum
@@ -161,7 +161,7 @@ def _band_cepstra(cos_dct, fbank_blocks, order, coeff_num, high_precision):
         if high_precision:
             r = circular_autocorr_f64(z, order + 2)
         else:
-            r = circular_autocorr(z, order + 2)
+            r = circular_autocorr_direct(z, order + 2)
         xlpc, gg = lpc_from_autocorr(r, order)
         return lpc_to_cepstrum(xlpc, gg, coeff_num)  # (P, nbc, C)
 
@@ -196,10 +196,12 @@ def _fdlp_impl(signals, num_samples, cfg: FdlpConfig, max_samples: int, jitter):
     cos_dct = dct2(frames, dtype=work_dtype) * scale
     cos_dct = cos_dct.reshape(B * max_frames, -1)
 
-    # band-blocked fbank, padded with ones to a multiple of band_block
+    # band-blocked fbank, padded with ones to a multiple of the block size.
+    # The direct-lag autocorrelation materialises (P, nbc, lag_block, N)
+    # shifted stacks, so the band block stays small to bound HBM.
     fbank = np.asarray(c["fbank"])
     nb = fbank.shape[0]
-    nbc = min(cfg.band_block if not high else max(1, cfg.band_block // 4), nb)
+    nbc = min(max(1, cfg.band_block // 4), nb)
     pad = (-nb) % nbc
     if pad:
         fbank = np.concatenate([fbank, np.ones((pad, fbank.shape[1]))], axis=0)

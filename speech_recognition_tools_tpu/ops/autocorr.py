@@ -60,18 +60,21 @@ def circular_autocorr(x: jax.Array, nlags: int, keepreal: bool = True) -> jax.Ar
     return y
 
 
-def circular_autocorr_f64(x: jax.Array, nlags: int, lag_block: int = 16) -> jax.Array:
-    """Float64 circular autocorrelation of a real signal without FFT.
+def circular_autocorr_direct(
+    x: jax.Array, nlags: int, lag_block: int = 16
+) -> jax.Array:
+    """Circular autocorrelation of a real signal without FFT (any float
+    dtype; MXU matmuls).
 
     y_circ[k] = sum_m x[m] x[m+k]  +  sum_{m<k} x[m] x[m+N-k]
 
     Both terms are computed as einsums against statically-shifted copies,
-    blocked over lags to bound the (..., block, N) f64 workspace. All lags
-    are static Python ints so the shifts are static slices (no gather, which
-    f64 einsum cannot lower on TPU).
+    blocked over lags to bound the (..., block, N) workspace. All lags are
+    static Python ints so the shifts are static slices (no gather, which
+    f64 einsum cannot lower on TPU). Measured faster than the pow2-FFT path
+    on v5e at FDLP shapes in both f32 and f64.
     """
     n = x.shape[-1]
-    x = x.astype(jnp.float64)
     batch = x.shape[:-1]
     blocks = []
     for k0 in range(0, nlags, lag_block):
@@ -113,3 +116,8 @@ def circular_autocorr_f64(x: jax.Array, nlags: int, lag_block: int = 16) -> jax.
         )
         blocks.append(fwd + wrap)
     return jnp.concatenate(blocks, axis=-1)
+
+
+def circular_autocorr_f64(x: jax.Array, nlags: int, lag_block: int = 16) -> jax.Array:
+    """Float64 direct-lag circular autocorrelation (high-precision path)."""
+    return circular_autocorr_direct(x.astype(jnp.float64), nlags, lag_block)

@@ -7,3 +7,7 @@ from speech_recognition_tools_tpu.parallel.mesh import (
     shard_batch,
     data_parallel_step,
 )
+from speech_recognition_tools_tpu.parallel.launcher import (
+    initialize_runtime,
+    global_batch_from_local,
+)
