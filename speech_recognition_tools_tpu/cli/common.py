@@ -48,18 +48,48 @@ def load_signals(args, srate):
         _, rir = wav_read(rir_files[args.add_reverb])
         rir = rir[:, 1] / 2.0**15
 
+    # segment mode: args.scp is a Kaldi segments file
+    # ('utt recording start end') and --wav_scp maps recordings to wavs
+    # (the reference resolves segments through `wav-copy`,
+    # computeFDLPSpectrogram.py:146-149; computeModulationSpectrum_segments
+    # caches the current recording — we do the same).
+    segments = None
     if getattr(args, "scp_type", "wav") == "segment":
-        # segment scp: 'uttid recording-extended-filename' handled via
-        # wav-copy in the reference; here segments values are wav paths/pipes
-        pass
+        wav_scp = getattr(args, "wav_scp", None)
+        if not wav_scp:
+            raise ValueError("--scp_type segment requires --wav_scp")
+        recordings = dict(read_scp(wav_scp))
+        segments = read_segments(args.scp)
+        entries = None
+
+    raw = []
+    if segments is not None:
+        cache_key, cache_sig = None, None
+        for utt, rec, start, end in segments:
+            if rec != cache_key:
+                try:
+                    _, cache_sig = read_wav_scp_entry(
+                        recordings[rec], expected_srate=srate
+                    )
+                    cache_key = rec
+                except Exception:
+                    print(f"{sys.argv[0]}: skipping unreadable recording {rec}")
+                    cache_key, cache_sig = None, None
+                    continue
+            seg = cache_sig[int(start * srate) : int(end * srate)]
+            if len(seg):
+                raw.append((utt, seg))
+    else:
+        for key, value in entries:
+            try:
+                _, sig = read_wav_scp_entry(value, expected_srate=srate)
+            except Exception:
+                print(f"{sys.argv[0]}: skipping unreadable entry {key}")
+                continue
+            raw.append((key, sig))
 
     out = []
-    for key, value in entries:
-        try:
-            _, sig = read_wav_scp_entry(value, expected_srate=srate)
-        except Exception:
-            print(f"{sys.argv[0]}: skipping unreadable entry {key}")
-            continue
+    for key, sig in raw:
         if getattr(args, "add_noise", None):
             if args.add_noise == "diff":
                 sig = scipy.signal.convolve(sig, DIFF_FIR, mode="same")

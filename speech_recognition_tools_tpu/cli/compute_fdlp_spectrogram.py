@@ -12,6 +12,7 @@ def get_parser():
     parser.add_argument("scp", help='"scp" list')
     parser.add_argument("outfile", help="output file")
     parser.add_argument("--scp_type", default="wav", help="'wav' or 'segment'")
+    parser.add_argument("--wav_scp", help="recording wav scp for --scp_type segment")
     parser.add_argument("--nfilters", type=int, default=20)
     parser.add_argument("--coeff_num", type=int, default=50)
     parser.add_argument("--coeff_range", type=str, default="1,20")

@@ -11,6 +11,7 @@ def get_parser():
     parser.add_argument("scp")
     parser.add_argument("outfile")
     parser.add_argument("--scp_type", default="wav")
+    parser.add_argument("--wav_scp", help="recording wav scp for --scp_type segment")
     parser.add_argument("--spectrum_type", default="log", help="log/power")
     parser.add_argument("--nfilters", type=int, default=23)
     parser.add_argument("--fduration", type=float, default=0.02)

@@ -13,6 +13,7 @@ def get_parser():
     parser.add_argument("scp")
     parser.add_argument("outfile")
     parser.add_argument("--scp_type", default="wav")
+    parser.add_argument("--wav_scp", help="recording wav scp for --scp_type segment")
     parser.add_argument("--nfilters", type=int, default=15)
     parser.add_argument("--coeff_0", type=int, default=5)
     parser.add_argument("--coeff_n", type=int, default=30)

@@ -1,0 +1,114 @@
+"""End-to-end recognition CLI (asr_recog.py equivalent).
+
+Beam search with CTC bonus and optional RNNLM fusion; `--api cl` decodes
+with multiple models weighted by PM (VAE) scores like the reference's
+patched asr_recog (run_cl_2stream.sh:250-254). Writes hypotheses as a
+Kaldi-style text file and reports WER when a reference text is given.
+"""
+
+import argparse
+import os
+
+
+def get_parser():
+    p = argparse.ArgumentParser("e2e ASR recognition")
+    p.add_argument("model_dir", help="train_e2e output (or comma list for cl)")
+    p.add_argument("egs_dir")
+    p.add_argument("out_text")
+    p.add_argument("--api", default="v1", choices=["v1", "cl"])
+    p.add_argument("--pm_scores", help="comma floats: per-model PM scores (cl)")
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--ctc_weight", type=float, default=0.3)
+    p.add_argument("--penalty", type=float, default=0.0)
+    p.add_argument("--max_len", type=int, default=200)
+    p.add_argument("--ref_text", help="reference text for WER")
+    p.add_argument("--ckpt", default="final_avg")
+    return p
+
+
+def _load(model_dir, ckpt):
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tools_tpu.io.text import load_vocab
+    from speech_recognition_tools_tpu.models.transformer_asr import (
+        TransformerASR,
+        TransformerASRConfig,
+    )
+    from speech_recognition_tools_tpu.train import load_checkpoint
+
+    path = os.path.join(model_dir, ckpt)
+    _, cfg_d = load_checkpoint(path)
+    vocab = load_vocab(os.path.join(model_dir, "vocab.json"))
+    cfg = TransformerASRConfig(
+        vocab_size=cfg_d["vocab_size"], adim=cfg_d["adim"],
+        aheads=cfg_d["aheads"], elayers=cfg_d["elayers"],
+        eunits=cfg_d["eunits"], dlayers=cfg_d["dlayers"],
+        dunits=cfg_d["dunits"], dropout=0.0,
+        mtlalpha=cfg_d["mtlalpha"], lsm_weight=cfg_d["lsm_weight"],
+    )
+    model = TransformerASR(cfg)
+    feats = jnp.zeros((1, 16, 8), jnp.float32)
+    template = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        feats, jnp.asarray([16]), jnp.zeros((1, 4), jnp.int32),
+    )
+    payload, _ = load_checkpoint(path, template={"params": template})
+    return model, payload["params"], cfg, vocab
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speech_recognition_tools_tpu.io import iter_egs_batches
+    from speech_recognition_tools_tpu.io.text import decode_tokens, read_text_file
+    from speech_recognition_tools_tpu.models.transformer_asr import (
+        beam_search,
+        cl_decode,
+    )
+
+    dirs = args.model_dir.split(",")
+    loaded = [_load(d, args.ckpt) for d in dirs]
+    model, params, cfg, vocab = loaded[0]
+
+    hyps = {}
+    for b in iter_egs_batches(args.egs_dir, 1, drop_labels=True):
+        feats = jnp.asarray(b["feats"])
+        lengths = jnp.asarray(b["lengths"])
+        key = b["keys"][0]
+        if args.api == "cl" and len(loaded) > 1:
+            pm = [float(x) for x in (args.pm_scores or "").split(",")] or [
+                1.0
+            ] * len(loaded)
+            seq = cl_decode(
+                [(m, p) for m, p, _, _ in loaded], pm, feats, lengths, cfg,
+                beam_size=args.beam_size, max_len=args.max_len,
+            )
+        else:
+            seq = beam_search(
+                model, params, feats, lengths, cfg,
+                beam_size=args.beam_size, max_len=args.max_len,
+                ctc_weight=args.ctc_weight, penalty=args.penalty,
+            )
+        hyps[key] = decode_tokens(seq, vocab)
+        print(f"{key}: {hyps[key]}")
+
+    with open(args.out_text, "w") as f:
+        for k, v in hyps.items():
+            f.write(f"{k} {v}\n")
+
+    if args.ref_text:
+        from speech_recognition_tools_tpu.eval import score_hypotheses
+
+        refs = {
+            k: v.split() for k, v in read_text_file(args.ref_text).items()
+            if k in hyps
+        }
+        wer, _ = score_hypotheses(refs, {k: v.split() for k, v in hyps.items()})
+        print(f"WER: {wer:.2f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""End-to-end transformer ASR training CLI.
+
+The native equivalent of the reference's ESPnet asr_train.py stage
+(run_fdlp_e1.sh:405-447): egs features + Kaldi text file in, joint
+CTC/attention transformer out, with Noam schedule, gradient clipping,
+per-epoch checkpoints and final checkpoint averaging
+(average_checkpoints, :495-505).
+"""
+
+import argparse
+import os
+
+
+def get_parser():
+    p = argparse.ArgumentParser("Train e2e transformer ASR")
+    p.add_argument("egs_dir")
+    p.add_argument("text", help="Kaldi text file: 'utt transcription'")
+    p.add_argument("store_path")
+    p.add_argument("--dev_egs_dir")
+    p.add_argument("--adim", type=int, default=256)
+    p.add_argument("--aheads", type=int, default=4)
+    p.add_argument("--elayers", type=int, default=12)
+    p.add_argument("--eunits", type=int, default=2048)
+    p.add_argument("--dlayers", type=int, default=6)
+    p.add_argument("--dunits", type=int, default=2048)
+    p.add_argument("--mtlalpha", type=float, default=0.3)
+    p.add_argument("--lsm_weight", type=float, default=0.1)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--warmup_steps", type=int, default=25000)
+    p.add_argument("--transformer_lr", type=float, default=10.0)
+    p.add_argument("--grad_clip", type=float, default=5.0)
+    p.add_argument("--average_last", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def token_batches(egs_dir, texts, vocab, batch_size):
+    import numpy as np
+
+    from speech_recognition_tools_tpu.io import iter_egs_batches
+    from speech_recognition_tools_tpu.io.text import encode_text
+
+    for b in iter_egs_batches(egs_dir, batch_size, drop_labels=True):
+        keys = [k for k in b["keys"] if k in texts]
+        if not keys:
+            continue
+        idx = [i for i, k in enumerate(b["keys"]) if k in texts]
+        toks = [encode_text(texts[k], vocab) for k in keys]
+        U = max(max(len(t) for t in toks) + 1, 4)
+        tokens = np.zeros((len(keys), U), np.int32)
+        tlen = np.zeros(len(keys), np.int32)
+        for i, t in enumerate(toks):
+            tokens[i, : len(t)] = t
+            tlen[i] = len(t)
+        yield dict(
+            feats=b["feats"][idx],
+            lengths=b["lengths"][idx],
+            tokens=tokens,
+            token_lengths=tlen,
+        )
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from speech_recognition_tools_tpu.io.text import (
+        build_char_vocab,
+        read_text_file,
+        save_vocab,
+    )
+    from speech_recognition_tools_tpu.models.transformer_asr import (
+        TransformerASR,
+        TransformerASRConfig,
+        asr_loss,
+        average_checkpoints,
+        noam_schedule,
+    )
+    from speech_recognition_tools_tpu.train import save_checkpoint
+
+    texts = read_text_file(args.text)
+    vocab = build_char_vocab(texts.values())
+    os.makedirs(args.store_path, exist_ok=True)
+    save_vocab(vocab, os.path.join(args.store_path, "vocab.json"))
+
+    cfg = TransformerASRConfig(
+        vocab_size=len(vocab), adim=args.adim, aheads=args.aheads,
+        elayers=args.elayers, eunits=args.eunits, dlayers=args.dlayers,
+        dunits=args.dunits, dropout=args.dropout, mtlalpha=args.mtlalpha,
+        lsm_weight=args.lsm_weight,
+    )
+    model = TransformerASR(cfg)
+
+    first = next(token_batches(args.egs_dir, texts, vocab, args.batch_size))
+    params = model.init(
+        {"params": jax.random.key(args.seed),
+         "dropout": jax.random.key(args.seed + 1)},
+        jnp.asarray(first["feats"]), jnp.asarray(first["lengths"]),
+        jnp.asarray(first["tokens"]),
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip),
+        optax.adam(noam_schedule(cfg.adim, args.warmup_steps, args.transformer_lr),
+                   b2=0.98),
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: asr_loss(model, p, batch, rng, cfg), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    hyper = dict(vars(args))
+    hyper.update(model_class="TransformerASR", vocab_size=len(vocab))
+    rng = jax.random.key(args.seed + 2)
+    recent = []
+    for epoch in range(args.epochs):
+        losses = []
+        for batch in token_batches(args.egs_dir, texts, vocab, args.batch_size):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss, aux = step(params, opt_state, batch, sub)
+            losses.append(float(loss))
+        print(f"epoch {epoch + 1}: loss {sum(losses)/max(len(losses),1):.4f}")
+        save_checkpoint(args.store_path, f"epoch_{epoch + 1}", params, hyper,
+                        extra={"epoch": epoch + 1})
+        recent.append(jax.tree.map(lambda x: x, params))
+        if len(recent) > args.average_last:
+            recent.pop(0)
+    avg = average_checkpoints(recent)
+    save_checkpoint(args.store_path, "final_avg", avg, hyper,
+                    extra={"averaged": len(recent)})
+    print(f"saved averaged model ({len(recent)} ckpts) -> "
+          f"{os.path.join(args.store_path, 'final_avg')}")
+
+
+if __name__ == "__main__":
+    main()

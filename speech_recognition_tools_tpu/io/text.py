@@ -1,0 +1,53 @@
+"""Character tokenisation for e2e ASR (the data2json/char-dict stage of the
+reference's ESPnet recipes, run_fdlp_e1.sh:305-331)."""
+
+import json
+
+
+def build_char_vocab(texts):
+    """Char vocabulary: id 0 = <blank> (CTC), 1 = <unk>, then sorted chars,
+    last id = <sos/eos> (matches TransformerASRConfig conventions)."""
+    chars = sorted({c for t in texts for c in t.replace(" ", "<space>")})
+    chars = sorted({c for t in texts for c in t} | {" "})
+    vocab = {"<blank>": 0, "<unk>": 1}
+    for c in chars:
+        vocab[c] = len(vocab)
+    vocab["<sos/eos>"] = len(vocab)
+    return vocab
+
+
+def encode_text(text, vocab):
+    unk = vocab["<unk>"]
+    return [vocab.get(c, unk) for c in text]
+
+
+def decode_tokens(tokens, vocab):
+    inv = {v: k for k, v in vocab.items()}
+    out = []
+    for t in tokens:
+        s = inv.get(int(t), "")
+        if s in ("<blank>", "<sos/eos>", "<unk>"):
+            continue
+        out.append(s)
+    return "".join(out)
+
+
+def save_vocab(vocab, path):
+    with open(path, "w") as f:
+        json.dump(vocab, f, indent=0, ensure_ascii=False)
+
+
+def load_vocab(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_text_file(path):
+    """Kaldi text file: 'utt transcription ...' -> {utt: text}."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(None, 1)
+            if len(parts) == 2:
+                out[parts[0]] = parts[1]
+    return out

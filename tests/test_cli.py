@@ -60,3 +60,28 @@ class TestMelCli:
         for utt, sig in sigs.items():
             oracle = oracles.oracle_melspec(sig, nfilters=10)
             np.testing.assert_allclose(got[utt], oracle, rtol=2e-4, atol=2e-4)
+
+
+class TestSegmentsMode:
+    def test_fdlp_segments(self, tmp_path):
+        from scipy.io.wavfile import write as wav_write
+
+        n = 2 * 16000
+        sig = (RS.randn(n) * 2000).astype(np.int16)
+        wav = str(tmp_path / "rec.wav")
+        wav_write(wav, 16000, sig)
+        (tmp_path / "wav.scp").write_text(f"rec1 {wav}\n")
+        (tmp_path / "segments").write_text(
+            "seg_a rec1 0.0 1.0\nseg_b rec1 0.75 2.0\n"
+        )
+        out = str(tmp_path / "fdlp_seg")
+        compute_fdlp_spectrogram.main(
+            [str(tmp_path / "segments"), out, "--scp_type", "segment",
+             "--wav_scp", str(tmp_path / "wav.scp"), "--nfilters", "6"]
+        )
+        got = dict(read_mat_scp(out + ".scp"))
+        assert set(got) == {"seg_a", "seg_b"}
+        # parity: segment == oracle on the sliced signal
+        oracle = oracles.oracle_fdlp(sig[: 16000].astype(np.float64), nfilters=6)
+        np.testing.assert_allclose(got["seg_a"], oracle, atol=2e-2)
+        assert got["seg_b"].shape[0] == 125  # 1.25 s at 100 Hz
