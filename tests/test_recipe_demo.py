@@ -1,0 +1,30 @@
+"""The demo recipe's staged-resume contract (stages 0-2; the full pipeline
+is covered by tests/test_pipeline_e2e.py)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_demo_recipe_stages(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes", "demo", "run.py"),
+         "--expdir", str(tmp_path), "--stage", "0", "--stop_stage", "2",
+         "--num_utts", "3"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(tmp_path / "fdlp.ark")
+    assert os.path.exists(tmp_path / "egs" / "egs.config")
+    # resume from stage 2 only (reference --stage contract)
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recipes", "demo", "run.py"),
+         "--expdir", str(tmp_path), "--stage", "2", "--stop_stage", "2",
+         "--num_utts", "3"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "stage 1" not in r2.stdout
