@@ -7,7 +7,6 @@ one chip; multi-chip scaling shards the utterance axis over the mesh
 """
 
 import sys
-import time
 
 import numpy as np
 

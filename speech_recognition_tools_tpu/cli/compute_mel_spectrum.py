@@ -2,7 +2,6 @@
 (/root/reference/src/featgen/computeMelSpectrum.py :20-37)."""
 
 import argparse
-import sys
 import time
 
 

@@ -2,7 +2,6 @@
 (/root/reference/src/featgen/computeMfccFeatures.py :138-150)."""
 
 import argparse
-import sys
 import time
 
 

@@ -4,7 +4,6 @@ segments-driven variant computeModulationSpectrum_segments.py is covered by
 --scp_type segment, with the unity-gain option)."""
 
 import argparse
-import sys
 import time
 
 

@@ -7,7 +7,6 @@ newest-checkpoint resume (the babysitter loop's contract).
 """
 
 import argparse
-import json
 import os
 
 

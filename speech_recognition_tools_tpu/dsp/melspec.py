@@ -8,7 +8,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from speech_recognition_tools_tpu.dsp.filterbanks import parse_fbank_type
 from speech_recognition_tools_tpu.ops.framing import frame_count, frame_params, frame_signal

@@ -6,7 +6,6 @@ masks) and SimpleFWMaskEstimator, trained with binary cross-entropy against
 ideal binary masks (:20-23).
 """
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

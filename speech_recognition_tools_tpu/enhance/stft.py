@@ -9,9 +9,7 @@ JAX implementation: framing is a reshape-free gather, synthesis is a
 scatter-add overlap-add — both static-shape and batchable over channels.
 """
 
-from functools import partial
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.signal

@@ -20,7 +20,7 @@ covers the script variants:
   supervised_weight lightly-supervised variants (CE on provided labels)
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 import jax

@@ -8,7 +8,6 @@ pm_score_feedforward_AEAR.py / pm_score_feedforward_generative.py
 """
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def _framewise(kind, pred, target):

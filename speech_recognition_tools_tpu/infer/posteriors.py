@@ -7,7 +7,6 @@ compute_log_prior.py (:20-40 — log class frequencies from alignments).
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -61,7 +61,38 @@ def _read_binary_value(f):
         assert f.read(1) == b"\x04"
         n = struct.unpack("<i", f.read(4))[0]
         return np.frombuffer(f.read(n * dtype().itemsize), dtype)
+    if tok == b"CM":
+        return _read_compressed_matrix(f)
     raise ValueError(f"Unsupported Kaldi binary token {tok!r}")
+
+
+def _read_compressed_matrix(f):
+    """Kaldi CompressedMatrix (format 1, token 'CM '): GlobalHeader
+    {min, range, rows, cols} float32+int32, then per-column
+    PercentileHeader {p0,p25,p75,p100} uint16 + uint8 codes. Decompression
+    follows kaldi/src/matrix/compressed-matrix.cc: uint16 percentiles map
+    linearly into [min, min+range]; uint8 values interpolate piecewise
+    within [p0,p25]/[p25,p75]/[p75,p100]."""
+    min_value, rng = struct.unpack("<ff", f.read(8))
+    rows, cols = struct.unpack("<ii", f.read(8))
+    heads = np.frombuffer(f.read(8 * cols), np.uint16).reshape(cols, 4)
+    data = np.frombuffer(f.read(rows * cols), np.uint8).reshape(cols, rows)
+
+    def u16_to_f(u):
+        return min_value + rng * (u.astype(np.float64) / 65535.0)
+
+    p0, p25, p75, p100 = (u16_to_f(heads[:, i]) for i in range(4))
+    c = data.astype(np.float64)
+    out = np.empty((cols, rows), np.float64)
+    lo = c <= 64
+    mid = (c > 64) & (c <= 192)
+    hi = c > 192
+    for j in range(cols):
+        l, m, h = lo[j], mid[j], hi[j]
+        out[j, l] = p0[j] + (p25[j] - p0[j]) * (c[j, l] / 64.0)
+        out[j, m] = p25[j] + (p75[j] - p25[j]) * ((c[j, m] - 64.0) / 128.0)
+        out[j, h] = p75[j] + (p100[j] - p75[j]) * ((c[j, h] - 192.0) / 63.0)
+    return out.T.astype(np.float32)
 
 
 def _read_text_matrix_bytes(f):

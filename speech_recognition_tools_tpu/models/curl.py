@@ -20,7 +20,6 @@ TPU re-design highlights:
     (:726-728, grad *= enc_scale) become a jax.custom_vjp scale_gradient.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -239,9 +238,6 @@ def expand_component(model: CurlMultistreamClassifier, params, rng, example):
     old = flax.core.unfreeze(params)["params"]
     new = flax.core.unfreeze(new_params)["params"]
     K, bn = model.comp_num, model.bn_size
-
-    def copy_into(dst, src):
-        return jax.tree.map(lambda d, s: s, dst, src)
 
     enc_o, enc_n = old["curl_encoder"], new["curl_encoder"]
     # GRU trunk: copy verbatim

@@ -16,7 +16,6 @@ with finished-beam masking; all scoring is batched over (beams x models).
 """
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

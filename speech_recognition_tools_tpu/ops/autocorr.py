@@ -22,7 +22,6 @@ TPU notes (measured on v5e):
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _next_pow2(n: int) -> int:

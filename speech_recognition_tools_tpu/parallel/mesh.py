@@ -12,7 +12,6 @@ everything below is expressed in global arrays so the same code runs
 single-chip, single-host-multi-chip, and multi-slice.
 """
 
-from functools import partial
 
 import jax
 import numpy as np

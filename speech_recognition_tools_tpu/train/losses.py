@@ -5,7 +5,6 @@ The reference flattens padded batches with pad2list before computing CE
 mask instead — identical math, no ragged gathers.
 """
 
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -13,9 +13,7 @@ LR-revert decision is host-side control flow between epochs, exactly where
 the reference makes it.
 """
 
-import dataclasses
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -6,3 +6,13 @@ from speech_recognition_tools_tpu.utils.cmvn import (
     apply_cmvn,
     cmvn_stats_masked,
 )
+from speech_recognition_tools_tpu.utils.transforms import (
+    add_deltas,
+    estimate_pca,
+    apply_pca,
+)
+from speech_recognition_tools_tpu.utils.profiling import (
+    trace,
+    annotate,
+    ThroughputMeter,
+)

@@ -35,3 +35,22 @@ def apply_cmvn(feats, mean, std, norm_var: bool = True):
     if norm_var:
         out = out / jnp.where(std == 0, 1.0, std)
     return out
+
+
+def apply_cmvn_per_utterance(feats, num_frames, norm_var: bool = True):
+    """Per-utterance CMVN over a padded batch (the reference's
+    apply-cmvn per-utt mode, decode_dnn.sh:53-57).
+
+    feats: (B, T, D); num_frames: (B,).
+    """
+    B, T, D = feats.shape
+    m = (jnp.arange(T)[None, :] < num_frames[:, None]).astype(feats.dtype)
+    m3 = m[..., None]
+    count = jnp.maximum(jnp.sum(m, axis=1), 1.0)[:, None]
+    mean = jnp.sum(feats * m3, axis=1) / count
+    out = (feats - mean[:, None, :]) * m3
+    if norm_var:
+        var = jnp.sum((feats - mean[:, None, :]) ** 2 * m3, axis=1) / count
+        std = jnp.sqrt(var)
+        out = out / jnp.where(std == 0, 1.0, std)[:, None, :]
+    return out
