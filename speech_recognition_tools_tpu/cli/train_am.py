@@ -19,6 +19,7 @@ ARCHS = {
     "vae_classifier": "VAEClassifier",
     "arvae": "ARVAE",
     "curl": "CurlMultistreamClassifier",
+    "curl_unsup": "CurlSupervised",
     "pm_ae": "AutoencoderRNN",
     "apc": "APC",
     "cnn": "CNNFrameClassifier",
@@ -91,6 +92,12 @@ def build_model(args, feat_dim, num_classes):
             num_layers_dec=args.num_layers_dec, num_layers_class=args.num_layers_dec,
             hidden_size=args.hidden_dim, hidden_size_classifier=args.hidden_dim,
             bn_size=args.bn_dim, comp_num=args.comp_num,
+        )
+    if args.arch == "curl_unsup":
+        return M.CurlSupervised(
+            num_layers_enc=args.num_layers, num_layers_dec=args.num_layers_dec,
+            hidden_size=args.hidden_dim, bn_size=args.bn_dim,
+            comp_num=args.comp_num,
         )
     if args.arch == "pm_ae":
         return M.AutoencoderRNN(
@@ -185,6 +192,18 @@ def make_loss(args, model):
                 for k in range(recon.shape[0])
             ]))
             return ce + mse, {"ce": ce, "mse": mse}
+        if args.arch == "curl_unsup":
+            from speech_recognition_tools_tpu.models.curl import (
+                curl_loss_unsupervised,
+                random_mixture_means,
+            )
+
+            mean_p = random_mixture_means(
+                jax.random.key(args.seed + 99), args.comp_num, args.bn_dim
+            )
+            recon, latent = model.apply(params, feats, lengths, rngs=rngs)
+            elbo = curl_loss_unsupervised(feats, recon, latent, mean_p, mask)
+            return -elbo, {}
         if args.arch == "pm_ae":
             ts = args.time_shift
             if ts:

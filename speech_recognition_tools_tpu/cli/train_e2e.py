@@ -32,6 +32,8 @@ def get_parser():
     p.add_argument("--transformer_lr", type=float, default=10.0)
     p.add_argument("--grad_clip", type=float, default=5.0)
     p.add_argument("--average_last", type=int, default=10)
+    p.add_argument("--specaug", action="store_true",
+                   help="apply SpecAugment (conf/specaug.yaml defaults)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -109,8 +111,23 @@ def main(argv=None):
     )
     opt_state = tx.init(params)
 
+    from speech_recognition_tools_tpu.dsp.specaug import (
+        SpecAugConfig,
+        spec_augment,
+    )
+
+    use_specaug = args.specaug
+
     @jax.jit
     def step(params, opt_state, batch, rng):
+        if use_specaug:
+            rng, sa = jax.random.split(rng)
+            batch = dict(
+                batch,
+                feats=spec_augment(
+                    sa, batch["feats"], batch["lengths"], SpecAugConfig()
+                ),
+            )
         (loss, aux), grads = jax.value_and_grad(
             lambda p: asr_loss(model, p, batch, rng, cfg), has_aux=True
         )(params)

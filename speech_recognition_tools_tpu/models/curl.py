@@ -190,6 +190,78 @@ class CurlMultistreamClassifier(nn.Module):
         return class_out, recon, (cat, means, logvars)
 
 
+def curl_loss_supervised(x, recon, latent, mean_p, comp_idx, mask=None):
+    """Supervised CURL ELBO for a known component (reference
+    train_CURLclassifier_v2.py curl_loss_supervised :33-49): gaussian
+    reconstruction log-lhood of the chosen component's decoder + KL of its
+    latent to the component prior N(mean_p[idx], I) + log-posterior of the
+    component. Maximised (return is the objective, negate for a loss)."""
+    import numpy as np
+
+    cat, means, logvars = latent
+    ll = jnp.sum(
+        -0.5 * (x - recon[comp_idx]) ** 2 - 0.5 * np.log(2 * np.pi), axis=-1
+    )
+    kl = 0.5 * jnp.sum(
+        1
+        - (means[comp_idx] - mean_p[comp_idx]) ** 2
+        - jnp.exp(logvars[comp_idx]) ** 2
+        + 2 * logvars[comp_idx],
+        axis=-1,
+    )
+    per_frame = ll + kl
+    cat_reg = jnp.log(jnp.maximum(cat[..., comp_idx], 1e-12))
+    if mask is None:
+        return jnp.mean(per_frame) + jnp.mean(cat_reg)
+    m = mask.astype(per_frame.dtype)
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    return (
+        jnp.sum(per_frame * m) / denom + jnp.sum(cat_reg * m) / denom
+    )
+
+
+def curl_loss_unsupervised(x, recon, latent, mean_p, mask=None):
+    """Unsupervised CURL ELBO (reference curl_loss_unsupervised :52-69):
+    posterior-weighted per-component ELBOs minus the categorical entropy
+    regulariser KL(q(y|x) || uniform)."""
+    import numpy as np
+
+    cat, means, logvars = latent
+    K = recon.shape[0]
+    total = 0.0
+    for k in range(K):
+        ll = jnp.sum(
+            -0.5 * (x - recon[k]) ** 2 - 0.5 * np.log(2 * np.pi), axis=-1
+        )
+        kl = 0.5 * jnp.sum(
+            1
+            - (means[k] - mean_p[k]) ** 2
+            - jnp.exp(logvars[k]) ** 2
+            + 2 * logvars[k],
+            axis=-1,
+        )
+        w = cat[..., k]
+        term = w * (ll + kl)
+        if mask is None:
+            total = total + jnp.mean(term)
+        else:
+            m = mask.astype(term.dtype)
+            total = total + jnp.sum(term * m) / jnp.maximum(jnp.sum(m), 1.0)
+    ent = jnp.sum(cat * jnp.log(jnp.maximum(cat, 1e-12)), axis=-1) + np.log(K)
+    if mask is None:
+        cat_reg = jnp.mean(ent)
+    else:
+        m = mask.astype(ent.dtype)
+        cat_reg = jnp.sum(ent * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return total - cat_reg
+
+
+def random_mixture_means(key, comp_num, bn_size, scale=1.0):
+    """Random component prior means (reference train_CURLclassifier_v2.py
+    :215 draws random mixture means once at startup)."""
+    return jax.random.normal(key, (comp_num, bn_size)) * scale
+
+
 def compute_latent_features(latent):
     """Posterior-weighted mixture latent for downstream classifiers
     (reference compute_latent_features :739): sum_k q(k|x) * mu_k."""
