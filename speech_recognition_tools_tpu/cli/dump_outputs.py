@@ -40,6 +40,70 @@ def load_model_from_checkpoint(model_dir):
     return model, path, cfg
 
 
+def arch_init(model, cfg, rngs, feats, lengths):
+    """Arch-aware shape-init for checkpoint templates."""
+    import jax.numpy as jnp
+
+    arch = cfg.get("arch")
+    if arch == "feedforward":
+        return model.init(rngs, feats)
+    if arch == "multimod":
+        K = cfg.get("comp_num", 2)
+        D = feats.shape[-1] // K
+        streams = [feats[..., k * D : (k + 1) * D] for k in range(K)]
+        return model.init(rngs, streams, lengths)
+    if arch in ("cnn", "vae_cnn", "rs_vae"):
+        x = jnp.swapaxes(feats, 1, 2)[:, None]
+        return model.init(rngs, x)
+    if arch == "cldnn":
+        return model.init(rngs, jnp.swapaxes(feats, 1, 2)[:, None], lengths)
+    return model.init(rngs, feats, lengths)
+
+
+def arch_forward(model, params, cfg, feats, lengths, rng=None):
+    """Arch-aware forward returning (logits_or_posteriors, embeds_list).
+
+    Handles the reference's --ae_type style dispatch
+    (dump_genclassifier_outputs.py:100-106) plus multimod stream splitting
+    (dump_multimod_outputs.py) and CURL posterior mixing
+    (compute_CURL_classifier_likelihood.py): for CURL the output is the
+    categorical-posterior-weighted mixture of stream-classifier softmaxes
+    (returned as log-probabilities).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    arch = cfg.get("arch")
+    rngs = {"sample": rng} if rng is not None else {}
+    if arch == "feedforward":
+        embeds, logits = model.apply(params, feats)
+        return logits, embeds
+    if arch == "multimod":
+        K = cfg.get("comp_num", 2)
+        D = feats.shape[-1] // K
+        streams = [feats[..., k * D : (k + 1) * D] for k in range(K)]
+        return model.apply(params, streams, lengths), []
+    if arch == "curl":
+        class_out, _, latent = model.apply(
+            params, feats, lengths,
+            rngs=rngs or {"sample": jax.random.key(0)},
+        )
+        cat = latent[0]  # (B, T, K)
+        post = jnp.einsum(
+            "kbtc,btk->btc", jax.nn.softmax(class_out, -1), cat
+        )
+        return jnp.log(jnp.maximum(post, 1e-12)), []
+    if arch in ("multitask_ae", "multitask_aear", "vae_classifier"):
+        out = model.apply(
+            params, feats, lengths, rngs=rngs or {"sample": jax.random.key(0)}
+        )
+        return out[0], []
+    out = model.apply(params, feats, lengths, rngs=rngs)
+    if isinstance(out, tuple):
+        return out[0], []
+    return out, []
+
+
 def main(argv=None):
     args = get_parser().parse_args(argv)
     import jax
@@ -56,12 +120,10 @@ def main(argv=None):
     # shape-init to build the template, then restore the stored arrays
     first = next(iter_egs_batches(args.egs_dir, args.batch_size))
     rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
-    if cfg.get("arch") == "feedforward":
-        template = model.init(rngs, jnp.asarray(first["feats"]))
-    else:
-        template = model.init(
-            rngs, jnp.asarray(first["feats"]), jnp.asarray(first["lengths"])
-        )
+    template = arch_init(
+        model, cfg, rngs, jnp.asarray(first["feats"]),
+        jnp.asarray(first["lengths"]),
+    )
     payload, _ = load_checkpoint(ckpt_path, template={"params": template})
     params = payload["params"]
 
@@ -74,15 +136,9 @@ def main(argv=None):
     for batch in iter_egs_batches(args.egs_dir, args.batch_size):
         feats = jnp.asarray(batch["feats"])
         lengths = jnp.asarray(batch["lengths"])
-        if cfg.get("arch") == "feedforward":
-            embeds, logits = model.apply(params, feats)
-            taps = embeds
-        else:
-            result = model.apply(
-                params, feats, lengths, rngs={"sample": jax.random.key(2)}
-            )
-            logits = result[0] if isinstance(result, tuple) else result
-            taps = result[0] if isinstance(result, tuple) else []
+        logits, taps = arch_forward(
+            model, params, cfg, feats, lengths, rng=jax.random.key(2)
+        )
         if args.layer > 0:
             sel = taps[-args.layer]
         else:

@@ -35,6 +35,7 @@ def _restore(model_dir, egs_dir, batch_size):
     import jax.numpy as jnp
 
     from speech_recognition_tools_tpu.cli.dump_outputs import (
+        arch_init,
         load_model_from_checkpoint,
     )
     from speech_recognition_tools_tpu.io import iter_egs_batches
@@ -43,8 +44,9 @@ def _restore(model_dir, egs_dir, batch_size):
     model, path, cfg = load_model_from_checkpoint(model_dir)
     first = next(iter_egs_batches(egs_dir, batch_size, drop_labels=True))
     rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
-    template = model.init(
-        rngs, jnp.asarray(first["feats"]), jnp.asarray(first["lengths"])
+    template = arch_init(
+        model, cfg, rngs, jnp.asarray(first["feats"]),
+        jnp.asarray(first["lengths"]),
     )
     payload, _ = load_checkpoint(path, template={"params": template})
     return model, payload["params"], cfg
@@ -83,8 +85,10 @@ def main(argv=None):
         feats = jnp.asarray(batch["feats"])
         lengths = jnp.asarray(batch["lengths"])
         pcx_all, pxf_all = [], []
-        for (cm, cp, _), (vm, vp, _) in zip(classifiers, vaes):
-            logits = cm.apply(cp, feats, lengths)
+        for (cm, cp, ccfg), (vm, vp, _) in zip(classifiers, vaes):
+            from speech_recognition_tools_tpu.cli.dump_outputs import arch_forward
+
+            logits, _ = arch_forward(cm, cp, ccfg, feats, lengths)
             pcx_all.append(np.asarray(jax.nn.softmax(logits, -1)))
             recon, latent = vm.apply(
                 vp, feats, lengths, rngs={"sample": jax.random.key(0)}

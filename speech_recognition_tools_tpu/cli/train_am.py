@@ -25,6 +25,9 @@ ARCHS = {
     "cnn": "CNNFrameClassifier",
     "cldnn": "CLDNN",
     "multimod": "MultistreamRNN",
+    "multitask_aear": "AEClassifierMultitaskAEAR",
+    "vae_cnn": "VAECNNNopool",
+    "rs_vae": "VaeRsModulation",
 }
 
 
@@ -131,6 +134,25 @@ def build_model(args, feat_dim, num_classes):
             num_streams=args.comp_num, num_layers_subband=args.num_layers,
             hidden_size_subband=args.hidden_dim // args.comp_num,
             num_layers=args.num_layers_dec, out_size=num_classes,
+        )
+    if args.arch == "multitask_aear":
+        return M.AEClassifierMultitaskAEAR(
+            out_size=num_classes, num_layers_enc=args.num_layers,
+            num_layers_class=args.num_layers_dec,
+            num_layers_ae=args.num_layers_dec, hidden_size=args.hidden_dim,
+            bn_size=args.bn_dim, time_shift=max(1, args.time_shift),
+        )
+    if args.arch == "vae_cnn":
+        ch = max(2, args.hidden_dim // 16)
+        return M.VAECNNNopool(
+            in_channels=(1, ch), out_channels=(ch, 2 * ch), kernel=(3, 3),
+            bn_size=args.bn_dim,
+        )
+    if args.arch == "rs_vae":
+        ch = max(2, args.hidden_dim // 16)
+        return M.VaeRsModulation(
+            in_channels=(1, ch), out_channels=(ch, 2 * ch), kernel=(3, 3),
+            bn_size=args.bn_dim,
         )
     raise ValueError(args.arch)
 
@@ -248,6 +270,26 @@ def make_loss(args, model):
             return masked_cross_entropy(logits, batch["labels"], lengths), {
                 "fer": masked_frame_error(logits, batch["labels"], lengths)
             }
+        if args.arch == "multitask_aear":
+            ts = max(1, args.time_shift)
+            logits, recon, recon_ar = model.apply(params, feats, lengths)
+            ce = masked_cross_entropy(logits, batch["labels"], lengths)
+            mse = masked_mse(recon, feats, lengths)
+            mse_ar = masked_mse(recon_ar, feats[:, ts:], lengths - ts)
+            return ce + mse + mse_ar, {"ce": ce}
+        if args.arch in ("vae_cnn", "rs_vae"):
+            x = jnp.swapaxes(feats, 1, 2)[:, None]  # (B, 1, D, T)
+            recon, latent = model.apply(params, x, rngs=rngs)
+            m4 = mask[:, None, None, :]
+            ll = jnp.sum(
+                (-0.5 * (x - recon) ** 2 - 0.5 * jnp.log(2 * jnp.pi))
+                * m4
+            ) / jnp.maximum(jnp.sum(m4) * x.shape[2], 1.0)
+            means, logvars = latent
+            kl = 0.5 * jnp.mean(
+                1 - means**2 - jnp.exp(logvars) ** 2 + 2 * logvars
+            )
+            return -(ll + kl), {}
         raise ValueError(args.arch)
 
     return loss_fn
@@ -305,6 +347,8 @@ def main(argv=None):
         D = f0.shape[-1] // args.comp_num
         streams = [f0[..., k * D : (k + 1) * D] for k in range(args.comp_num)]
         params = model.init(init_rngs, streams, l0)
+    elif args.arch in ("vae_cnn", "rs_vae"):
+        params = model.init(init_rngs, jnp.swapaxes(f0, 1, 2)[:, None])
     else:
         params = model.init(init_rngs, f0, l0)
 

@@ -216,6 +216,21 @@ def vae_loss(x, ae_out, latent, out_dist="gauss", mask=None):
     return jnp.sum(ll * m) / denom_ll, jnp.sum(kl * m) / denom_kl
 
 
+def vae_generate(model, params, key, size=512, bn_size=None, batch=1):
+    """Sample from the prior and decode (reference nnetVAE.generate
+    :460-467): z ~ N(0, I) of shape (batch, size, bn) through the decoder."""
+    bn = bn_size or model.bn_size
+    dtype = params["params"]["decoder"]["means"]["kernel"].dtype
+    z = jax.random.normal(key, (batch, size, bn), dtype)
+    lengths = jnp.full((batch,), size, jnp.int32)
+    dec_params = {"params": params["params"]["decoder"]}
+    decoder = VAEDecoder(
+        model.num_layers_dec, model.hidden_size,
+        model.input_size or params["params"]["decoder"]["means"]["kernel"].shape[1],
+    )
+    return decoder.apply(dec_params, z, lengths)
+
+
 def vae_llhood(model, params, key, inputs, lengths, sample_num=10, out_dist="gauss"):
     """Multi-sample likelihood estimate (reference compute_llhood :446-458):
     average reconstruction log-lhood and -kl over `sample_num` latent

@@ -131,3 +131,70 @@ def test_train_am_archs(tmp_path, arch, extra):
     import os
 
     assert os.path.exists(os.path.join(out, "final", "state.msgpack"))
+
+
+@pytest.mark.parametrize("arch,extra", [
+    ("multitask_aear", ["--num_layers", "1", "--num_layers_dec", "1",
+                        "--bn_dim", "4", "--time_shift", "2"]),
+    ("vae_cnn", ["--bn_dim", "4", "--loss", "mse"]),
+    ("rs_vae", ["--bn_dim", "4", "--loss", "mse"]),
+])
+def test_train_am_conv_vae_archs(tmp_path, arch, extra):
+    from speech_recognition_tools_tpu.cli import train_am
+    from speech_recognition_tools_tpu.io import build_egs
+
+    feats = {f"u{i}": RS.randn(24, 8).astype(np.float32) for i in range(4)}
+    labels = {k: RS.randint(0, 3, 24).astype(np.int32) for k in feats}
+    egs = str(tmp_path / "egs")
+    build_egs(iter(feats.items()), egs, labels=labels, num_targets=3)
+    out = str(tmp_path / arch)
+    train_am.main(
+        [egs, out, "--arch", arch, "--hidden_dim", "32", "--epochs", "1",
+         "--batch_size", "4"] + extra
+    )
+    import os
+    assert os.path.exists(os.path.join(out, "final", "state.msgpack"))
+
+
+def test_dump_outputs_multimod_and_curl(tmp_path):
+    from speech_recognition_tools_tpu.cli import dump_outputs, train_am
+    from speech_recognition_tools_tpu.io import build_egs, read_mat_scp
+
+    feats = {f"u{i}": RS.randn(20, 8).astype(np.float32) for i in range(3)}
+    labels = {k: RS.randint(0, 3, 20).astype(np.int32) for k in feats}
+    egs = str(tmp_path / "egs")
+    build_egs(iter(feats.items()), egs, labels=labels, num_targets=3)
+    for arch, extra in (
+        ("multimod", ["--comp_num", "2", "--num_layers", "1",
+                      "--num_layers_dec", "1"]),
+        ("curl", ["--comp_num", "2", "--num_layers", "1",
+                  "--num_layers_dec", "1", "--bn_dim", "4"]),
+    ):
+        out = str(tmp_path / arch)
+        train_am.main(
+            [egs, out, "--arch", arch, "--hidden_dim", "16", "--epochs", "1",
+             "--batch_size", "3"] + extra
+        )
+        dumped = str(tmp_path / f"{arch}_post")
+        dump_outputs.main([out, egs, dumped, "--add_softmax"])
+        got = dict(read_mat_scp(dumped + ".scp"))
+        assert set(got) == set(feats)
+        for k, v in got.items():
+            assert v.shape == (20, 3) and np.all(np.isfinite(v))
+
+
+def test_vae_generate():
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tools_tpu import models as M
+    from speech_recognition_tools_tpu.models.vae import vae_generate
+
+    m = M.VAE(num_layers_enc=1, num_layers_dec=1, hidden_size=8, bn_size=3,
+              input_size=6)
+    x = jnp.asarray(RS.randn(2, 10, 6), jnp.float32)
+    lengths = jnp.asarray([10, 10])
+    params = m.init({"params": jax.random.key(0),
+                     "sample": jax.random.key(1)}, x, lengths)
+    gen = vae_generate(m, params, jax.random.key(2), size=16)
+    assert gen.shape == (1, 16, 6)
