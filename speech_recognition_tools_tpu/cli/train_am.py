@@ -58,6 +58,10 @@ def get_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", action="store_true",
                    help="shard the batch axis over all devices")
+    p.add_argument("--expand_from",
+                   help="(arch=curl) checkpoint dir of a trained CURL model "
+                        "to grow by one component before training — the "
+                        "reference's --expand_component lifelong flow")
     return p
 
 
@@ -351,6 +355,32 @@ def main(argv=None):
         params = model.init(init_rngs, jnp.swapaxes(f0, 1, 2)[:, None])
     else:
         params = model.init(init_rngs, f0, l0)
+
+    if args.expand_from:
+        # lifelong growth: restore the previous-task CURL model and add one
+        # component (reference train_CURLclassifier* --expand_component,
+        # nnet_models.py expand_component :687-720 — functional here)
+        assert args.arch == "curl", "--expand_from requires --arch curl"
+        from speech_recognition_tools_tpu.cli.dump_outputs import (
+            load_model_from_checkpoint,
+        )
+        from speech_recognition_tools_tpu.models.curl import expand_component
+        from speech_recognition_tools_tpu.train import load_checkpoint
+
+        import argparse as _ap
+
+        old_model, old_path, old_cfg = load_model_from_checkpoint(args.expand_from)
+        old_args = _ap.Namespace(**{k: old_cfg.get(k) for k in old_cfg})
+        old_model = build_model(old_args, old_cfg["feature_dim"],
+                                old_cfg.get("num_classes"))
+        old_template = old_model.init(init_rngs, f0, l0)
+        old_payload, _ = load_checkpoint(old_path, template={"params": old_template})
+        model, params = expand_component(
+            old_model, old_payload["params"], jax.random.key(args.seed + 7),
+            (f0, l0),
+        )
+        args.comp_num = model.comp_num
+        print(f"expanded CURL model to {model.comp_num} components")
 
     trainer = Trainer(
         make_loss(args, model),

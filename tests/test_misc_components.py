@@ -198,3 +198,32 @@ def test_vae_generate():
                      "sample": jax.random.key(1)}, x, lengths)
     gen = vae_generate(m, params, jax.random.key(2), size=16)
     assert gen.shape == (1, 16, 6)
+
+
+def test_train_am_expand_component_lifelong(tmp_path):
+    """Lifelong flow: train 2-component CURL on task A, grow to 3 with
+    --expand_from, train on task B; grown config records comp_num=3."""
+    import json
+    import os
+
+    from speech_recognition_tools_tpu.cli import train_am
+    from speech_recognition_tools_tpu.io import build_egs
+
+    def make_egs(path, seed):
+        rs = np.random.RandomState(seed)
+        feats = {f"u{i}": rs.randn(16, 6).astype(np.float32) for i in range(4)}
+        labels = {k: rs.randint(0, 3, 16).astype(np.int32) for k in feats}
+        build_egs(iter(feats.items()), path, labels=labels, num_targets=3)
+
+    egs_a, egs_b = str(tmp_path / "a"), str(tmp_path / "b")
+    make_egs(egs_a, 0)
+    make_egs(egs_b, 1)
+    base = str(tmp_path / "curl_base")
+    common = ["--arch", "curl", "--num_layers", "1", "--num_layers_dec", "1",
+              "--hidden_dim", "8", "--bn_dim", "4", "--epochs", "1",
+              "--batch_size", "4"]
+    train_am.main([egs_a, base, "--comp_num", "2"] + common)
+    grown = str(tmp_path / "curl_grown")
+    train_am.main([egs_b, grown, "--expand_from", base] + common)
+    cfg = json.load(open(os.path.join(grown, "final", "config.json")))
+    assert cfg["comp_num"] == 3
