@@ -264,53 +264,102 @@ def beam_search(
     lm_apply=None,
     lm_weight: float = 1.0,
 ):
-    """Attention beam search with optional frame-synchronous CTC-logit
-    bonus and RNNLM shallow fusion (decode.yaml: beam 10, ctc-weight 0.3,
-    lm-weight 1.0). Host-loop over steps, batched over beams on device.
-
-    Returns list of token lists (one utterance at a time: feats (1, T, D)).
+    """Joint CTC/attention beam search with exact CTC prefix scoring
+    (Watanabe-style hybrid decoding, as in the ESPnet asr_recog the
+    reference invokes; decode.yaml: beam 10, ctc-weight 0.3, lm-weight 1.0)
+    and optional RNNLM shallow fusion. Host-loop over steps; every step's
+    attention, CTC-prefix and LM scoring is batched over (beams x vocab)
+    on device. Returns the best token list (feats: one utterance (1,T,D)).
     """
+    from speech_recognition_tools_tpu.decode.ctc_prefix import (
+        ctc_prefix_scores,
+        init_prefix_state,
+    )
+
     memory, enc_len, ctc_logits = model.apply(
         params, feats, lengths, method=TransformerASR.encode
     )
-    # expand to beams
     K = beam_size
     memory = jnp.repeat(memory, K, axis=0)
     enc_len_b = jnp.repeat(enc_len, K, axis=0)
     V = cfg.vocab_size
+    T2 = ctc_logits.shape[1]
+    ctc_logp = jax.nn.log_softmax(ctc_logits[0], -1)  # (T2, V)
+
     tokens = jnp.full((K, max_len + 1), -1, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.sos_id)
+    att_cum = jnp.full((K,), -jnp.inf).at[0].set(0.0)
+    lm_cum = jnp.zeros((K,))
     scores = jnp.full((K,), -jnp.inf).at[0].set(0.0)
     finished = jnp.zeros((K,), bool)
-    # cheap CTC prior: per-label max logit bonus (full prefix scoring is the
-    # round-2 upgrade; this biases the search like a unigram CTC posterior)
-    ctc_post = jax.nn.log_softmax(ctc_logits[0, : int(enc_len[0])], -1)
-    ctc_bonus = jnp.max(ctc_post, axis=0)
+    last_tokens = jnp.full((K,), -1, jnp.int32)
+    prefix_lens = jnp.zeros((K,), jnp.int32)
+    r_state = init_prefix_state(ctc_logp, enc_len[0], K, cfg.blank_id)
 
-    hyps = []
     for step in range(max_len):
         dec_logits = model.apply(
             params, tokens[:, : step + 1], memory, enc_len_b,
             method=TransformerASR.decode_step,
         )
-        logp = jax.nn.log_softmax(dec_logits[:, step], axis=-1)  # (K, V)
-        logp = logp + ctc_weight * ctc_bonus[None, :] + penalty
+        att_logp = jax.nn.log_softmax(dec_logits[:, step], axis=-1)  # (K,V)
+        new_att = att_cum[:, None] + att_logp
+        new_lm = lm_cum[:, None]
         if lm_apply is not None:
-            logp = logp + lm_weight * lm_apply(tokens[:, : step + 1])
-        # finished beams only extend with eos at no cost
-        logp = jnp.where(
-            finished[:, None],
-            jnp.full_like(logp, -jnp.inf).at[:, cfg.eos_id].set(0.0),
-            logp,
+            new_lm = new_lm + lm_apply(tokens[:, : step + 1])
+
+        if ctc_weight > 0:
+            psi, full, r_new = ctc_prefix_scores(
+                ctc_logp, enc_len[0], None, prefix_lens, last_tokens,
+                r_state, cfg.blank_id,
+            )
+            # eos ends the hypothesis: its CTC score is the full-sequence
+            # probability of the *current* prefix
+            last_f = jnp.clip(enc_len[0] - 1, 0, T2 - 1)
+            cur_full = jnp.logaddexp(
+                r_state[:, last_f, 0], r_state[:, last_f, 1]
+            )
+            ctc_part = psi.at[:, cfg.eos_id].set(cur_full)
+            ctc_part = ctc_part.at[:, cfg.blank_id].set(-jnp.inf)
+        else:
+            ctc_part = jnp.zeros((K, V))
+
+        total = (
+            (1.0 - ctc_weight) * new_att
+            + ctc_weight * ctc_part
+            + lm_weight * new_lm
+            + penalty * (step + 1)
         )
-        total = scores[:, None] + logp  # (K, V)
-        flat = total.reshape(-1)
-        top_scores, top_idx = jax.lax.top_k(flat, K)
+        # finished beams only re-emit eos, keeping their score
+        total = jnp.where(
+            finished[:, None],
+            jnp.full_like(total, -jnp.inf).at[:, cfg.eos_id].set(0.0)
+            + jnp.where(finished, scores, 0.0)[:, None],
+            total,
+        )
+        top_scores, top_idx = jax.lax.top_k(total.reshape(-1), K)
         beam_idx = top_idx // V
         tok_idx = (top_idx % V).astype(jnp.int32)
         tokens = tokens[beam_idx].at[:, step + 1].set(tok_idx)
+        att_cum = new_att.reshape(-1)[top_idx]
+        lm_cum = new_lm.reshape(-1)[top_idx] if lm_apply is not None else lm_cum[beam_idx]
         scores = top_scores
-        finished = finished[beam_idx] | (tok_idx == cfg.eos_id)
+        was_finished = finished[beam_idx]
+        if ctc_weight > 0:
+            r_picked = r_new[beam_idx, tok_idx]  # (K, T2, 2)
+            r_state = jnp.where(
+                (was_finished | (tok_idx == cfg.eos_id))[:, None, None],
+                r_state[beam_idx], r_picked,
+            )
+        last_new = jnp.where(
+            was_finished | (tok_idx == cfg.eos_id),
+            last_tokens[beam_idx], tok_idx,
+        )
+        prefix_lens = jnp.where(
+            was_finished | (tok_idx == cfg.eos_id),
+            prefix_lens[beam_idx], prefix_lens[beam_idx] + 1,
+        )
+        last_tokens = last_new
+        finished = was_finished | (tok_idx == cfg.eos_id)
         if bool(jnp.all(finished)):
             break
     best = int(jnp.argmax(scores))
