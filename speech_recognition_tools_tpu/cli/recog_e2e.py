@@ -23,6 +23,9 @@ def get_parser():
     p.add_argument("--max_len", type=int, default=200)
     p.add_argument("--ref_text", help="reference text for WER")
     p.add_argument("--ckpt", default="final_avg")
+    p.add_argument("--jit_decode", action="store_true",
+                   help="use the fully-jitted lax.scan beam search (one "
+                        "compiled program per shape bucket; for serving)")
     return p
 
 
@@ -86,6 +89,18 @@ def main(argv=None):
                 [(m, p) for m, p, _, _ in loaded], pm, feats, lengths, cfg,
                 beam_size=args.beam_size, max_len=args.max_len,
             )
+        elif args.jit_decode:
+            from speech_recognition_tools_tpu.decode.beam_jit import (
+                beam_search_jit,
+                tokens_to_list,
+            )
+
+            toks, scores = beam_search_jit(
+                model, params, feats, lengths,
+                beam_size=args.beam_size, max_len=args.max_len,
+                ctc_weight=args.ctc_weight, penalty=args.penalty,
+            )
+            seq = tokens_to_list(toks, scores, cfg.eos_id)
         else:
             seq = beam_search(
                 model, params, feats, lengths, cfg,

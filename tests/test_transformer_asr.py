@@ -152,3 +152,24 @@ class TestRNNLM:
         assert np.isfinite(float(loss))
         g = jax.grad(lambda p: lm_loss(lm, p, toks, lens))(params)
         assert any(np.any(np.asarray(l) != 0) for l in jax.tree.leaves(g))
+
+
+class TestJittedBeam:
+    def test_matches_host_loop(self, model_and_params):
+        from speech_recognition_tools_tpu.decode.beam_jit import (
+            beam_search_jit,
+            tokens_to_list,
+        )
+
+        model, params = model_and_params
+        b = _batch()
+        host_seq = beam_search(
+            model, params, b["feats"][:1], b["lengths"][:1], CFG,
+            beam_size=4, max_len=8,
+        )
+        toks, scores = beam_search_jit(
+            model, params, b["feats"][:1], b["lengths"][:1],
+            beam_size=4, max_len=8,
+        )
+        jit_seq = tokens_to_list(toks, scores, CFG.eos_id)
+        assert jit_seq == host_seq, (jit_seq, host_seq)
