@@ -283,3 +283,104 @@ class TestMaskModel:
         ibm_x = jnp.asarray(RS.rand(2, 12, 64) > 0.5, jnp.float32)
         loss = mask_estimator_loss(sm, nm, ibm_x, 1 - ibm_x, lengths)
         assert np.isfinite(float(loss))
+
+
+class TestMaskNetPipeline:
+    def test_train_masknet_then_gev(self):
+        """nn-gev pipeline equivalent (train.py + beamform.py): train the
+        BLSTM mask estimator on IBMs from synthetic speech+noise, estimate
+        masks on a held-out mixture, GEV-beamform with them, and check the
+        beamformed SNR beats the best input channel."""
+        import jax
+        import optax
+
+        from speech_recognition_tools_tpu.enhance import mask_estimator_loss
+        from speech_recognition_tools_tpu.enhance.mask_model import (
+            BLSTMMaskEstimator,
+        )
+
+        bins, T, D = 33, 60, 4
+        rs = np.random.RandomState(6)
+
+        def make_example(seed):
+            r = np.random.RandomState(seed)
+            # learnable structure: loud low-bin speech, active in bursts;
+            # weak broadband noise
+            env = (r.rand(T, 1) > 0.4).astype(float)
+            X = (
+                4.0
+                * env
+                * (r.randn(T, bins) + 1j * r.randn(T, bins))
+                * np.exp(-np.arange(bins) / 5.0)
+            )
+            N = 0.3 * (r.randn(T, bins) + 1j * r.randn(T, bins))
+            return X, N
+
+        model = BLSTMMaskEstimator(bins=bins, hidden=16)
+        X0, N0 = make_example(0)
+        y0 = jnp.asarray(np.abs(X0 + N0)[None], jnp.float32)
+        lengths = jnp.asarray([T])
+        params = model.init({"params": jax.random.key(0)}, y0, lengths)
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, y, ibm_x, ibm_n):
+            def loss_fn(p):
+                sm, nm = model.apply(p, y, lengths)
+                return mask_estimator_loss(sm, nm, ibm_x, ibm_n, lengths)
+
+            l, g = jax.value_and_grad(loss_fn)(params)
+            u, opt = tx.update(g, opt)
+            return optax.apply_updates(params, u), opt, l
+
+        losses = []
+        for ep in range(30):
+            X, N = make_example(ep % 5)
+            # simple power-ratio IBM (estimate_ibm's voiced/unvoiced split
+            # is hardcoded for 513-bin spectra, like the reference)
+            ibm_x = np.abs(X) ** 2 > np.abs(N) ** 2
+            ibm_n = ~ibm_x
+            y = jnp.asarray(np.abs(X + N)[None], jnp.float32)
+            params, opt, l = step(
+                params, opt, y,
+                jnp.asarray(ibm_x[None], jnp.float32),
+                jnp.asarray(ibm_n[None], jnp.float32),
+            )
+            losses.append(float(l))
+        assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+        # held-out multichannel mixture -> masks -> GEV
+        r = np.random.RandomState(99)
+        env = (r.rand(T, 1) > 0.4).astype(float)
+        S = (
+            4.0 * env * (r.randn(T, bins) + 1j * r.randn(T, bins))
+            * np.exp(-np.arange(bins) / 5.0)
+        )
+        steer = r.randn(bins, D) + 1j * r.randn(bins, D)
+        noise = 0.3 * (r.randn(bins, D, T) + 1j * r.randn(bins, D, T))
+        mix = steer[:, :, None] * S.T[:, None, :] + noise  # (bins, D, T)
+        y = jnp.asarray(np.abs(mix.mean(axis=1)).T[None], jnp.float32)
+        sm, nm = model.apply(params, y, lengths)
+        speech_mask = np.asarray(sm[0]).T  # (bins, T)
+        noise_mask = np.asarray(nm[0]).T
+
+        from speech_recognition_tools_tpu.enhance.beamforming import (
+            apply_beamforming_vector,
+            blind_analytic_normalization,
+            gev_vector,
+            power_spectral_density_matrix,
+        )
+
+        phi_x = power_spectral_density_matrix(mix, speech_mask)
+        phi_n = power_spectral_density_matrix(mix, noise_mask)
+        w = blind_analytic_normalization(gev_vector(phi_x, phi_n), phi_n)
+        clean_part = steer[:, :, None] * S.T[:, None, :]
+        out_c = apply_beamforming_vector(w, clean_part)
+        out_n = apply_beamforming_vector(w, noise)
+        snr_out = np.sum(np.abs(out_c) ** 2) / np.sum(np.abs(out_n) ** 2)
+        snr_in = max(
+            np.sum(np.abs(clean_part[:, d]) ** 2) / np.sum(np.abs(noise[:, d]) ** 2)
+            for d in range(D)
+        )
+        assert snr_out > snr_in, (snr_in, snr_out)
