@@ -28,6 +28,8 @@ ARCHS = {
     "multitask_aear": "AEClassifierMultitaskAEAR",
     "vae_cnn": "VAECNNNopool",
     "rs_vae": "VaeRsModulation",
+    "modnet": "ModulationNet",
+    "modnet_sigmoid": "ModulationSigmoidNet",
 }
 
 
@@ -62,6 +64,12 @@ def get_parser():
                    help="(arch=curl) checkpoint dir of a trained CURL model "
                         "to grow by one component before training — the "
                         "reference's --expand_component lifelong flow")
+    p.add_argument("--patch_width", type=int, default=21,
+                   help="(modnet archs) frames per input patch")
+    p.add_argument("--freq_num", type=int, default=10,
+                   help="(modnet archs) candidate modulation frequencies")
+    p.add_argument("--head_num", type=int, default=4,
+                   help="(modnet) gumbel frequency-pick heads")
     return p
 
 
@@ -158,7 +166,44 @@ def build_model(args, feat_dim, num_classes):
             in_channels=(1, ch), out_channels=(ch, 2 * ch), kernel=(3, 3),
             bn_size=args.bn_dim,
         )
+    if args.arch == "modnet":
+        return M.ModulationNet(
+            input_h=feat_dim, in_channels=(1,), out_channels=(4,), kernel=3,
+            freq_num=args.freq_num, wind_size=args.patch_width / 100.0,
+            head_num=args.head_num, num_layers_dec=args.num_layers_dec,
+            hidden_size=args.hidden_dim, out_size=num_classes,
+        )
+    if args.arch == "modnet_sigmoid":
+        return M.ModulationSigmoidNet(
+            in_channels=(1,), out_channels=(4,), kernel=3,
+            input_filter_kernel=5, freq_num=args.freq_num,
+            wind_size=args.patch_width / 100.0,
+            num_layers_dec=args.num_layers_dec, hidden_size=args.hidden_dim,
+            out_size=num_classes,
+        )
     raise ValueError(args.arch)
+
+
+def _extract_patches(feats, labels, lengths, width):
+    """Center-frame patches for modnet training (the reference trains
+    modnets on (B, 1, D, W) frame-context patches): every valid frame with
+    full context becomes one patch labelled by its center frame."""
+    import jax.numpy as jnp
+
+    B, T, D = feats.shape
+    half = width // 2
+    starts = jnp.arange(T - width + 1)
+    # (B, P, W, D) -> (B*P, 1, D, W)
+    idx = starts[:, None] + jnp.arange(width)[None, :]
+    patches = feats[:, idx]  # (B, P, W, D)
+    patches = jnp.swapaxes(patches, 2, 3)[:, :, None]  # (B, P, 1, D, W)
+    centers = starts + half
+    lab = labels[:, centers] if labels is not None else None
+    valid = centers[None, :] < jnp.maximum(lengths[:, None] - half, 0)
+    P = patches.shape[1]
+    patches = patches.reshape(B * P, 1, D, width)
+    lab = lab.reshape(B * P) if lab is not None else None
+    return patches, lab, valid.reshape(B * P)
 
 
 def make_loss(args, model):
@@ -281,6 +326,22 @@ def make_loss(args, model):
             mse = masked_mse(recon, feats, lengths)
             mse_ar = masked_mse(recon_ar, feats[:, ts:], lengths - ts)
             return ce + mse + mse_ar, {"ce": ce}
+        if args.arch in ("modnet", "modnet_sigmoid"):
+            import optax
+
+            patches, lab, valid = _extract_patches(
+                feats, batch["labels"], lengths, args.patch_width
+            )
+            if args.arch == "modnet":
+                logits, _ = model.apply(params, patches, rngs=rngs)
+            else:
+                logits, _ = model.apply(params, patches)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, lab)
+            w = valid.astype(ce.dtype)
+            loss = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+            wrong = (jnp.argmax(logits, -1) != lab) & valid
+            fer = 100.0 * jnp.sum(wrong) / jnp.maximum(jnp.sum(valid), 1)
+            return loss, {"fer": fer}
         if args.arch in ("vae_cnn", "rs_vae"):
             x = jnp.swapaxes(feats, 1, 2)[:, None]  # (B, 1, D, T)
             recon, latent = model.apply(params, x, rngs=rngs)
@@ -353,6 +414,14 @@ def main(argv=None):
         params = model.init(init_rngs, streams, l0)
     elif args.arch in ("vae_cnn", "rs_vae"):
         params = model.init(init_rngs, jnp.swapaxes(f0, 1, 2)[:, None])
+    elif args.arch in ("modnet", "modnet_sigmoid"):
+        p0, _, _ = _extract_patches(
+            f0, jnp.asarray(first.get("labels")), l0, args.patch_width
+        )
+        if args.arch == "modnet":
+            params = model.init(init_rngs, p0[:2])
+        else:
+            params = model.init(init_rngs, p0[:2])
     else:
         params = model.init(init_rngs, f0, l0)
 

@@ -227,3 +227,22 @@ def test_train_am_expand_component_lifelong(tmp_path):
     train_am.main([egs_b, grown, "--expand_from", base] + common)
     cfg = json.load(open(os.path.join(grown, "final", "config.json")))
     assert cfg["comp_num"] == 3
+
+
+@pytest.mark.parametrize("arch", ["modnet", "modnet_sigmoid"])
+def test_train_am_modnet(tmp_path, arch):
+    from speech_recognition_tools_tpu.cli import train_am
+    from speech_recognition_tools_tpu.io import build_egs
+
+    feats = {f"u{i}": RS.randn(40, 8).astype(np.float32) for i in range(3)}
+    labels = {k: RS.randint(0, 3, 40).astype(np.int32) for k in feats}
+    egs = str(tmp_path / "egs")
+    build_egs(iter(feats.items()), egs, labels=labels, num_targets=3)
+    out = str(tmp_path / arch)
+    train_am.main(
+        [egs, out, "--arch", arch, "--hidden_dim", "16", "--epochs", "1",
+         "--batch_size", "3", "--patch_width", "11", "--freq_num", "4",
+         "--head_num", "2", "--num_layers_dec", "2"]
+    )
+    import os
+    assert os.path.exists(os.path.join(out, "final", "state.msgpack"))
