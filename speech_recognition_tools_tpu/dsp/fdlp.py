@@ -19,8 +19,10 @@ getFeats, :29-237):
 TPU-first structure: the whole batch of utterances runs as one jitted
 program; the per-(frame x band) LPC problems are flattened into a single
 wide problem axis so the sequential order/cepstrum scans are elementwise
-over thousands of lanes; band blocks are processed under lax.map to bound
-the FFT/einsum workspace.
+over thousands of lanes. The banded autocorrelation factors the per-band
+masked lag products into signal lag products (shared across bands) times
+host-derivable filterbank lag products, contracted on the MXU — one
+einsum per lag block instead of per-band shifted stacks (ops/autocorr).
 
 Precision modes: the Levinson recursion amplifies autocorrelation rounding
 by up to ~1e6 on narrowband mel channels, so plain float32 deviates from
@@ -36,7 +38,7 @@ the float64 CPU reference by up to ~1e-1 on low-energy cells.
 """
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -44,8 +46,8 @@ import numpy as np
 
 from speech_recognition_tools_tpu.dsp.filterbanks import parse_fbank_type
 from speech_recognition_tools_tpu.ops.autocorr import (
-    circular_autocorr_direct,
-    circular_autocorr_f64,
+    banded_autocorr,
+    banded_supports_separable,
 )
 from speech_recognition_tools_tpu.ops.cepstrum import lpc_to_cepstrum
 from speech_recognition_tools_tpu.ops.dct import dct2
@@ -88,6 +90,7 @@ class FdlpConfig:
         return 1.0 / (self.overlap_used * self.fduration)
 
 
+@lru_cache(maxsize=32)
 def _host_constants(cfg: FdlpConfig):
     """All data-independent constants, in float64 on the host."""
     fp = frame_params(cfg.srate, cfg.lfr, cfg.fduration)
@@ -148,33 +151,32 @@ def _host_constants(cfg: FdlpConfig):
     )
 
 
-def _band_cepstra(cos_dct, fbank_blocks, order, coeff_num, high_precision):
+def _band_cepstra(cos_dct, fbank, order, coeff_num):
     """Per-band LPC cepstra for all (utt x frame) problems.
 
-    cos_dct: (P, ndct); fbank_blocks: (nblocks, nbc, ndct).
-    Returns (P, nblocks*nbc, coeff_num) in cos_dct's dtype (fast mode) or
-    the LPC chain's f64 cast back to float32-compatible dtype by the caller.
+    cos_dct: (P, ndct); fbank: (nb, ndct) in the work dtype.
+    Returns (P, nb, coeff_num). The banded autocorrelation shares the
+    signal lag products across all bands (one MXU einsum per lag block;
+    see ops/autocorr.banded_autocorr), then Levinson + cepstrum scan over
+    P*nb flattened lanes.
     """
-
-    def block(fb):
-        z = cos_dct[:, None, :] * fb[None, :, :]  # (P, nbc, ndct)
-        if high_precision:
-            r = circular_autocorr_f64(z, order + 2)
-        else:
-            r = circular_autocorr_direct(z, order + 2)
-        xlpc, gg = lpc_from_autocorr(r, order)
-        return lpc_to_cepstrum(xlpc, gg, coeff_num)  # (P, nbc, C)
-
-    ceps = jax.lax.map(block, fbank_blocks)  # (nblocks, P, nbc, C)
-    nblocks, P, nbc, C = ceps.shape
-    return jnp.moveaxis(ceps, 0, 1).reshape(P, nblocks * nbc, C)
+    r = banded_autocorr(cos_dct, fbank, order + 2)  # (P, nb, order+2)
+    xlpc, gg = lpc_from_autocorr(r, order)
+    return lpc_to_cepstrum(xlpc, gg, coeff_num)  # (P, nb, C)
 
 
 @partial(
     jax.jit,
     static_argnames=("cfg", "max_samples"),
 )
-def _fdlp_impl(signals, num_samples, cfg: FdlpConfig, max_samples: int, jitter):
+def _fdlp_impl(
+    signals, num_samples, fbank_arr, cfg: FdlpConfig, max_samples: int, jitter
+):
+    # fbank_arr is passed as a TRACED argument (not a closure constant) so
+    # XLA cannot constant-fold the per-lag filterbank products in
+    # banded_autocorr into the executable — folding them materialises an
+    # (nb, order, ndct) literal that blows past protobuf limits at the
+    # production config (80 bands, order 150, 1.5 s windows).
     c = _host_constants(cfg)
     fp = c["fp"]
     dtype = signals.dtype
@@ -196,19 +198,10 @@ def _fdlp_impl(signals, num_samples, cfg: FdlpConfig, max_samples: int, jitter):
     cos_dct = dct2(frames, dtype=work_dtype) * scale
     cos_dct = cos_dct.reshape(B * max_frames, -1)
 
-    # band-blocked fbank, padded with ones to a multiple of the block size.
-    # The direct-lag autocorrelation materialises (P, nbc, lag_block, N)
-    # shifted stacks, so the band block stays small to bound HBM.
-    fbank = np.asarray(c["fbank"])
-    nb = fbank.shape[0]
-    nbc = min(max(1, cfg.band_block // 4), nb)
-    pad = (-nb) % nbc
-    if pad:
-        fbank = np.concatenate([fbank, np.ones((pad, fbank.shape[1]))], axis=0)
-    fbank_blocks = jnp.asarray(fbank.reshape(-1, nbc, fbank.shape[1]), work_dtype)
-
-    ceps = _band_cepstra(cos_dct, fbank_blocks, cfg.order, cfg.coeff_num, high)
-    ceps = ceps[:, :nb, :]  # drop pad bands
+    nb = c["fbank"].shape[0]
+    ceps = _band_cepstra(
+        cos_dct, fbank_arr.astype(work_dtype), cfg.order, cfg.coeff_num
+    )
 
     # Envelope projection: the dot result *is* the log-envelope, so MXU
     # f32-HIGHEST (bf16 6-pass, ~1e-6 rel) would inject ~1e-4 absolute error
@@ -287,4 +280,16 @@ def fdlp_spectrogram_batch(
         jitter = jax.random.bernoulli(
             jitter_key, 0.5, (signals.shape[0], max_frames)
         ).astype(jnp.int32)
-    return _fdlp_impl(signals, num_samples, cfg, max_samples, jitter)
+    # banded autocorrelation is exact for the circular reference form only
+    # when no band's support wraps the spectrum ends (true for every
+    # mel/cochlear bank the reference builds) — asserted host-side.
+    fbank = np.asarray(_host_constants(cfg)["fbank"])
+    assert banded_supports_separable(fbank, cfg.order + 2), (
+        "a filterbank band wraps the spectrum ends; banded_autocorr "
+        "would drop its circular wrap terms"
+    )
+    fb_dtype = jnp.float64 if cfg.precision == "high" else signals.dtype
+    return _fdlp_impl(
+        signals, num_samples, jnp.asarray(fbank, fb_dtype), cfg,
+        max_samples, jitter,
+    )

@@ -5,11 +5,12 @@ import json
 
 
 def build_char_vocab(texts):
-    """Char vocabulary: id 0 = <blank> (CTC), 1 = <unk>, then sorted chars,
-    last id = <sos/eos> (matches TransformerASRConfig conventions)."""
-    chars = sorted({c for t in texts for c in t.replace(" ", "<space>")})
-    chars = sorted({c for t in texts for c in t} | {" "})
-    vocab = {"<blank>": 0, "<unk>": 1}
+    """Char vocabulary: id 0 = <blank> (CTC), 1 = <unk>, then the ESPnet
+    <space> token, then sorted non-space chars, last id = <sos/eos>
+    (matches TransformerASRConfig conventions and the reference's
+    data2json char-dict, which spells spaces as <space>)."""
+    chars = sorted({c for t in texts for c in t if c != " "})
+    vocab = {"<blank>": 0, "<unk>": 1, "<space>": 2}
     for c in chars:
         vocab[c] = len(vocab)
     vocab["<sos/eos>"] = len(vocab)
@@ -18,7 +19,8 @@ def build_char_vocab(texts):
 
 def encode_text(text, vocab):
     unk = vocab["<unk>"]
-    return [vocab.get(c, unk) for c in text]
+    space = vocab.get("<space>", vocab.get(" ", unk))
+    return [space if c == " " else vocab.get(c, unk) for c in text]
 
 
 def decode_tokens(tokens, vocab):
@@ -28,6 +30,8 @@ def decode_tokens(tokens, vocab):
         s = inv.get(int(t), "")
         if s in ("<blank>", "<sos/eos>", "<unk>"):
             continue
+        if s == "<space>":
+            s = " "
         out.append(s)
     return "".join(out)
 

@@ -120,3 +120,78 @@ def circular_autocorr_direct(
 def circular_autocorr_f64(x: jax.Array, nlags: int, lag_block: int = 16) -> jax.Array:
     """Float64 direct-lag circular autocorrelation (high-precision path)."""
     return circular_autocorr_direct(x.astype(jnp.float64), nlags, lag_block)
+
+
+def banded_supports_separable(fbank, nlags: int) -> bool:
+    """True when no band's support touches both ends of the spectrum, i.e.
+    the circular wrap-around terms of every band's autocorrelation are
+    exactly zero and `banded_autocorr` equals the reference's circular
+    autocorrelation of the masked signal. Host-side check on the numpy
+    filterbank."""
+    import numpy as np
+
+    fb = np.asarray(fbank)
+    n = fb.shape[-1]
+    for row in fb:
+        nz = np.nonzero(row)[0]
+        if nz.size and nz[0] < nlags and nz[-1] >= n - nlags + 1:
+            return False
+    return True
+
+
+def banded_autocorr(
+    x: jax.Array, fbank: jax.Array, nlags: int, lag_block: int = 8
+) -> jax.Array:
+    """Autocorrelation of x masked by every filterbank band, all bands at
+    once: y[p, b, k] = sum_n (fb[b,n] x[p,n]) (fb[b,n+k] x[p,n+k]).
+
+    TPU-first key identity: the per-band masked products factor as
+        z_b[n] z_b[n+k] = (x[n] x[n+k]) * (fb[b,n] fb[b,n+k]),
+    so the signal lag products u_k = x * shift_k(x) are computed ONCE and
+    shared across all bands, and the contraction over n is a single MXU
+    einsum per lag block — (P, N) @ (N, nb) — instead of materialising a
+    per-band (P, nb, K, N) shifted stack (the round-1 fast path, which was
+    HBM-bound; see VERDICT.md "fast/high inversion"). HBM traffic drops by
+    ~nb/2 and the work rides the MXU.
+
+    Validity: exact (not approximate) w.r.t. the reference's *circular*
+    autocorrelation (features.py:222-224) whenever no band's support wraps
+    the spectrum ends — check with `banded_supports_separable`; true for
+    every mel/cochlear bank the reference constructs.
+
+    Args:
+      x: (..., N) real signals (float32 or float64).
+      fbank: (nb, N) filterbank rows (same dtype).
+      nlags: number of lags (order + 2 upstream).
+      lag_block: lags per einsum block (memory knob; u block is
+        (..., lag_block, N)).
+
+    Returns: (..., nb, nlags).
+    """
+    n = x.shape[-1]
+    batch = x.shape[:-1]
+    nb = fbank.shape[0]
+    zpad_x = jnp.zeros(batch + (nlags,), x.dtype)
+    zpad_f = jnp.zeros((nb, nlags), fbank.dtype)
+    xp = jnp.concatenate([x, zpad_x], axis=-1)  # (..., N + K)
+    fp = jnp.concatenate([fbank, zpad_f], axis=-1)
+    blocks = []
+    for k0 in range(0, nlags, lag_block):
+        ks = list(range(k0, min(k0 + lag_block, nlags)))
+        u = jnp.stack(
+            [x * jax.lax.slice_in_dim(xp, k, k + n, axis=-1) for k in ks],
+            axis=-2,
+        )  # (..., kb, N)
+        w = jnp.stack(
+            [fbank * jax.lax.slice_in_dim(fp, k, k + n, axis=-1) for k in ks],
+            axis=-2,
+        )  # (nb, kb, N)
+        blocks.append(
+            jnp.einsum(
+                "...kn,bkn->...bk",
+                u,
+                w,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+    return jnp.concatenate(blocks, axis=-1)

@@ -64,6 +64,78 @@ class TestPesq:
         assert pesq(x, x, 8000.0) > 4.0
 
 
+# Golden MOS of the compiled ITU-T P.862 v1.2 reference binary
+# (cc -O2 -fcommon e2e/reverb/local/PESQ_sources/P862/Software/source/*.c)
+# on the P.862 conformance wav pairs shipped with the reference mount.
+CONFORM_DIR = (
+    "/root/reference/e2e/reverb/local/PESQ_sources/P862/Software/Conform"
+)
+ITU_GOLDEN_8K = {
+    "105": 2.237, "109": 3.180, "114": 2.147, "129": 2.680, "134": 2.365,
+    "137": 3.670, "145": 3.016, "149": 2.558, "152": 2.768, "154": 2.694,
+    "155": 2.606, "161": 2.608, "164": 2.850, "166": 2.527, "170": 2.452,
+    "179": 1.828, "221": 2.774, "229": 2.940, "246": 2.205, "272": 3.288,
+}
+# same bytes interpreted at 16 kHz by the ITU binary (+16000): exercises
+# the wideband constant set end-to-end
+ITU_GOLDEN_16K = {"105": 1.956, "137": 3.213, "179": 1.491, "229": 2.751}
+
+MOS_TOL = 0.1  # conformance budget; measured max |delta| is 0.055
+
+
+def _conform_pair(n):
+    from scipy.io.wavfile import read
+
+    _, ref = read(f"{CONFORM_DIR}/or{n}.wav")
+    _, deg = read(f"{CONFORM_DIR}/dg{n}.wav")
+    return ref.astype(np.float64), deg.astype(np.float64)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(CONFORM_DIR),
+    reason="reference conformance wavs not mounted",
+)
+class TestPesqConformance:
+    """Golden agreement with the compiled ITU P.862 implementation."""
+
+    def test_itu_golden_8k(self, lib):
+        errs = {}
+        for n, golden in ITU_GOLDEN_8K.items():
+            ref, deg = _conform_pair(n)
+            errs[n] = abs(pesq(ref, deg, 8000.0) - golden)
+        assert max(errs.values()) <= MOS_TOL, errs
+
+    def test_itu_golden_16k(self, lib):
+        for n, golden in ITU_GOLDEN_16K.items():
+            ref, deg = _conform_pair(n)
+            assert abs(pesq(ref, deg, 16000.0) - golden) <= MOS_TOL
+
+    @pytest.mark.slow
+    def test_against_freshly_compiled_itu_binary(self, lib, tmp_path):
+        """Compile the ITU source from the mount and compare live (guards
+        against stale goldens)."""
+        import glob
+        import subprocess
+
+        src = glob.glob(
+            "/root/reference/e2e/reverb/local/PESQ_sources/P862/Software/"
+            "source/*.c"
+        )
+        exe = str(tmp_path / "pesq_itu")
+        subprocess.run(
+            ["cc", "-O2", "-fcommon", "-o", exe] + src + ["-lm"], check=True
+        )
+        for n in ("105", "179"):
+            out = subprocess.run(
+                [exe, "+8000", f"{CONFORM_DIR}/or{n}.wav",
+                 f"{CONFORM_DIR}/dg{n}.wav"],
+                capture_output=True, text=True, cwd=tmp_path, check=True,
+            ).stdout
+            itu = float(out.rsplit("PESQ_MOS =", 1)[1].strip())
+            ref, deg = _conform_pair(n)
+            assert abs(pesq(ref, deg, 8000.0) - itu) <= MOS_TOL
+
+
 class TestNativeArk:
     def test_matches_python_reader(self, lib, tmp_path):
         feats = {
