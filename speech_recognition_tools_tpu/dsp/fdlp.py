@@ -226,13 +226,16 @@ def _fdlp_impl(
 
     if jitter is None:
         pos, valid = ola_positions(max_frames, c["hop"], c["kk"], c["kkb2"])
+        feats = overlap_add(
+            env, pos, valid, num_frames, out_len, max_out,
+            hop=c["hop"], kkb2=c["kkb2"],
+        )
     else:
         pos, valid = jax.vmap(
             lambda j: ola_positions(max_frames, c["hop"], c["kk"], c["kkb2"], j)
         )(jitter)
         valid = valid[0]
-
-    feats = overlap_add(env, pos, valid, num_frames, out_len, max_out)
+        feats = overlap_add(env, pos, valid, num_frames, out_len, max_out)
     # TPU's native f32 log has ~1e-4 absolute error; in high mode take the
     # final log in f64 (emulated, ~1e-14) and cast back.
     feats = jnp.clip(feats, min=jnp.asarray(1e-14, dtype))

@@ -11,10 +11,14 @@ Replicates the OLA pointer logic of the reference FDLP driver
   * contributions falling outside [0, T) are dropped (the reference clips
     the last two frames explicitly; middle frames never overflow).
 
-TPU-first design: instead of a scatter loop, the OLA is one matmul per
-utterance — envelope values (bands x frame*kk) times a one-hot placement
-matrix (frame*kk x T) built from broadcasted iotas. This is deterministic,
-fully batched, and rides the MXU.
+TPU-first design: the tap positions are uniform-stride —
+pos[i, k] = i*hop + k - kkb2 for every frame i (frame 0's offset -kkb2 is
+the same formula) — so jitter-free OLA is ceil(kk/hop) static shifted
+adds of hop-sized envelope chunks (pure VPU adds, bandwidth-optimal; the
+round-1 one-hot placement matmul was the pipeline's bottleneck at ~28 ms
+per batch on v5e). The jittered path (reference adds randrange(2) per
+step, making positions data-dependent) keeps the one-hot placement
+matmul.
 """
 
 import jax
@@ -66,6 +70,9 @@ def overlap_add(
     num_frames: jax.Array,
     out_len_valid: jax.Array,
     max_out_len: int,
+    *,
+    hop: int | None = None,
+    kkb2: int | None = None,
 ) -> jax.Array:
     """Place envelopes at their OLA positions and sum.
 
@@ -76,10 +83,18 @@ def overlap_add(
       num_frames: (B,) valid frames per utterance.
       out_len_valid: (B,) true output length T_b per utterance.
       max_out_len: static output bound T.
+      hop, kkb2: when given (jitter-free path), positions are known to be
+        the uniform stride pos[i, k] = i*hop + k - kkb2 and the fast
+        shifted-add kernel is used; otherwise the one-hot placement
+        matmul handles arbitrary (jittered) positions.
 
     Returns: (B, NB, T) accumulated envelopes (zero beyond T_b).
     """
     B, F, NB, kk = env.shape
+    if hop is not None:
+        return _overlap_add_strided(
+            env, valid, num_frames, out_len_valid, max_out_len, hop, kkb2
+        )
     if pos.ndim == 2:
         pos = jnp.broadcast_to(pos[None], (B, F, kk))
 
@@ -106,3 +121,49 @@ def overlap_add(
         )
 
     return jax.vmap(one)(env, pos, mask)
+
+
+def _overlap_add_strided(
+    env, valid, num_frames, out_len_valid, max_out_len, hop, kkb2
+):
+    """Uniform-stride OLA: ceil(kk/hop) shifted adds of hop-sized chunks.
+
+    Tap (i, k) lands at t = i*hop + k - kkb2. Chunk j of frame i (taps
+    k in [j*hop, (j+1)*hop)) lands at shifted-output block (i + j); the
+    accumulated shifted output is then sliced at kkb2 (which also drops
+    the t < 0 taps) and masked beyond each utterance's true length (which
+    drops the t >= T_b taps, like the reference's end clipping).
+    """
+    B, F, NB, kk = env.shape
+    nchunks = -(-kk // hop)
+    mask = (
+        valid[None]
+        & (jnp.arange(F)[None, :, None] < num_frames[:, None, None])
+    )
+    env = jnp.where(mask[:, :, None, :], env, 0.0)
+    env = jnp.moveaxis(env, 2, 1)  # (B, NB, F, kk)
+    pad = nchunks * hop - kk
+    if pad:
+        env = jnp.pad(env, ((0, 0), (0, 0), (0, 0), (0, pad)))
+    chunks = env.reshape(B, NB, F, nchunks, hop)
+
+    total = (F + nchunks - 1) * hop
+    out = jnp.zeros((B, NB, F + nchunks - 1, hop), env.dtype)
+    for j in range(nchunks):
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out,
+            jax.lax.dynamic_slice_in_dim(out, j, F, axis=2)
+            + chunks[:, :, :, j, :],
+            j,
+            axis=2,
+        )
+    out = out.reshape(B, NB, total)
+
+    # slice [kkb2, kkb2 + T); pad right if the shifted buffer is short
+    if kkb2 + max_out_len > total:
+        out = jnp.pad(
+            out, ((0, 0), (0, 0), (0, kkb2 + max_out_len - total))
+        )
+    out = jax.lax.slice_in_dim(out, kkb2, kkb2 + max_out_len, axis=2)
+    tmask = jnp.arange(max_out_len)[None, :] < out_len_valid[:, None]
+    return out * tmask[:, None, :].astype(out.dtype)

@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 from scipy.io.wavfile import write as wav_write
 
 import oracles
@@ -32,6 +33,7 @@ def _make_wavs(tmp_path, n_utts=3, srate=16000):
 
 
 class TestFdlpCli:
+    @pytest.mark.slow
     def test_end_to_end_parity(self, tmp_path):
         scp, sigs = _make_wavs(tmp_path)
         out = str(tmp_path / "fdlp")

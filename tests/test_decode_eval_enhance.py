@@ -272,6 +272,7 @@ class TestWpe:
 
 
 class TestMaskModel:
+    @pytest.mark.slow
     def test_blstm_mask_estimator(self):
         m = BLSTMMaskEstimator(bins=64, hidden=16)
         y = jnp.asarray(RS.rand(2, 12, 64), jnp.float32)
@@ -286,6 +287,7 @@ class TestMaskModel:
 
 
 class TestMaskNetPipeline:
+    @pytest.mark.slow
     def test_train_masknet_then_gev(self):
         """nn-gev pipeline equivalent (train.py + beamform.py): train the
         BLSTM mask estimator on IBMs from synthetic speech+noise, estimate

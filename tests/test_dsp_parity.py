@@ -165,8 +165,8 @@ class TestFdlpSpectrogram:
         [
             dict(),  # defaults: 20 filters, 0.5 s, order 50
             dict(nfilters=8, fduration=0.5, order=30, coeff_num=30, coeff_range="1,15"),
-            dict(overlap_fraction=0.5),
-            dict(odd_mod_zero=True),
+            pytest.param(dict(overlap_fraction=0.5), marks=pytest.mark.slow),
+            pytest.param(dict(odd_mod_zero=True), marks=pytest.mark.slow),
         ],
     )
     def test_parity_single(self, kwargs):

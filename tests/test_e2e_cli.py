@@ -4,6 +4,7 @@ produces hypotheses (incl. cl two-model mode)."""
 import os
 
 import numpy as np
+import pytest
 
 from speech_recognition_tools_tpu.cli import recog_e2e, train_e2e
 from speech_recognition_tools_tpu.io import build_egs
@@ -23,6 +24,7 @@ def test_vocab_roundtrip():
     assert decode_tokens(ids, v) == "ab c"
 
 
+@pytest.mark.slow
 def test_train_and_recog(tmp_path):
     feats = {f"u{i}": RS.randn(40, 8).astype(np.float32) for i in range(4)}
     egs = str(tmp_path / "egs")

@@ -36,6 +36,7 @@ def _clean_env(n_visible_devices=1):
     return env
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_invocation():
     """Exactly what the driver runs: dryrun_multichip(8) with a 1-device
     backend. Must self-provision a virtual 8-device mesh and pass."""

@@ -1,3 +1,4 @@
+import pytest
 """Inference/PM/adaptation/lifelong tests, incl. numeric oracles for the
 fusion math and m-measure taken from the reference formulas."""
 
@@ -205,6 +206,7 @@ class TestAdaptation:
         )
         assert max(jax.tree.leaves(diff)) > 0
 
+    @pytest.mark.slow
     def test_adapt_variants_run(self):
         am = M.FeedforwardClassifier(num_layers=1, hidden_size=8, out_size=C)
         pm = M.AutoencoderRNN(num_layers_enc=1, num_layers_dec=1,

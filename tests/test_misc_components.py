@@ -112,8 +112,8 @@ class TestSemisupEgs:
     ("cldnn", ["--num_layers", "1", "--num_layers_dec", "1"]),
     ("multimod", ["--comp_num", "2", "--num_layers", "1",
                   "--num_layers_dec", "1"]),
-    ("arvae", ["--num_layers", "1", "--num_layers_dec", "1",
-               "--time_shift", "2"]),
+    pytest.param("arvae", ["--num_layers", "1", "--num_layers_dec", "1",
+               "--time_shift", "2"], marks=pytest.mark.slow),
     ("apc", ["--num_layers", "1", "--time_shift", "2"]),
 ])
 def test_train_am_archs(tmp_path, arch, extra):
@@ -134,9 +134,11 @@ def test_train_am_archs(tmp_path, arch, extra):
 
 
 @pytest.mark.parametrize("arch,extra", [
-    ("multitask_aear", ["--num_layers", "1", "--num_layers_dec", "1",
-                        "--bn_dim", "4", "--time_shift", "2"]),
-    ("vae_cnn", ["--bn_dim", "4", "--loss", "mse"]),
+    pytest.param("multitask_aear", ["--num_layers", "1",
+               "--num_layers_dec", "1", "--bn_dim", "4",
+               "--time_shift", "2"], marks=pytest.mark.slow),
+    pytest.param("vae_cnn", ["--bn_dim", "4", "--loss", "mse"],
+                 marks=pytest.mark.slow),
     ("rs_vae", ["--bn_dim", "4", "--loss", "mse"]),
 ])
 def test_train_am_conv_vae_archs(tmp_path, arch, extra):
@@ -156,6 +158,7 @@ def test_train_am_conv_vae_archs(tmp_path, arch, extra):
     assert os.path.exists(os.path.join(out, "final", "state.msgpack"))
 
 
+@pytest.mark.slow
 def test_dump_outputs_multimod_and_curl(tmp_path):
     from speech_recognition_tools_tpu.cli import dump_outputs, train_am
     from speech_recognition_tools_tpu.io import build_egs, read_mat_scp
@@ -200,6 +203,7 @@ def test_vae_generate():
     assert gen.shape == (1, 16, 6)
 
 
+@pytest.mark.slow
 def test_train_am_expand_component_lifelong(tmp_path):
     """Lifelong flow: train 2-component CURL on task A, grow to 3 with
     --expand_from, train on task B; grown config records comp_num=3."""

@@ -61,6 +61,7 @@ def pipeline(tmp_path_factory):
     return dict(root=root, egs=egs, feats=feats, labels=labels)
 
 
+@pytest.mark.slow
 def test_full_hybrid_pipeline(pipeline):
     root, egs = pipeline["root"], pipeline["egs"]
 
@@ -123,6 +124,7 @@ def test_full_hybrid_pipeline(pipeline):
     assert all(np.isfinite(v) for v in mm.values())
 
 
+@pytest.mark.slow
 def test_lifelong_decode_cli(pipeline):
     root, egs = pipeline["root"], pipeline["egs"]
     # two task classifiers + two VAEs

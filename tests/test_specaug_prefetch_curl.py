@@ -1,6 +1,7 @@
 """SpecAugment, async prefetch, CURL ELBO losses, curl_unsup training."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -87,6 +88,7 @@ class TestCurlLosses:
         unsup = curl_loss_unsupervised(x, recon, latent, mean_p, mask)
         assert np.isfinite(float(sup)) and np.isfinite(float(unsup))
 
+    @pytest.mark.slow
     def test_train_am_curl_unsup(self, tmp_path):
         from speech_recognition_tools_tpu.cli import train_am
         from speech_recognition_tools_tpu.io import build_egs

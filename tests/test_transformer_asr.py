@@ -54,6 +54,7 @@ def model_and_params():
 
 
 class TestTrain:
+    @pytest.mark.slow
     def test_loss_and_grads(self, model_and_params):
         model, params = model_and_params
         loss, aux = asr_loss(model, params, _batch(), jax.random.key(1), CFG)
@@ -99,6 +100,7 @@ class TestDecode:
         out = greedy_ctc(jnp.asarray(logits), np.asarray([5]))
         assert out == [[1, 2]]
 
+    @pytest.mark.slow
     def test_beam_search_runs(self, model_and_params):
         model, params = model_and_params
         b = _batch()
@@ -109,6 +111,7 @@ class TestDecode:
         assert isinstance(seq, list) and len(seq) <= 8
         assert all(0 <= t < CFG.vocab_size for t in seq)
 
+    @pytest.mark.slow
     def test_beam_search_with_lm(self, model_and_params):
         model, params = model_and_params
         lm = RNNLM(vocab_size=CFG.vocab_size, embed_dim=8, hidden=16)
@@ -123,6 +126,7 @@ class TestDecode:
         )
         assert isinstance(seq, list)
 
+    @pytest.mark.slow
     def test_cl_decode(self, model_and_params):
         model, params = model_and_params
         params2 = jax.tree.map(lambda x: x + 0.01, params)
@@ -155,6 +159,7 @@ class TestRNNLM:
 
 
 class TestJittedBeam:
+    @pytest.mark.slow
     def test_matches_host_loop(self, model_and_params):
         from speech_recognition_tools_tpu.decode.beam_jit import (
             beam_search_jit,
