@@ -22,6 +22,10 @@ def get_parser():
     p.add_argument("--layer", type=int, default=0,
                    help="0=logits, k>0 = k-th embedding layer from the end")
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--multi_egs_dirs",
+                   help="(multimod models) comma-separated extra egs dirs, "
+                        "one per additional stream (reference "
+                        "dump_multimod_outputs.py takes 3 scp files)")
     return p
 
 
@@ -40,14 +44,55 @@ def load_model_from_checkpoint(model_dir):
     return model, path, cfg
 
 
-def arch_init(model, cfg, rngs, feats, lengths):
+def load_frozen_encoder(base_model_dir, target_arch, rngs, feats, lengths,
+                        sample_seed=3):
+    """Latent-extraction closure over a frozen VAE/CURL checkpoint.
+
+    The reference freezes the generative model by excluding it from the
+    optimizer (train_VAE_encoded_nnet_classfier.py:147,
+    train_CURL_encoded_classifier.py); here the closure stop_gradients the
+    latents, so the same encode_fn serves training and dumping
+    (compute_vae_encoded_likelihood.py / compute_CURL_classifier_likelihood.py).
+    vae_encoded uses the encoder means (latent[0]); curl_encoded uses the
+    posterior-weighted mixture latent (compute_latent_features, nnet_models.py:739).
+    """
+    import jax
+
+    from speech_recognition_tools_tpu.models.curl import compute_latent_features
+    from speech_recognition_tools_tpu.train import load_checkpoint
+
+    base_model, base_path, base_cfg = load_model_from_checkpoint(base_model_dir)
+    template = arch_init(base_model, base_cfg, rngs, feats, lengths)
+    payload, _ = load_checkpoint(base_path, template={"params": template})
+    base_params = payload["params"]
+
+    def encode_fn(feats, lengths):
+        out = base_model.apply(
+            base_params, feats, lengths,
+            rngs={"sample": jax.random.key(sample_seed)},
+        )
+        latent = out[-1]
+        if target_arch == "vae_encoded":
+            z = latent[0]
+        else:
+            z = compute_latent_features(latent)
+        return jax.lax.stop_gradient(z)
+
+    return encode_fn
+
+
+def arch_init(model, cfg, rngs, feats, lengths, encode_fn=None):
     """Arch-aware shape-init for checkpoint templates."""
     import jax.numpy as jnp
 
     arch = cfg.get("arch")
     if arch == "feedforward":
         return model.init(rngs, feats)
+    if arch in ("vae_encoded", "curl_encoded"):
+        return model.init(rngs, encode_fn(feats, lengths), lengths)
     if arch == "multimod":
+        if isinstance(feats, (list, tuple)):
+            return model.init(rngs, list(feats), lengths)
         K = cfg.get("comp_num", 2)
         D = feats.shape[-1] // K
         streams = [feats[..., k * D : (k + 1) * D] for k in range(K)]
@@ -60,7 +105,7 @@ def arch_init(model, cfg, rngs, feats, lengths):
     return model.init(rngs, feats, lengths)
 
 
-def arch_forward(model, params, cfg, feats, lengths, rng=None):
+def arch_forward(model, params, cfg, feats, lengths, rng=None, encode_fn=None):
     """Arch-aware forward returning (logits_or_posteriors, embeds_list).
 
     Handles the reference's --ae_type style dispatch
@@ -78,7 +123,14 @@ def arch_forward(model, params, cfg, feats, lengths, rng=None):
     if arch == "feedforward":
         embeds, logits = model.apply(params, feats)
         return logits, embeds
+    if arch in ("vae_encoded", "curl_encoded"):
+        # the reference's --ae_type vaeenc path
+        # (compute_vae_encoded_likelihood.py): frozen encoder latents ->
+        # classifier logits
+        return model.apply(params, encode_fn(feats, lengths), lengths), []
     if arch == "multimod":
+        if isinstance(feats, (list, tuple)):
+            return model.apply(params, list(feats), lengths), []
         K = cfg.get("comp_num", 2)
         D = feats.shape[-1] // K
         streams = [feats[..., k * D : (k + 1) * D] for k in range(K)]
@@ -111,19 +163,37 @@ def main(argv=None):
     import numpy as np
 
     from speech_recognition_tools_tpu.infer import genclassifier_outputs
-    from speech_recognition_tools_tpu.io import iter_egs_batches, write_ark_scp
+    from speech_recognition_tools_tpu.io import (
+        iter_egs_batches,
+        iter_egs_batches_multi,
+        write_ark_scp,
+    )
 
     from speech_recognition_tools_tpu.train import load_checkpoint
 
     model, ckpt_path, cfg = load_model_from_checkpoint(args.model_dir)
 
+    if args.multi_egs_dirs:
+        dirs = [args.egs_dir] + args.multi_egs_dirs.split(",")
+        batch_iter = lambda: iter_egs_batches_multi(dirs, args.batch_size)
+    else:
+        batch_iter = lambda: iter_egs_batches(args.egs_dir, args.batch_size)
+
+    def _as_feats(batch):
+        if isinstance(batch["feats"], list):
+            return [jnp.asarray(s) for s in batch["feats"]]
+        return jnp.asarray(batch["feats"])
+
     # shape-init to build the template, then restore the stored arrays
-    first = next(iter_egs_batches(args.egs_dir, args.batch_size))
+    first = next(batch_iter())
     rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
-    template = arch_init(
-        model, cfg, rngs, jnp.asarray(first["feats"]),
-        jnp.asarray(first["lengths"]),
-    )
+    f0, l0 = _as_feats(first), jnp.asarray(first["lengths"])
+    encode_fn = None
+    if cfg.get("arch") in ("vae_encoded", "curl_encoded"):
+        encode_fn = load_frozen_encoder(
+            cfg["base_model"], cfg["arch"], rngs, f0, l0
+        )
+    template = arch_init(model, cfg, rngs, f0, l0, encode_fn=encode_fn)
     payload, _ = load_checkpoint(ckpt_path, template={"params": template})
     params = payload["params"]
 
@@ -133,11 +203,12 @@ def main(argv=None):
             log_prior = jnp.asarray(pickle.load(f))
 
     out = {}
-    for batch in iter_egs_batches(args.egs_dir, args.batch_size):
-        feats = jnp.asarray(batch["feats"])
+    for batch in batch_iter():
+        feats = _as_feats(batch)
         lengths = jnp.asarray(batch["lengths"])
         logits, taps = arch_forward(
-            model, params, cfg, feats, lengths, rng=jax.random.key(2)
+            model, params, cfg, feats, lengths, rng=jax.random.key(2),
+            encode_fn=encode_fn,
         )
         if args.layer > 0:
             sel = taps[-args.layer]

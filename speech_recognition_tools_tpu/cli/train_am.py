@@ -30,6 +30,8 @@ ARCHS = {
     "rs_vae": "VaeRsModulation",
     "modnet": "ModulationNet",
     "modnet_sigmoid": "ModulationSigmoidNet",
+    "vae_encoded": "VAEEncodedClassifier",
+    "curl_encoded": "CurlEncodedClassifier",
 }
 
 
@@ -64,6 +66,21 @@ def get_parser():
                    help="(arch=curl) checkpoint dir of a trained CURL model "
                         "to grow by one component before training — the "
                         "reference's --expand_component lifelong flow")
+    p.add_argument("--base_model",
+                   help="(vae_encoded/curl_encoded) checkpoint dir of the "
+                        "frozen generative model whose latents feed the "
+                        "classifier (reference "
+                        "train_VAE_encoded_nnet_classfier.py vae_model arg)")
+    p.add_argument("--multi_egs_dirs",
+                   help="(arch=multimod) comma-separated extra egs dirs, one "
+                        "per additional feature stream — the reference's 3 "
+                        "parallel egs dirs (train_multimod_nnet.py, "
+                        "datasets.py:42). Without it the feature dim is "
+                        "split into comp_num contiguous streams.")
+    p.add_argument("--frame_egs", action="store_true",
+                   help="(arch=feedforward) egs_dir holds frame-level "
+                        "shuffled egs (io.build_frame_egs — the reference's "
+                        "data_prep_feedforward.py pipeline)")
     p.add_argument("--patch_width", type=int, default=21,
                    help="(modnet archs) frames per input patch")
     p.add_argument("--freq_num", type=int, default=10,
@@ -173,6 +190,16 @@ def build_model(args, feat_dim, num_classes):
             head_num=args.head_num, num_layers_dec=args.num_layers_dec,
             hidden_size=args.hidden_dim, out_size=num_classes,
         )
+    if args.arch == "vae_encoded":
+        return M.VAEEncodedClassifier(
+            num_layers=args.num_layers, hidden_size=args.hidden_dim,
+            out_size=num_classes,
+        )
+    if args.arch == "curl_encoded":
+        return M.CurlEncodedClassifier(
+            num_layers=args.num_layers, hidden_size=args.hidden_dim,
+            out_size=num_classes,
+        )
     if args.arch == "modnet_sigmoid":
         return M.ModulationSigmoidNet(
             in_channels=(1,), out_channels=(4,), kernel=3,
@@ -206,7 +233,7 @@ def _extract_patches(feats, labels, lengths, width):
     return patches, lab, valid.reshape(B * P)
 
 
-def make_loss(args, model):
+def make_loss(args, model, encode_fn=None):
     import jax
     import jax.numpy as jnp
 
@@ -218,10 +245,32 @@ def make_loss(args, model):
     )
 
     def loss_fn(params, batch, rng, train):
+        if args.arch == "feedforward" and args.frame_egs:
+            # frame-level shuffled egs: plain CE over (B, D') frames
+            import optax
+
+            _, logits = model.apply(params, batch["feats"])
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch["labels"]
+            )
+            fer = 100.0 * jnp.mean(
+                (jnp.argmax(logits, -1) != batch["labels"]).astype(ce.dtype)
+            )
+            return jnp.mean(ce), {"fer": fer}
         feats, lengths = batch["feats"], batch["lengths"]
+        if args.arch in ("vae_encoded", "curl_encoded"):
+            # classifier on the frozen generative model's latents (reference
+            # train_VAE_encoded_nnet_classfier.py / train_CURL_encoded_classifier.py:
+            # the vae/curl params never receive gradients)
+            lat = encode_fn(feats, lengths)
+            logits = model.apply(params, lat, lengths)
+            return masked_cross_entropy(logits, batch["labels"], lengths), {
+                "fer": masked_frame_error(logits, batch["labels"], lengths)
+            }
         rngs = {"sample": rng, "dropout": jax.random.fold_in(rng, 1),
                 "gumbel": jax.random.fold_in(rng, 2)}
-        mask = jnp.arange(feats.shape[1])[None, :] < lengths[:, None]
+        t_axis = feats[0].shape[1] if isinstance(feats, (list, tuple)) else feats.shape[1]
+        mask = jnp.arange(t_axis)[None, :] < lengths[:, None]
         if args.arch in ("rnn", "linear"):
             logits = model.apply(params, feats, lengths)
             return masked_cross_entropy(logits, batch["labels"], lengths), {
@@ -310,11 +359,16 @@ def make_loss(args, model):
                 "fer": masked_frame_error(logits, batch["labels"], lengths)
             }
         if args.arch == "multimod":
-            # feature dim split into comp_num contiguous streams
-            D = feats.shape[-1] // args.comp_num
-            streams = [
-                feats[..., k * D : (k + 1) * D] for k in range(args.comp_num)
-            ]
+            if isinstance(feats, (list, tuple)):
+                # true parallel streams from --multi_egs_dirs
+                streams = list(feats)
+            else:
+                # fallback: feature dim split into comp_num contiguous streams
+                D = feats.shape[-1] // args.comp_num
+                streams = [
+                    feats[..., k * D : (k + 1) * D]
+                    for k in range(args.comp_num)
+                ]
             logits = model.apply(params, streams, lengths)
             return masked_cross_entropy(logits, batch["labels"], lengths), {
                 "fer": masked_frame_error(logits, batch["labels"], lengths)
@@ -373,10 +427,25 @@ def main(argv=None):
         save_checkpoint,
     )
 
-    cfg_egs, utts = load_egs(args.egs_dir)
-    dev_utts = (
-        load_egs(args.dev_egs_dir)[1] if args.dev_egs_dir else utts[-max(1, len(utts) // 10):]
+    from speech_recognition_tools_tpu.io import (
+        iter_egs_batches_multi,
+        iter_frame_batches,
+        load_egs_multi,
     )
+
+    multi_dirs = None
+    if args.multi_egs_dirs:
+        multi_dirs = [args.egs_dir] + args.multi_egs_dirs.split(",")
+        cfgs, utts = load_egs_multi(multi_dirs)
+        cfg_egs = cfgs[0]
+        args.comp_num = len(multi_dirs)
+    else:
+        cfg_egs, utts = load_egs(args.egs_dir)
+    if args.dev_egs_dir and not multi_dirs:
+        dev_utts = load_egs(args.dev_egs_dir)[1]
+    else:
+        # multi-stream dev would need parallel dev dirs; hold out a tail
+        dev_utts = utts[-max(1, len(utts) // 10):]
     num_classes = args.num_classes or cfg_egs.num_targets
     model = build_model(args, cfg_egs.feat_dim, num_classes)
 
@@ -384,13 +453,34 @@ def main(argv=None):
         for b in it:
             yield {k: v for k, v in b.items() if k != "keys"}
 
-    def train_iter():
-        return _strip_keys(
-            iter_egs_batches(utts, args.batch_size, shuffle_seed=args.seed)
-        )
+    if args.frame_egs:
+        def train_iter():
+            return iter_frame_batches(
+                args.egs_dir, args.batch_size, shuffle_seed=args.seed
+            )
 
-    def dev_iter():
-        return _strip_keys(iter_egs_batches(dev_utts, args.batch_size))
+        def dev_iter():
+            return iter_frame_batches(
+                args.dev_egs_dir or args.egs_dir, args.batch_size
+            )
+    elif multi_dirs:
+        def train_iter():
+            return _strip_keys(
+                iter_egs_batches_multi(
+                    utts, args.batch_size, shuffle_seed=args.seed
+                )
+            )
+
+        def dev_iter():
+            return _strip_keys(iter_egs_batches_multi(dev_utts, args.batch_size))
+    else:
+        def train_iter():
+            return _strip_keys(
+                iter_egs_batches(utts, args.batch_size, shuffle_seed=args.seed)
+            )
+
+        def dev_iter():
+            return _strip_keys(iter_egs_batches(dev_utts, args.batch_size))
 
     first = next(train_iter())
     import jax.numpy as jnp
@@ -400,17 +490,48 @@ def main(argv=None):
         "sample": jax.random.key(args.seed + 1),
         "gumbel": jax.random.key(args.seed + 2),
     }
-    f0 = jnp.asarray(first["feats"])
-    l0 = jnp.asarray(first["lengths"])
+    if multi_dirs:
+        f0 = [jnp.asarray(s) for s in first["feats"]]
+        l0 = jnp.asarray(first["lengths"])
+    else:
+        f0 = jnp.asarray(first["feats"])
+        l0 = (
+            jnp.asarray(first["lengths"])
+            if "lengths" in first
+            else jnp.full((f0.shape[0],), f0.shape[0], jnp.int32)
+        )
+
+    encode_fn = None
+    if args.arch in ("vae_encoded", "curl_encoded"):
+        # frozen generative front: restore the base VAE/CURL checkpoint and
+        # close over its params with stop_gradient (the reference freezes the
+        # torch module by simply not passing its params to the optimizer)
+        assert args.base_model, f"--arch {args.arch} requires --base_model"
+        from speech_recognition_tools_tpu.cli.dump_outputs import (
+            load_frozen_encoder,
+        )
+
+        encode_fn = load_frozen_encoder(
+            args.base_model, args.arch, init_rngs, f0, l0,
+            sample_seed=args.seed + 3,
+        )
+
     if args.arch == "feedforward":
         params = model.init(init_rngs, f0)
+    elif args.arch in ("vae_encoded", "curl_encoded"):
+        params = model.init(init_rngs, encode_fn(f0, l0), l0)
     elif args.arch == "cnn":
         params = model.init(init_rngs, jnp.swapaxes(f0, 1, 2)[:, None])
     elif args.arch == "cldnn":
         params = model.init(init_rngs, jnp.swapaxes(f0, 1, 2)[:, None], l0)
     elif args.arch == "multimod":
-        D = f0.shape[-1] // args.comp_num
-        streams = [f0[..., k * D : (k + 1) * D] for k in range(args.comp_num)]
+        if multi_dirs:
+            streams = f0
+        else:
+            D = f0.shape[-1] // args.comp_num
+            streams = [
+                f0[..., k * D : (k + 1) * D] for k in range(args.comp_num)
+            ]
         params = model.init(init_rngs, streams, l0)
     elif args.arch in ("vae_cnn", "rs_vae"):
         params = model.init(init_rngs, jnp.swapaxes(f0, 1, 2)[:, None])
@@ -452,7 +573,7 @@ def main(argv=None):
         print(f"expanded CURL model to {model.comp_num} components")
 
     trainer = Trainer(
-        make_loss(args, model),
+        make_loss(args, model, encode_fn),
         TrainConfig(
             optimizer=args.optimizer, learning_rate=args.learning_rate,
             epochs=args.epochs, lrr=args.lrr, lr_tol=args.lr_tol,

@@ -17,4 +17,13 @@ from speech_recognition_tools_tpu.io.kaldi_ark import (
 )
 from speech_recognition_tools_tpu.io.scp import read_scp, write_scp, read_segments
 from speech_recognition_tools_tpu.io.wav import read_wav_scp_entry, load_wav_batch
-from speech_recognition_tools_tpu.io.egs import build_egs, EgsConfig, load_egs, iter_egs_batches
+from speech_recognition_tools_tpu.io.egs import (
+    EgsConfig,
+    build_egs,
+    build_frame_egs,
+    iter_egs_batches,
+    iter_egs_batches_multi,
+    iter_frame_batches,
+    load_egs,
+    load_egs_multi,
+)
