@@ -17,3 +17,9 @@ from speech_recognition_tools_tpu.dsp.modspec import (
     ModSpecConfig,
     modulation_spectrum_batch,
 )
+from speech_recognition_tools_tpu.dsp.simulate import (
+    fft_convolve_full,
+    simulate_corpus,
+    simulate_utterance,
+    synth_rir,
+)

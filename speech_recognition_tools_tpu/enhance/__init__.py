@@ -27,4 +27,5 @@ from speech_recognition_tools_tpu.enhance.mask_model import (
     BLSTMMaskEstimator,
     SimpleFWMaskEstimator,
     mask_estimator_loss,
+    train_mask_estimator,
 )

@@ -71,3 +71,88 @@ def mask_estimator_loss(speech_mask, noise_mask, ibm_x, ibm_n, lengths=None):
         return jnp.sum(e * mask) / jnp.maximum(jnp.sum(mask) * e.shape[-1], 1)
 
     return 0.5 * (bce(speech_mask, ibm_x) + bce(noise_mask, ibm_n))
+
+
+def train_mask_estimator(
+    examples,
+    bins: int,
+    *,
+    hidden: int = 256,
+    epochs: int = 10,
+    learning_rate: float = 3e-3,
+    seed: int = 0,
+    log_fn=None,
+):
+    """Train a BLSTMMaskEstimator on (clean_stft, noise_stft) pairs.
+
+    The nn-gev training flow (nn-gev/train.py): ideal binary masks from
+    the parallel clean/noise spectra are the BCE targets; the input is the
+    mixture magnitude. `examples` is a list of ((T,F) complex clean,
+    (T,F) complex noise) pairs — e.g. per-channel STFTs of a simulated
+    corpus. Returns (model, params, losses).
+    """
+    import jax
+    import numpy as np
+    import optax
+
+    model = BLSTMMaskEstimator(bins=bins, hidden=hidden)
+    X0, N0 = examples[0]
+    T = X0.shape[0]
+    y0 = normalize_mask_input(np.abs(X0 + N0))[None]
+    l0 = jnp.asarray([T])
+    params = model.init({"params": jax.random.key(seed)}, y0, l0)
+    tx = optax.adam(learning_rate)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, y, ibm_x, ibm_n, lengths):
+        def loss_fn(p):
+            sm, nm = model.apply(p, y, lengths)
+            return mask_estimator_loss(sm, nm, ibm_x, ibm_n, lengths)
+
+        l, g = jax.value_and_grad(loss_fn)(params)
+        u, opt = tx.update(g, opt)
+        return optax.apply_updates(params, u), opt, l
+
+    losses = []
+    for ep in range(epochs):
+        ep_losses = []
+        for X, N in examples:
+            ibm_x = np.abs(X) ** 2 > np.abs(N) ** 2
+            y = normalize_mask_input(np.abs(X + N))[None]
+            lengths = jnp.asarray([X.shape[0]])
+            params, opt, l = step(
+                params, opt, y,
+                jnp.asarray(ibm_x[None], jnp.float32),
+                jnp.asarray((~ibm_x)[None], jnp.float32),
+                lengths,
+            )
+            ep_losses.append(float(l))
+        losses.append(float(np.mean(ep_losses)))
+        if log_fn:
+            log_fn(f"mask-net epoch {ep}: bce {losses[-1]:.4f}")
+    return model, params, losses
+
+
+def normalize_mask_input(mag):
+    """Scale-invariant input for the mask nets: magnitudes divided by
+    their utterance mean (sigmoid nets are not scale-equivariant, and
+    corpus levels vary by tens of dB). Used by train_mask_estimator and
+    estimate_masks so training and inference always agree."""
+    import numpy as np
+
+    mag = np.asarray(mag, np.float32)
+    return jnp.asarray(mag / max(float(mag.mean()), 1e-12))
+
+
+def estimate_masks(model, params, mag_per_channel):
+    """Per-channel masks, median-combined across channels (the nn-gev
+    beamform.py combination rule). mag_per_channel: (C, T, F) magnitudes.
+    Returns (speech_mask, noise_mask) as (T, F) numpy arrays."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    C, T, _ = mag_per_channel.shape
+    y = jnp.stack([normalize_mask_input(m) for m in mag_per_channel])
+    sm, nm = model.apply(params, y, jnp.asarray([T] * C))
+    return np.median(np.asarray(sm), axis=0), np.median(np.asarray(nm), axis=0)

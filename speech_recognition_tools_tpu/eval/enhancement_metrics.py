@@ -139,9 +139,13 @@ def fwsegsnr(x, y, fs, frame=0.025, shift=0.01, numband=23):
     X, Y = melmat @ X, melmat @ Y
     W = Y**0.2
     E = X - Y
-    ds = 10 * np.sum(W * np.log10(Y**2 / np.maximum(E**2, 1e-30)), axis=0) / np.sum(
-        W, axis=0
-    )
+    # floor both band energies: synthetic signals can carry exact digital
+    # silence, where log10(0) would poison the frame with NaN (real speech
+    # never hits exact zero, so the floor is inert on the parity targets)
+    ds = 10 * np.sum(
+        W * np.log10(np.maximum(Y**2, 1e-30) / np.maximum(E**2, 1e-30)),
+        axis=0,
+    ) / np.maximum(np.sum(W, axis=0), 1e-30)
     ds = np.clip(ds, -10, 35)
     return float(np.mean(ds)), float(np.median(ds))
 

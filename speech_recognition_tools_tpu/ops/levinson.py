@@ -79,6 +79,19 @@ def levinson_durbin(
         else:
             e_safe = jnp.where(e < tiny, tiny, e)
         k = -(r_i + acc) / e_safe
+        # stability clamp: |k| < 1 holds mathematically for any valid
+        # autocorrelation, but once rounding pushes e towards zero (fully
+        # predictable narrowband/silent bands in f32) |k| can cross 1,
+        # flipping e negative and exploding the polynomial — which then
+        # overflows the downstream cepstrum recursion. Clamping to the
+        # stable region is inert on healthy inputs and keeps the model
+        # minimum-phase on degenerate ones.
+        kmax = jnp.asarray(1.0 - 16.0 * jnp.finfo(e.real.dtype).eps, k.real.dtype)
+        if iscomplex:
+            kmag = jnp.abs(k)
+            k = jnp.where(kmag > kmax, k * (kmax / jnp.maximum(kmag, tiny)), k)
+        else:
+            k = jnp.clip(k, -kmax, kmax)
         u_c = jnp.conj(u) if iscomplex else u
         # a'_j = a_j + k a_{i-j} (j<i), a'_i = k: u[m]=a_{i-m} is zero for
         # m >= i, and the one-hot writes position i.
