@@ -26,7 +26,34 @@ def get_parser():
     p.add_argument("--jit_decode", action="store_true",
                    help="use the fully-jitted lax.scan beam search (one "
                         "compiled program per shape bucket; for serving)")
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="(--jit_decode) utterances per batched search "
+                        "program")
+    p.add_argument("--lm_dir", help="train_lm checkpoint dir for RNNLM "
+                                    "shallow fusion (decode.yaml lm-weight)")
+    p.add_argument("--lm_weight", type=float, default=1.0)
     return p
+
+
+def _load_lm(lm_dir, ckpt="final"):
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tools_tpu.models.rnnlm import RNNLM
+    from speech_recognition_tools_tpu.train import load_checkpoint
+
+    path = os.path.join(lm_dir, ckpt)
+    _, cfg_d = load_checkpoint(path)
+    model = RNNLM(
+        vocab_size=cfg_d["vocab_size"], embed_dim=cfg_d["embed_dim"],
+        hidden=cfg_d["hidden"], layers=cfg_d["layers"],
+    )
+    template = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 4), jnp.int32),
+        jnp.asarray([4]),
+    )
+    payload, _ = load_checkpoint(path, template={"params": template})
+    return model, payload["params"]
 
 
 def _load(model_dir, ckpt):
@@ -76,8 +103,20 @@ def main(argv=None):
     loaded = [_load(d, args.ckpt) for d in dirs]
     model, params, cfg, vocab = loaded[0]
 
+    lm_apply_host, lm_apply_jit = None, None
+    if args.lm_dir:
+        from speech_recognition_tools_tpu.models.rnnlm import (
+            make_fusion_scorer,
+            make_jit_fusion_scorer,
+        )
+
+        lm_model, lm_params = _load_lm(args.lm_dir)
+        lm_apply_host = make_fusion_scorer(lm_model, lm_params)
+        lm_apply_jit = make_jit_fusion_scorer(lm_model, lm_params)
+
     hyps = {}
-    for b in iter_egs_batches(args.egs_dir, 1, drop_labels=True):
+    batch = args.batch_size if args.jit_decode else 1
+    for b in iter_egs_batches(args.egs_dir, batch, drop_labels=True):
         feats = jnp.asarray(b["feats"])
         lengths = jnp.asarray(b["lengths"])
         key = b["keys"][0]
@@ -91,21 +130,27 @@ def main(argv=None):
             )
         elif args.jit_decode:
             from speech_recognition_tools_tpu.decode.beam_jit import (
-                beam_search_jit,
+                beam_search_jit_batched,
                 tokens_to_list,
             )
 
-            toks, scores = beam_search_jit(
+            toks, scores = beam_search_jit_batched(
                 model, params, feats, lengths,
                 beam_size=args.beam_size, max_len=args.max_len,
                 ctc_weight=args.ctc_weight, penalty=args.penalty,
+                lm_apply=lm_apply_jit, lm_weight=args.lm_weight,
             )
-            seq = tokens_to_list(toks, scores, cfg.eos_id)
+            for i, key_i in enumerate(b["keys"]):
+                seq_i = tokens_to_list(toks[i], scores[i], cfg.eos_id)
+                hyps[key_i] = decode_tokens(seq_i, vocab)
+                print(f"{key_i}: {hyps[key_i]}")
+            continue
         else:
             seq = beam_search(
                 model, params, feats, lengths, cfg,
                 beam_size=args.beam_size, max_len=args.max_len,
                 ctc_weight=args.ctc_weight, penalty=args.penalty,
+                lm_apply=lm_apply_host, lm_weight=args.lm_weight,
             )
         hyps[key] = decode_tokens(seq, vocab)
         print(f"{key}: {hyps[key]}")

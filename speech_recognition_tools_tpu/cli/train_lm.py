@@ -1,0 +1,126 @@
+"""Character RNNLM training CLI.
+
+Reference behaviour: the e2e recipes train an external RNNLM with ESPnet's
+lm_train.py (e2e/reverb/run_fdlp_e1.sh:405-417, conf/lm.yaml: 1 layer /
+1000 units, SGD, char level) and fuse it at decode time with lm-weight 1.0
+(conf/decode.yaml). This trains the native models.rnnlm.RNNLM on a Kaldi
+text file, sharing the ASR char vocabulary so the fusion token spaces
+match; checkpoints are the toolkit's self-describing format so
+recog_e2e --lm_dir restores it without side files.
+"""
+
+import argparse
+import os
+
+
+def get_parser():
+    p = argparse.ArgumentParser("Train a character RNNLM for shallow fusion")
+    p.add_argument("text", help="Kaldi text file: 'utt transcription'")
+    p.add_argument("store_path")
+    p.add_argument("--vocab", help="vocab.json from train_e2e (default: "
+                                   "build from the text, which matches "
+                                   "train_e2e on the same text)")
+    p.add_argument("--embed_dim", type=int, default=256)
+    p.add_argument("--hidden", type=int, default=1000)
+    p.add_argument("--layers", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--bptt_len", type=int, default=128,
+                   help="max tokens per sequence (longer texts are split)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def lm_batches(texts, vocab, batch_size, bptt_len, seed=None):
+    """Yield (tokens (B, U), lengths (B,)) batches of sos+chars+eos."""
+    import numpy as np
+
+    from speech_recognition_tools_tpu.io.text import encode_text
+
+    sos = len(vocab) - 1
+    seqs = []
+    for t in texts.values():
+        ids = encode_text(t, vocab)
+        for off in range(0, len(ids), bptt_len - 2):
+            chunk = ids[off : off + bptt_len - 2]
+            seqs.append([sos] + chunk + [sos])  # sos/eos share the id
+    order = np.arange(len(seqs))
+    if seed is not None:
+        np.random.RandomState(seed).shuffle(order)
+    seqs = [seqs[i] for i in order]
+    for off in range(0, len(seqs), batch_size):
+        group = seqs[off : off + batch_size]
+        U = max(len(s) for s in group)
+        toks = np.full((len(group), U), -1, np.int32)
+        lens = np.zeros(len(group), np.int32)
+        for i, s in enumerate(group):
+            toks[i, : len(s)] = s
+            lens[i] = len(s)
+        yield toks, lens
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from speech_recognition_tools_tpu.io.text import (
+        build_char_vocab,
+        load_vocab,
+        read_text_file,
+        save_vocab,
+    )
+    from speech_recognition_tools_tpu.models.rnnlm import RNNLM, lm_loss
+    from speech_recognition_tools_tpu.train import save_checkpoint
+
+    texts = read_text_file(args.text)
+    vocab = (
+        load_vocab(args.vocab) if args.vocab else build_char_vocab(texts.values())
+    )
+    os.makedirs(args.store_path, exist_ok=True)
+    save_vocab(vocab, os.path.join(args.store_path, "vocab.json"))
+
+    model = RNNLM(
+        vocab_size=len(vocab), embed_dim=args.embed_dim,
+        hidden=args.hidden, layers=args.layers,
+    )
+    t0, l0 = next(lm_batches(texts, vocab, args.batch_size, args.bptt_len))
+    params = model.init(
+        {"params": jax.random.key(args.seed)}, jnp.asarray(t0),
+        jnp.asarray(l0),
+    )
+    tx = optax.adam(args.learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, tokens, lengths):
+        loss, grads = jax.value_and_grad(
+            lambda p: lm_loss(model, p, tokens, lengths)
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    import numpy as np
+
+    for ep in range(args.epochs):
+        losses = []
+        for toks, lens in lm_batches(
+            texts, vocab, args.batch_size, args.bptt_len, seed=args.seed + ep
+        ):
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(toks), jnp.asarray(lens)
+            )
+            losses.append(float(loss))
+        ppl = float(np.exp(np.mean(losses)))
+        print(f"epoch {ep + 1}: nll {np.mean(losses):.4f} ppl {ppl:.2f}")
+
+    hyper = dict(vars(args))
+    hyper.update(model_class="RNNLM", vocab_size=len(vocab))
+    save_checkpoint(args.store_path, "final", params, hyper)
+    print(f"saved LM to {os.path.join(args.store_path, 'final')}")
+
+
+if __name__ == "__main__":
+    main()

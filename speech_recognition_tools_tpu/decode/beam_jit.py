@@ -150,3 +150,41 @@ def tokens_to_list(tokens, scores, eos_id):
     best = int(np.argmax(np.asarray(scores)))
     seq = [int(t) for t in np.asarray(tokens)[best, 1:] if t >= 0]
     return [t for t in seq if t != eos_id]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model", "beam_size", "max_len", "ctc_weight",
+                     "penalty", "lm_apply", "lm_weight"),
+)
+def beam_search_jit_batched(
+    model,
+    params,
+    feats,
+    lengths,
+    *,
+    beam_size: int = 10,
+    max_len: int = 100,
+    ctc_weight: float = 0.3,
+    penalty: float = 0.0,
+    lm_apply=None,
+    lm_weight: float = 1.0,
+):
+    """Batched jitted beam search: B independent searches in one program.
+
+    feats (B, T, D), lengths (B,). vmaps the single-utterance search, so
+    every step runs (B x K)-wide on device — the serving shape: one
+    compiled program per (T, max_len) bucket handles the whole batch.
+
+    Returns (tokens (B, K, max_len+1), scores (B, K)); feed each row to
+    tokens_to_list.
+    """
+
+    def one(f, l):
+        return beam_search_jit(
+            model, params, f[None], l[None],
+            beam_size=beam_size, max_len=max_len, ctc_weight=ctc_weight,
+            penalty=penalty, lm_apply=lm_apply, lm_weight=lm_weight,
+        )
+
+    return jax.vmap(one)(feats, lengths)

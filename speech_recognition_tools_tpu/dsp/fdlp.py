@@ -43,6 +43,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from speech_recognition_tools_tpu.dsp.filterbanks import parse_fbank_type
 from speech_recognition_tools_tpu.ops.autocorr import (
@@ -167,10 +168,11 @@ def _band_cepstra(cos_dct, fbank, order, coeff_num):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_samples"),
+    static_argnames=("cfg", "max_samples", "shard"),
 )
 def _fdlp_impl(
-    signals, num_samples, fbank_arr, cfg: FdlpConfig, max_samples: int, jitter
+    signals, num_samples, fbank_arr, cfg: FdlpConfig, max_samples: int, jitter,
+    shard=None,
 ):
     # fbank_arr is passed as a TRACED argument (not a closure constant) so
     # XLA cannot constant-fold the per-lag filterbank products in
@@ -184,12 +186,33 @@ def _fdlp_impl(
     high = cfg.precision == "high"
     work_dtype = jnp.float64 if high else dtype
 
+    # Sequence (time-axis) parallelism, SURVEY §5: every stage between
+    # framing and the OLA is independent per analysis frame, so the frame
+    # axis shards cleanly over the mesh's `time_axis`; the OLA's shifted
+    # adds only couple ceil(kk/hop)-1 neighbouring frames, which GSPMD
+    # turns into halo exchanges over ICI. `shard` is a static
+    # (mesh, data_axis, time_axis) triple; constraints below anchor the
+    # partitioner, everything between them is propagated.
+    if shard is not None:
+        mesh, data_ax, time_ax = shard
+        flat_ax = tuple(a for a in (data_ax, time_ax) if a is not None)
+
+        def cstr(x, spec):
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    else:
+        flat_ax = ()
+
+        def cstr(x, spec):
+            return x
+
     max_frames = int(frame_count(max_samples, fp))
     # frame with a unit window (gather of exact samples), apply the analysis
     # window in the work dtype so the f64 path sees no f32 rounding.
     ones = jnp.ones((fp.flength_samples,), dtype)
     frames, num_frames = frame_signal(signals, num_samples, fp, ones, max_frames)
     frames = frames.astype(work_dtype) * jnp.asarray(c["win"], work_dtype)
+    if shard is not None:
+        frames = cstr(frames, P(data_ax, time_ax))
 
     # DCT-II (scipy.fftpack scaling) / sqrt(2 * srate*fduration), as blocked
     # cosine matmuls (XLA FFT at non-pow2 lengths is pathologically slow on
@@ -197,11 +220,13 @@ def _fdlp_impl(
     scale = jnp.asarray(1.0 / np.sqrt(2 * int(cfg.srate * cfg.fduration)), work_dtype)
     cos_dct = dct2(frames, dtype=work_dtype) * scale
     cos_dct = cos_dct.reshape(B * max_frames, -1)
+    cos_dct = cstr(cos_dct, P(flat_ax or None))
 
     nb = c["fbank"].shape[0]
     ceps = _band_cepstra(
         cos_dct, fbank_arr.astype(work_dtype), cfg.order, cfg.coeff_num
     )
+    ceps = cstr(ceps, P(flat_ax or None))
 
     # Envelope projection: the dot result *is* the log-envelope, so MXU
     # f32-HIGHEST (bf16 6-pass, ~1e-6 rel) would inject ~1e-4 absolute error
@@ -219,6 +244,8 @@ def _fdlp_impl(
     ).astype(dtype)
     env = env * jnp.asarray(c["env_win"], dtype)[None, None, :]
     env = env.reshape(B, max_frames, nb, c["kk"])
+    if shard is not None:
+        env = cstr(env, P(data_ax, time_ax))
 
     # output lengths: T_b = ceil(n_b * frate / srate) (exact int arithmetic)
     out_len = -((-num_samples * cfg.frate) // cfg.srate)
@@ -240,6 +267,9 @@ def _fdlp_impl(
     # final log in f64 (emulated, ~1e-14) and cast back.
     feats = jnp.clip(feats, min=jnp.asarray(1e-14, dtype))
     feats = jnp.log(feats.astype(work_dtype)).astype(dtype)
+    if shard is not None:
+        # gather the (small) output: replicated over time, sharded on data
+        feats = cstr(feats, P(data_ax))
     return jnp.swapaxes(feats, 1, 2), out_len  # (B, T, nfilters), (B,)
 
 
@@ -250,6 +280,7 @@ def fdlp_spectrogram_batch(
     *,
     jitter_key=None,
     dtype=jnp.float32,
+    _shard=None,
 ):
     """FDLP spectrogram for a zero-padded batch of waveforms.
 
@@ -294,5 +325,36 @@ def fdlp_spectrogram_batch(
     fb_dtype = jnp.float64 if cfg.precision == "high" else signals.dtype
     return _fdlp_impl(
         signals, num_samples, jnp.asarray(fbank, fb_dtype), cfg,
-        max_samples, jitter,
+        max_samples, jitter, shard=_shard,
+    )
+
+
+def fdlp_spectrogram_sharded(
+    signals,
+    num_samples,
+    cfg: FdlpConfig,
+    mesh,
+    *,
+    time_axis: str | None = "time",
+    data_axis: str | None = None,
+    jitter_key=None,
+    dtype=jnp.float32,
+):
+    """Sequence-parallel FDLP extraction over a device mesh (SURVEY §5).
+
+    Shards the *analysis-frame* axis over `mesh`'s `time_axis` (and
+    optionally the utterance axis over `data_axis`): each device runs the
+    DCT → banded autocorrelation → Levinson → cepstrum → envelope chain
+    for its contiguous block of frames, and the overlap-add — an
+    associative add coupling only ceil(kk/hop)-1 neighbouring frames —
+    is stitched by GSPMD halo exchanges over ICI. Use for long-utterance
+    featgen where a single chip's HBM cannot hold the (F, NB, kk)
+    envelope tensor, or to cut wall-clock linearly in the mesh size.
+
+    Same contract as `fdlp_spectrogram_batch`; output is replicated over
+    `time_axis` (sharded over `data_axis` if given).
+    """
+    return fdlp_spectrogram_batch(
+        signals, num_samples, cfg, jitter_key=jitter_key, dtype=dtype,
+        _shard=(mesh, data_axis, time_axis),
     )

@@ -68,3 +68,9 @@ from speech_recognition_tools_tpu.models.cnn import (
     RateScaleConvTranspose,
     VaeRsModulation,
 )
+from speech_recognition_tools_tpu.models.ngram_lm import (
+    NgramLM,
+    read_arpa,
+    train_ngram_lm,
+    write_arpa,
+)

@@ -53,3 +53,21 @@ def make_fusion_scorer(model, params):
         return jax.nn.log_softmax(logits[:, -1], axis=-1)
 
     return score
+
+
+def make_jit_fusion_scorer(model, params):
+    """Jittable shallow-fusion scorer for beam_search_jit's in-scan hook:
+    lm_apply(tokens (K, max_len+1) with -1 padding, step_idx) -> (K, V).
+
+    The GRU runs over the fixed-width token buffer masked to the current
+    prefix length, so the call is shape-static inside lax.scan. Scoring a
+    prefix is O(L) per step (O(L^2) per search) — the simple, correct
+    formulation; carry-state fusion is the optimisation if LM scoring
+    ever dominates (the decoder itself is already O(L^2))."""
+
+    def lm_apply(tokens, step_idx):
+        lengths = jnp.full((tokens.shape[0],), step_idx + 1, jnp.int32)
+        logits = model.apply(params, tokens, lengths)
+        return jax.nn.log_softmax(jnp.take(logits, step_idx, axis=1), -1)
+
+    return lm_apply

@@ -178,3 +178,82 @@ class TestJittedBeam:
         )
         jit_seq = tokens_to_list(toks, scores, CFG.eos_id)
         assert jit_seq == host_seq, (jit_seq, host_seq)
+
+
+class TestJittedBeamLMBatch:
+    def _lm(self):
+        lm = RNNLM(vocab_size=CFG.vocab_size, embed_dim=8, hidden=16)
+        toks = jnp.asarray(RS.randint(0, CFG.vocab_size, (2, 6)), jnp.int32)
+        lm_params = lm.init({"params": jax.random.key(3)}, toks)
+        return lm, lm_params
+
+    @pytest.mark.slow
+    def test_lm_fusion_matches_host_loop(self, model_and_params):
+        """Token parity of the in-scan RNNLM fusion vs the host loop at
+        lm_weight > 0 (decode.yaml lm-weight 1.0 configuration)."""
+        from speech_recognition_tools_tpu.decode.beam_jit import (
+            beam_search_jit,
+            tokens_to_list,
+        )
+        from speech_recognition_tools_tpu.models.rnnlm import (
+            make_jit_fusion_scorer,
+        )
+
+        model, params = model_and_params
+        lm, lm_params = self._lm()
+        b = _batch()
+        host_seq = beam_search(
+            model, params, b["feats"][:1], b["lengths"][:1], CFG,
+            beam_size=4, max_len=8,
+            lm_apply=make_fusion_scorer(lm, lm_params), lm_weight=0.7,
+        )
+        toks, scores = beam_search_jit(
+            model, params, b["feats"][:1], b["lengths"][:1],
+            beam_size=4, max_len=8,
+            lm_apply=make_jit_fusion_scorer(lm, lm_params), lm_weight=0.7,
+        )
+        jit_seq = tokens_to_list(toks, scores, CFG.eos_id)
+        assert jit_seq == host_seq, (jit_seq, host_seq)
+
+    @pytest.mark.slow
+    def test_batched_matches_per_utterance(self, model_and_params):
+        from speech_recognition_tools_tpu.decode.beam_jit import (
+            beam_search_jit,
+            beam_search_jit_batched,
+            tokens_to_list,
+        )
+
+        model, params = model_and_params
+        b = _batch()
+        toks_b, scores_b = beam_search_jit_batched(
+            model, params, b["feats"], b["lengths"], beam_size=4, max_len=8,
+        )
+        assert toks_b.shape[0] == B
+        for i in range(B):
+            toks_i, scores_i = beam_search_jit(
+                model, params, b["feats"][i : i + 1], b["lengths"][i : i + 1],
+                beam_size=4, max_len=8,
+            )
+            one = tokens_to_list(toks_i, scores_i, CFG.eos_id)
+            bat = tokens_to_list(toks_b[i], scores_b[i], CFG.eos_id)
+            assert one == bat, (i, one, bat)
+
+
+class TestTrainLmCli:
+    def test_trains_and_restores(self, tmp_path):
+        from speech_recognition_tools_tpu.cli import train_lm
+        from speech_recognition_tools_tpu.cli.recog_e2e import _load_lm
+
+        text = tmp_path / "text"
+        rs = np.random.RandomState(0)
+        lines = []
+        for i in range(20):
+            words = ["ab", "ba", "aab"][rs.randint(3)]
+            lines.append(f"u{i} {' '.join(words * (1 + i % 3))}")
+        text.write_text("\n".join(lines) + "\n")
+        out = str(tmp_path / "lm")
+        train_lm.main([str(text), out, "--embed_dim", "8", "--hidden", "16",
+                       "--epochs", "2", "--batch_size", "8"])
+        lm, lm_params = _load_lm(out)
+        logits = lm.apply(lm_params, jnp.zeros((1, 4), jnp.int32))
+        assert logits.shape[-1] == lm.vocab_size
