@@ -10,7 +10,11 @@ from speech_recognition_tools_tpu.dsp.filterbanks import (
     mel_filterbank,
     cochlear_filterbank,
 )
-from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig, fdlp_spectrogram_batch
+from speech_recognition_tools_tpu.dsp.fdlp import (
+    FdlpConfig,
+    fdlp_spectrogram_batch,
+    fdlp_spectrogram_sharded,
+)
 from speech_recognition_tools_tpu.dsp.melspec import MelConfig, mel_spectrum_batch
 from speech_recognition_tools_tpu.dsp.mfcc import MfccConfig, mfcc_batch
 from speech_recognition_tools_tpu.dsp.modspec import (

@@ -37,3 +37,53 @@ def test_fdlp_data_parallel_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(out[b, :T]), np.asarray(ref[b, :T]), rtol=2e-5, atol=2e-5
         )
+
+
+class TestSequenceParallel:
+    """Time-axis (sequence-parallel) featgen, SURVEY §5: the analysis-frame
+    axis shards over a 'time' mesh axis; OLA halos are stitched by GSPMD."""
+
+    def test_time_sharded_matches_single_device(self):
+        from speech_recognition_tools_tpu.dsp import fdlp_spectrogram_sharded
+        from jax.sharding import Mesh
+
+        assert jax.device_count() >= 8
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
+        n = 16000 * 6  # one long utterance
+        rs = np.random.RandomState(1)
+        x = (rs.randn(1, n) * 1000).astype(np.float32)
+        lens = np.array([n - 4000], np.int32)
+
+        cfg = FdlpConfig(nfilters=6)
+        ref, nref = fdlp_spectrogram_batch(x, lens, cfg)
+        out, nout = fdlp_spectrogram_sharded(x, lens, cfg, mesh)
+        np.testing.assert_array_equal(np.asarray(nout), np.asarray(nref))
+        T = int(nref[0])
+        np.testing.assert_allclose(
+            np.asarray(out[0, :T]), np.asarray(ref[0, :T]),
+            rtol=2e-5, atol=2e-5,
+        )
+
+    def test_data_x_time_mesh(self):
+        from speech_recognition_tools_tpu.dsp import fdlp_spectrogram_sharded
+        from jax.sharding import Mesh
+
+        assert jax.device_count() >= 8
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "time"))
+        B, n = 2, 16000 * 3
+        rs = np.random.RandomState(2)
+        x = (rs.randn(B, n) * 1000).astype(np.float32)
+        lens = np.array([n, n - 7000], np.int32)
+
+        cfg = FdlpConfig(nfilters=6)
+        ref, nref = fdlp_spectrogram_batch(x, lens, cfg)
+        out, nout = fdlp_spectrogram_sharded(
+            x, lens, cfg, mesh, data_axis="data", time_axis="time"
+        )
+        np.testing.assert_array_equal(np.asarray(nout), np.asarray(nref))
+        for b in range(B):
+            T = int(nref[b])
+            np.testing.assert_allclose(
+                np.asarray(out[b, :T]), np.asarray(ref[b, :T]),
+                rtol=2e-5, atol=2e-5,
+            )
