@@ -81,6 +81,10 @@ class FdlpConfig:
     window: str = "hamming"
     band_block: int = 8  # bands per lax.map block (memory knob)
     precision: str = "fast"  # 'fast' (f32) | 'high' (f64 LPC chain)
+    # LPC+cepstrum recursion backend: 'scan' = two XLA lax.scans;
+    # 'fused' = single Pallas kernel (ops/pallas_lpc, f32/TPU only);
+    # 'auto' = fused on the TPU fast path, scan elsewhere.
+    lpc_backend: str = "auto"
 
     @property
     def overlap_used(self) -> float:
@@ -152,16 +156,26 @@ def _host_constants(cfg: FdlpConfig):
     )
 
 
-def _band_cepstra(cos_dct, fbank, order, coeff_num):
+def _band_cepstra(cos_dct, fbank, order, coeff_num, backend="scan"):
     """Per-band LPC cepstra for all (utt x frame) problems.
 
     cos_dct: (P, ndct); fbank: (nb, ndct) in the work dtype.
     Returns (P, nb, coeff_num). The banded autocorrelation shares the
     signal lag products across all bands (one MXU einsum per lag block;
-    see ops/autocorr.banded_autocorr), then Levinson + cepstrum scan over
-    P*nb flattened lanes.
+    see ops/autocorr.banded_autocorr); the two sequential recursions
+    (Levinson + cepstrum) then run over P*nb flattened lanes — either as
+    XLA scans or as the fused Pallas kernel (backend='fused') that keeps
+    all recursion state in VMEM for the whole chain.
     """
     r = banded_autocorr(cos_dct, fbank, order + 2)  # (P, nb, order+2)
+    if backend == "fused":
+        from speech_recognition_tools_tpu.ops.pallas_lpc import (
+            lpc_cepstra_pallas,
+        )
+
+        P, nb, L = r.shape
+        cep = lpc_cepstra_pallas(r.reshape(P * nb, L), order, coeff_num)
+        return cep.reshape(P, nb, coeff_num)
     xlpc, gg = lpc_from_autocorr(r, order)
     return lpc_to_cepstrum(xlpc, gg, coeff_num)  # (P, nb, C)
 
@@ -223,8 +237,21 @@ def _fdlp_impl(
     cos_dct = cstr(cos_dct, P(flat_ax or None))
 
     nb = c["fbank"].shape[0]
+    # resolve the LPC backend: the fused Pallas kernel is f32/TPU-only
+    # (jax.default_backend() is a trace-time constant under jit); the
+    # sharded path stays on scans (pallas_call + GSPMD partitioning of
+    # the flattened lane axis is not supported).
+    lpc_backend = cfg.lpc_backend
+    if lpc_backend == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        lpc_backend = (
+            "fused"
+            if (on_tpu and shard is None and work_dtype == jnp.float32)
+            else "scan"
+        )
     ceps = _band_cepstra(
-        cos_dct, fbank_arr.astype(work_dtype), cfg.order, cfg.coeff_num
+        cos_dct, fbank_arr.astype(work_dtype), cfg.order, cfg.coeff_num,
+        backend=lpc_backend,
     )
     ceps = cstr(ceps, P(flat_ax or None))
 
