@@ -1,0 +1,232 @@
+// Native WFST beam-Viterbi decoder: the TPU-era counterpart of the
+// reference's external Kaldi decode stage (latgen-faster-mapped over an
+// HCLG graph; /root/reference/recipes/timit/local_pyspeech/decode_dnn.sh:128-143).
+//
+// The graph is an OpenFst-style text-format WFST over the tropical
+// semiring: lines "src dst ilabel olabel [cost]" plus final lines
+// "state [cost]"; state 0 is the start state. Input labels are
+// pdf-id + 1 (0 = epsilon), output labels are word ids (0 = epsilon) —
+// the convention emitted by speech_recognition_tools_tpu/decode/graph.py,
+// which statically expands HMM x lexicon x n-gram into this form.
+//
+// Decoding is the classic token-passing one-best search with per-frame
+// beam pruning and a max-active cap (Kaldi faster-decoder semantics):
+// acoustic cost = -acoustic_scale * loglike[t][pdf]; epsilon arcs are
+// relaxed to closure after each emitting step. Backpointers live in a
+// per-decode arena so the traceback is O(path length).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Arc {
+  int32_t ilabel;
+  int32_t olabel;
+  int32_t dst;
+  float w;
+};
+
+struct Fst {
+  int32_t num_states = 0;
+  std::vector<int32_t> offsets;  // num_states + 1
+  std::vector<Arc> arcs;         // sorted by src
+  std::vector<float> final_cost; // +inf if not final
+};
+
+constexpr float kInf = std::numeric_limits<float>::infinity();
+
+struct BackPtr {
+  int32_t prev;    // index into arena (-1 for root)
+  int32_t olabel;  // 0 if none
+};
+
+struct Token {
+  float cost;
+  int32_t bp;  // arena index
+};
+
+}  // namespace
+
+extern "C" {
+
+void* fst_load(const char* path) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return nullptr;
+  struct Raw { int32_t s, d, il, ol; float w; };
+  std::vector<Raw> raw;
+  std::vector<std::pair<int32_t, float>> finals;
+  int32_t max_state = -1;
+  char line[512];
+  while (std::fgets(line, sizeof(line), f)) {
+    long long s, d, il, ol;
+    double w;
+    int n = std::sscanf(line, "%lld %lld %lld %lld %lf", &s, &d, &il, &ol, &w);
+    if (n >= 4) {
+      raw.push_back({(int32_t)s, (int32_t)d, (int32_t)il, (int32_t)ol,
+                     n == 5 ? (float)w : 0.0f});
+      max_state = std::max(max_state, std::max((int32_t)s, (int32_t)d));
+    } else {
+      n = std::sscanf(line, "%lld %lf", &s, &w);
+      if (n >= 1) {
+        finals.push_back({(int32_t)s, n == 2 ? (float)w : 0.0f});
+        max_state = std::max(max_state, (int32_t)s);
+      }
+    }
+  }
+  std::fclose(f);
+  if (max_state < 0) return nullptr;
+
+  Fst* fst = new Fst();
+  fst->num_states = max_state + 1;
+  fst->final_cost.assign(fst->num_states, kInf);
+  for (auto& p : finals) fst->final_cost[p.first] = p.second;
+  std::vector<int32_t> counts(fst->num_states, 0);
+  for (auto& a : raw) counts[a.s]++;
+  fst->offsets.assign(fst->num_states + 1, 0);
+  for (int32_t i = 0; i < fst->num_states; ++i)
+    fst->offsets[i + 1] = fst->offsets[i] + counts[i];
+  fst->arcs.resize(raw.size());
+  std::vector<int32_t> fill(fst->offsets.begin(), fst->offsets.end() - 1);
+  for (auto& a : raw)
+    fst->arcs[fill[a.s]++] = {a.il, a.ol, a.d, a.w};
+  return fst;
+}
+
+void fst_free(void* h) { delete static_cast<Fst*>(h); }
+
+int32_t fst_num_states(void* h) { return static_cast<Fst*>(h)->num_states; }
+int64_t fst_num_arcs(void* h) {
+  return (int64_t)static_cast<Fst*>(h)->arcs.size();
+}
+
+// Decode T frames of P-dim log-likelihoods. Returns the number of output
+// words written to out_words (<= out_cap), or -1 on error / no path.
+// out_cost receives the best total cost (graph + acoustic + final).
+int32_t fst_decode(void* h, const float* loglikes, int32_t T, int32_t P,
+                   float acoustic_scale, float beam, int32_t max_active,
+                   int32_t* out_words, int32_t out_cap, float* out_cost) {
+  Fst* fst = static_cast<Fst*>(h);
+  if (!fst || T < 0 || P <= 0) return -1;
+
+  std::vector<BackPtr> arena;
+  arena.reserve(1 << 16);
+
+  // cur: state -> Token (hash map keeps it sparse on big graphs)
+  std::unordered_map<int32_t, Token> cur, nxt;
+  cur.reserve(1024);
+  arena.push_back({-1, 0});
+  cur[0] = {0.0f, 0};
+
+  std::vector<int32_t> queue;
+
+  auto eps_closure = [&](std::unordered_map<int32_t, Token>& toks) {
+    queue.clear();
+    for (auto& kv : toks) queue.push_back(kv.first);
+    while (!queue.empty()) {
+      int32_t s = queue.back();
+      queue.pop_back();
+      Token tok = toks[s];
+      for (int32_t i = fst->offsets[s]; i < fst->offsets[s + 1]; ++i) {
+        const Arc& a = fst->arcs[i];
+        if (a.ilabel != 0) continue;
+        float c = tok.cost + a.w;
+        auto it = toks.find(a.dst);
+        if (it == toks.end() || c < it->second.cost) {
+          int32_t bp = (int32_t)arena.size();
+          arena.push_back({tok.bp, a.olabel});
+          toks[a.dst] = {c, bp};
+          queue.push_back(a.dst);
+        }
+      }
+    }
+  };
+
+  auto prune = [&](std::unordered_map<int32_t, Token>& toks) {
+    if (toks.empty()) return;
+    float best = kInf;
+    for (auto& kv : toks) best = std::min(best, kv.second.cost);
+    float thresh = best + beam;
+    if (max_active > 0 && (int32_t)toks.size() > max_active) {
+      std::vector<float> costs;
+      costs.reserve(toks.size());
+      for (auto& kv : toks) costs.push_back(kv.second.cost);
+      std::nth_element(costs.begin(), costs.begin() + max_active - 1,
+                       costs.end());
+      thresh = std::min(thresh, costs[max_active - 1]);
+    }
+    for (auto it = toks.begin(); it != toks.end();)
+      it = (it->second.cost > thresh) ? toks.erase(it) : std::next(it);
+  };
+
+  eps_closure(cur);
+  prune(cur);
+
+  for (int32_t t = 0; t < T; ++t) {
+    const float* frame = loglikes + (int64_t)t * P;
+    nxt.clear();
+    for (auto& kv : cur) {
+      int32_t s = kv.first;
+      const Token& tok = kv.second;
+      for (int32_t i = fst->offsets[s]; i < fst->offsets[s + 1]; ++i) {
+        const Arc& a = fst->arcs[i];
+        if (a.ilabel == 0) continue;
+        int32_t pdf = a.ilabel - 1;
+        if (pdf >= P) return -1;
+        float c = tok.cost + a.w - acoustic_scale * frame[pdf];
+        auto it = nxt.find(a.dst);
+        if (it == nxt.end() || c < it->second.cost) {
+          int32_t bp = (int32_t)arena.size();
+          arena.push_back({tok.bp, a.olabel});
+          nxt[a.dst] = {c, bp};
+        }
+      }
+    }
+    std::swap(cur, nxt);
+    if (cur.empty()) return -1;  // fell off the beam everywhere
+    eps_closure(cur);
+    prune(cur);
+  }
+
+  // best final token
+  float best = kInf;
+  int32_t best_bp = -1;
+  for (auto& kv : cur) {
+    float fc = fst->final_cost[kv.first];
+    if (fc == kInf) continue;
+    float c = kv.second.cost + fc;
+    if (c < best) {
+      best = c;
+      best_bp = kv.second.bp;
+    }
+  }
+  if (best_bp < 0) {
+    // no reachable final state: fall back to best token (Kaldi's
+    // partial-result behaviour)
+    for (auto& kv : cur) {
+      if (kv.second.cost < best) {
+        best = kv.second.cost;
+        best_bp = kv.second.bp;
+      }
+    }
+    if (best_bp < 0) return -1;
+  }
+  if (out_cost) *out_cost = best;
+
+  std::vector<int32_t> words;
+  for (int32_t bp = best_bp; bp >= 0; bp = arena[bp].prev)
+    if (arena[bp].olabel != 0) words.push_back(arena[bp].olabel);
+  std::reverse(words.begin(), words.end());
+  int32_t n = (int32_t)std::min<size_t>(words.size(), out_cap);
+  std::memcpy(out_words, words.data(), n * sizeof(int32_t));
+  return (int32_t)words.size();
+}
+
+}  // extern "C"

@@ -1,0 +1,126 @@
+"""Hybrid WFST decoding CLI: the native decode_dnn.sh stages 1-2.
+
+Reference flow (recipes/timit/local_pyspeech/decode_dnn.sh): dump
+log-likelihoods (cli/dump_outputs.py = stage 0) -> mkgraph + Kaldi
+latgen-faster-mapped -> score. Here the graph is built natively
+(decode/graph.py: HMM x lexicon x n-gram from cli/train_ngram.py) and
+decoded by the C++ beam-Viterbi core (native/fst_decode.cpp); scoring is
+eval/wer.score_hypotheses.
+
+Usage:
+  build a graph:  decode_wfst build-graph <arpa> <lexicon.txt> <graph_dir>
+  decode:         decode_wfst decode <graph_dir> <loglikes.ark> <out.txt>
+                      [--ref_text text] [--acoustic_scale 0.1] ...
+"""
+
+import argparse
+import os
+
+
+def get_parser():
+    p = argparse.ArgumentParser("Native WFST graph build + hybrid decode")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-graph", help="HMM x lexicon x n-gram -> WFST")
+    b.add_argument("arpa", help="ARPA LM (train_ngram output; .gz ok)")
+    b.add_argument("lexicon", help="lexicon text: word phone [phone ...] "
+                                   "(phones as 0-based integer ids)")
+    b.add_argument("graph_dir")
+    b.add_argument("--states_per_phone", type=int, default=3)
+    b.add_argument("--self_loop_prob", type=float, default=0.5)
+    b.add_argument("--silence_phone", type=int, default=None)
+
+    d = sub.add_parser("decode", help="decode loglikes ark over a graph")
+    d.add_argument("graph_dir")
+    d.add_argument("loglikes", help="ark of (T, num_pdfs) log-likelihoods "
+                                    "(cli/dump_outputs.py output)")
+    d.add_argument("out", help="output hypothesis text file")
+    d.add_argument("--acoustic_scale", type=float, default=0.1)
+    d.add_argument("--beam", type=float, default=16.0)
+    d.add_argument("--max_active", type=int, default=7000)
+    d.add_argument("--ref_text", help="Kaldi text file for WER scoring")
+    return p
+
+
+def _build(args):
+    from speech_recognition_tools_tpu.decode.graph import (
+        GraphConfig,
+        build_decoding_graph,
+    )
+    from speech_recognition_tools_tpu.models.ngram_lm import read_arpa
+
+    lex = {}
+    with open(args.lexicon) as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                lex[parts[0]] = [int(x) for x in parts[1:]]
+    lm = read_arpa(args.arpa)
+    g = build_decoding_graph(
+        lm, lex,
+        GraphConfig(
+            states_per_phone=args.states_per_phone,
+            self_loop_prob=args.self_loop_prob,
+            silence_phone=args.silence_phone,
+        ),
+    )
+    os.makedirs(args.graph_dir, exist_ok=True)
+    g.write(os.path.join(args.graph_dir, "HCLG.txt"))
+    g.write_words(os.path.join(args.graph_dir, "words.txt"))
+    with open(os.path.join(args.graph_dir, "num_pdfs"), "w") as f:
+        f.write(f"{g.num_pdfs}\n")
+    print(
+        f"built graph: {g.num_states} states, {len(g.arcs)} arcs, "
+        f"{g.num_pdfs} pdfs -> {args.graph_dir}"
+    )
+
+
+def _decode(args):
+    from speech_recognition_tools_tpu.decode.wfst import WfstDecoder
+    from speech_recognition_tools_tpu.io.native import read_ark_native
+
+    dec = WfstDecoder(os.path.join(args.graph_dir, "HCLG.txt"))
+    id2w = {}
+    with open(os.path.join(args.graph_dir, "words.txt")) as f:
+        for line in f:
+            w, i = line.split()
+            id2w[int(i)] = w
+
+    hyps = {}
+    with open(args.out, "w") as out:
+        for key, ll in read_ark_native(args.loglikes):
+            ids, cost = dec.decode(
+                ll, acoustic_scale=args.acoustic_scale,
+                beam=args.beam, max_active=args.max_active,
+            )
+            hyp = " ".join(id2w[i] for i in ids)
+            hyps[key] = hyp
+            out.write(f"{key} {hyp}\n")
+            print(f"{key}: {hyp} (cost {cost:.1f})")
+
+    if args.ref_text:
+        from speech_recognition_tools_tpu.eval.wer import score_hypotheses
+
+        refs = {}
+        with open(args.ref_text) as f:
+            for line in f:
+                parts = line.split(maxsplit=1)
+                refs[parts[0]] = (
+                    parts[1].split() if len(parts) > 1 else []
+                )
+        wer, _per_utt = score_hypotheses(
+            refs, {k: v.split() for k, v in hyps.items()}
+        )
+        print(f"WER: {wer:.2f}%")
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    if args.cmd == "build-graph":
+        _build(args)
+    else:
+        _decode(args)
+
+
+if __name__ == "__main__":
+    main()

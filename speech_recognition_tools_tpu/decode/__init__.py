@@ -1,9 +1,13 @@
-"""Decoding: native greedy / Viterbi paths + the ark export bridge.
+"""Decoding: native WFST stack + greedy / Viterbi paths + ark bridge.
 
 The reference's decode is Kaldi `latgen-faster-mapped` over exported
-log-likelihood arks (decode_dnn.sh:121-143). Here the export edge is kept
-(io.write_ark_scp of infer.genclassifier_outputs) for external FST decoding
-while native greedy and batched Viterbi decoders cover lattice-free use.
+log-likelihood arks after `mkgraph.sh` (decode_dnn.sh:121-143). The
+native stack replaces both stages: decode/graph.py statically expands
+HMM x lexicon x n-gram into one WFST and native/fst_decode.cpp runs the
+beam-Viterbi search (decode/wfst.py). The export edge is kept
+(io.write_ark_scp of infer.genclassifier_outputs) for interop with an
+external Kaldi decode, and batched greedy/dense-Viterbi decoders cover
+lattice-free use on-device.
 """
 
 from speech_recognition_tools_tpu.decode.viterbi import (
@@ -12,3 +16,9 @@ from speech_recognition_tools_tpu.decode.viterbi import (
     collapse_repeats,
 )
 from speech_recognition_tools_tpu.decode.export import export_loglikes_ark
+from speech_recognition_tools_tpu.decode.graph import (
+    DecodingGraph,
+    GraphConfig,
+    build_decoding_graph,
+)
+from speech_recognition_tools_tpu.decode.wfst import WfstDecoder

@@ -1,0 +1,130 @@
+"""Native WFST decoding: Python driver over native/fst_decode.cpp.
+
+The TPU-era counterpart of the reference's external Kaldi decode
+(`latgen-faster-mapped` over HCLG + log-likelihood arks,
+decode_dnn.sh:128-143): the acoustic model runs batched on TPU and dumps
+log-likelihoods; this host-side C++ decoder consumes them against a
+decoding graph built by decode/graph.py (or any OpenFst-text-format WFST
+with pdf+1 input labels). One-best with beam + max-active pruning; a
+pure-Python reference decoder is provided for testing/verification.
+"""
+
+import ctypes
+import math
+
+import numpy as np
+
+from speech_recognition_tools_tpu.io.native import get_native_lib
+
+
+class WfstDecoder:
+    """Loads a text-format WFST and decodes log-likelihood matrices."""
+
+    def __init__(self, fst_path):
+        lib = get_native_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable (g++ missing?)")
+        self._lib = lib
+        self._h = lib.fst_load(str(fst_path).encode())
+        if not self._h:
+            raise FileNotFoundError(fst_path)
+
+    @property
+    def num_states(self):
+        return int(self._lib.fst_num_states(self._h))
+
+    @property
+    def num_arcs(self):
+        return int(self._lib.fst_num_arcs(self._h))
+
+    def decode(self, loglikes, acoustic_scale=0.1, beam=16.0,
+               max_active=7000, max_words=4096):
+        """One-best decode of (T, P) log-likelihoods.
+
+        Returns (word_ids, total_cost). word_ids index the graph's output
+        symbol table (DecodingGraph.words / words.txt).
+        """
+        ll = np.ascontiguousarray(loglikes, np.float32)
+        assert ll.ndim == 2, ll.shape
+        out = np.zeros(max_words, np.int32)
+        cost = ctypes.c_float()
+        n = self._lib.fst_decode(
+            self._h,
+            ll.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ll.shape[0], ll.shape[1],
+            ctypes.c_float(acoustic_scale), ctypes.c_float(beam),
+            int(max_active),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(max_words), ctypes.byref(cost),
+        )
+        if n < 0:
+            raise RuntimeError("decoding failed (empty beam or bad pdf id)")
+        return [int(w) for w in out[: min(n, max_words)]], float(cost.value)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and getattr(self, "_lib", None):
+            self._lib.fst_free(self._h)
+            self._h = None
+
+
+def decode_py(fst_path, loglikes, acoustic_scale=0.1):
+    """Exhaustive pure-Python Viterbi over the same text FST (no pruning).
+
+    Reference implementation for tests: returns (word_ids, cost) exactly
+    like WfstDecoder.decode with an infinite beam.
+    """
+    arcs_by_src = {}
+    finals = {}
+    max_state = -1
+    with open(fst_path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 4:
+                s, d, il, ol = (int(x) for x in parts[:4])
+                w = float(parts[4]) if len(parts) > 4 else 0.0
+                arcs_by_src.setdefault(s, []).append((d, il, ol, w))
+                max_state = max(max_state, s, d)
+            elif parts:
+                s = int(parts[0])
+                finals[s] = float(parts[1]) if len(parts) > 1 else 0.0
+                max_state = max(max_state, s)
+
+    inf = math.inf
+
+    def eps_closure(tokens):
+        stack = list(tokens)
+        while stack:
+            s = stack.pop()
+            cost, hist = tokens[s]
+            for d, il, ol, w in arcs_by_src.get(s, []):
+                if il != 0:
+                    continue
+                c = cost + w
+                if d not in tokens or c < tokens[d][0]:
+                    tokens[d] = (c, hist + ((ol,) if ol else ()))
+                    stack.append(d)
+        return tokens
+
+    tokens = eps_closure({0: (0.0, ())})
+    ll = np.asarray(loglikes, np.float64)
+    for t in range(ll.shape[0]):
+        nxt = {}
+        for s, (cost, hist) in tokens.items():
+            for d, il, ol, w in arcs_by_src.get(s, []):
+                if il == 0:
+                    continue
+                c = cost + w - acoustic_scale * ll[t, il - 1]
+                if d not in nxt or c < nxt[d][0]:
+                    nxt[d] = (c, hist + ((ol,) if ol else ()))
+        tokens = eps_closure(nxt)
+        if not tokens:
+            raise RuntimeError("empty beam")
+    best = (inf, ())
+    for s, (cost, hist) in tokens.items():
+        if s in finals and cost + finals[s] < best[0]:
+            best = (cost + finals[s], hist)
+    if math.isinf(best[0]):
+        for s, (cost, hist) in tokens.items():
+            if cost < best[0]:
+                best = (cost, hist)
+    return list(best[1]), best[0]

@@ -25,6 +25,7 @@ def _build_library():
     sources = [
         os.path.join(_NATIVE_DIR, "pesq.cpp"),
         os.path.join(_NATIVE_DIR, "ark_io.cpp"),
+        os.path.join(_NATIVE_DIR, "fst_decode.cpp"),
     ]
     out = os.path.join(_BUILD_DIR, "libsrtnative.so")
     newest_src = max(os.path.getmtime(s) for s in sources)
@@ -64,6 +65,21 @@ def get_native_lib():
     lib.ark_skip.restype = ctypes.c_int
     lib.ark_skip.argtypes = [ctypes.c_void_p]
     lib.ark_close.argtypes = [ctypes.c_void_p]
+    lib.fst_load.restype = ctypes.c_void_p
+    lib.fst_load.argtypes = [ctypes.c_char_p]
+    lib.fst_free.argtypes = [ctypes.c_void_p]
+    lib.fst_num_states.restype = ctypes.c_int32
+    lib.fst_num_states.argtypes = [ctypes.c_void_p]
+    lib.fst_num_arcs.restype = ctypes.c_int64
+    lib.fst_num_arcs.argtypes = [ctypes.c_void_p]
+    lib.fst_decode.restype = ctypes.c_int32
+    lib.fst_decode.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     _LIB = lib
     return lib
 

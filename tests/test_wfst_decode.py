@@ -1,0 +1,207 @@
+"""Native WFST decode stack: graph builder (HMM x lexicon x n-gram) +
+C++ beam-Viterbi decoder (native/fst_decode.cpp), verified against the
+exhaustive pure-Python Viterbi and against ground-truth word sequences.
+
+Reference parity target: Kaldi mkgraph + latgen-faster-mapped
+(decode_dnn.sh:121-143) — graph-based hybrid decoding of TPU-dumped
+log-likelihoods, here with no external toolkit.
+"""
+
+import numpy as np
+import pytest
+
+from speech_recognition_tools_tpu.decode.graph import (
+    DecodingGraph,
+    GraphConfig,
+    build_decoding_graph,
+)
+from speech_recognition_tools_tpu.decode.wfst import (
+    WfstDecoder,
+    decode_py,
+)
+from speech_recognition_tools_tpu.models.ngram_lm import train_ngram_lm
+
+RS = np.random.RandomState(7)
+
+LEX = {"go": [0], "stop": [1, 2], "left": [3], "right": [4, 0]}
+SENTS = [
+    "go stop".split(), "go left".split(), "stop go".split(),
+    "right stop".split(), "go stop left".split(), "stop".split(),
+    "left right go".split(), "go go stop".split(),
+]
+
+
+@pytest.fixture(scope="module")
+def graph(tmp_path_factory):
+    lm = train_ngram_lm(SENTS, order=2)
+    g = build_decoding_graph(lm, LEX, GraphConfig(states_per_phone=2))
+    path = str(tmp_path_factory.mktemp("graph") / "hclg.txt")
+    g.write(path)
+    return g, path
+
+
+def _loglikes_for(words, g: DecodingGraph, S=2, frames_per_state=3,
+                  noise=0.0):
+    """Synthesize (T, P) loglikes strongly favouring the pdf chain of
+    `words` under the graph's pdf convention."""
+    pdfs = []
+    for w in words:
+        for ph in LEX[w]:
+            for st in range(S):
+                pdfs += [ph * S + st] * frames_per_state
+    T, P = len(pdfs), g.num_pdfs
+    ll = np.full((T, P), -10.0, np.float32)
+    ll[np.arange(T), pdfs] = 0.0
+    if noise:
+        ll += RS.randn(T, P).astype(np.float32) * noise
+    return ll
+
+
+class TestGraph:
+    def test_shapes_and_symbols(self, graph):
+        g, _ = graph
+        assert g.num_pdfs == 5 * 2
+        assert set(g.words) == set(LEX)
+        assert g.num_states > 10
+        assert 0 in {a[0] for a in g.arcs}  # start state has arcs
+
+    def test_write_words(self, graph, tmp_path):
+        g, _ = graph
+        p = g.write_words(str(tmp_path / "words.txt"))
+        lines = open(p).read().splitlines()
+        assert lines[0] == "<eps> 0"
+        assert len(lines) == len(LEX) + 1
+
+
+class TestNativeDecoder:
+    def test_loads(self, graph):
+        g, path = graph
+        dec = WfstDecoder(path)
+        assert dec.num_states == g.num_states
+        assert dec.num_arcs == len(g.arcs)
+
+    @pytest.mark.parametrize(
+        "words", [["go", "stop"], ["stop"], ["left", "right", "go"]]
+    )
+    def test_recovers_word_sequence(self, graph, words):
+        g, path = graph
+        dec = WfstDecoder(path)
+        ll = _loglikes_for(words, g)
+        ids, cost = dec.decode(ll, acoustic_scale=1.0, beam=100.0,
+                               max_active=0)
+        inv = g.id_to_word()
+        assert [inv[i] for i in ids] == words
+        assert np.isfinite(cost)
+
+    def test_matches_python_reference(self, graph):
+        """Wide-beam native decode == exhaustive python Viterbi on noisy
+        loglikes (cost and word sequence)."""
+        g, path = graph
+        dec = WfstDecoder(path)
+        for trial in range(3):
+            words = [list(LEX)[i] for i in RS.randint(0, 4, 2 + trial)]
+            ll = _loglikes_for(words, g, noise=1.0)
+            ids_c, cost_c = dec.decode(ll, acoustic_scale=0.7, beam=1e9,
+                                       max_active=0)
+            ids_p, cost_p = decode_py(path, ll, acoustic_scale=0.7)
+            assert ids_c == ids_p
+            assert abs(cost_c - cost_p) < 1e-3, (cost_c, cost_p)
+
+    def test_beam_pruning_still_finds_path(self, graph):
+        g, path = graph
+        dec = WfstDecoder(path)
+        ll = _loglikes_for(["go", "stop"], g, noise=0.3)
+        ids_wide, cost_wide = dec.decode(ll, acoustic_scale=1.0, beam=1e9)
+        ids_narrow, cost_narrow = dec.decode(
+            ll, acoustic_scale=1.0, beam=12.0, max_active=200
+        )
+        assert ids_narrow == ids_wide
+        assert abs(cost_narrow - cost_wide) < 1e-3
+
+    def test_lm_prior_breaks_ties(self, graph):
+        """With uninformative acoustics the LM should pick a high-prob
+        word; 'go' dominates the training corpus unigrams."""
+        g, path = graph
+        dec = WfstDecoder(path)
+        T, P = 4, g.num_pdfs
+        ll = np.zeros((T, P), np.float32)
+        ids, _ = dec.decode(ll, acoustic_scale=0.01, beam=1e9)
+        inv = g.id_to_word()
+        assert len(ids) >= 1
+        assert inv[ids[0]] in LEX
+
+
+class TestOptionalSilence:
+    def test_silence_topology(self, tmp_path):
+        lm = train_ngram_lm(SENTS, order=2)
+        g = build_decoding_graph(
+            lm, LEX, GraphConfig(states_per_phone=2, silence_phone=5)
+        )
+        path = str(tmp_path / "hclg_sil.txt")
+        g.write(path)
+        dec = WfstDecoder(path)
+        # silence frames (pdf 10,11) around the word chain still decode
+        S = 2
+        chain = []
+        for ph in LEX["go"]:
+            for st in range(S):
+                chain += [ph * S + st] * 3
+        sil = [5 * S, 5 * S + 1] * 2
+        pdfs = sil + chain + sil
+        ll = np.full((len(pdfs), g.num_pdfs), -10.0, np.float32)
+        ll[np.arange(len(pdfs)), pdfs] = 0.0
+        ids, _ = dec.decode(ll, acoustic_scale=1.0, beam=1e9)
+        assert [g.id_to_word()[i] for i in ids] == ["go"]
+
+
+class TestDecodeCli:
+    def test_full_chain(self, tmp_path):
+        """train_ngram -> build-graph -> decode ark -> WER vs truth.
+        The end-to-end native hybrid decode path (decode_dnn.sh shape)."""
+        from speech_recognition_tools_tpu.cli import decode_wfst, train_ngram
+        from speech_recognition_tools_tpu.io.kaldi_ark import write_ark_scp
+
+        text = tmp_path / "text"
+        text.write_text(
+            "".join(f"u{i} {' '.join(s)}\n" for i, s in enumerate(SENTS))
+        )
+        arpa_dir = str(tmp_path / "lm")
+        train_ngram.main([str(text), arpa_dir, "--order", "2"])
+        import glob
+
+        arpa = glob.glob(arpa_dir + "/*.arpa*")[0]
+
+        lexicon = tmp_path / "lexicon.txt"
+        lexicon.write_text(
+            "".join(
+                f"{w} {' '.join(str(p) for p in ps)}\n"
+                for w, ps in LEX.items()
+            )
+        )
+        graph_dir = str(tmp_path / "graph")
+        decode_wfst.main(
+            ["build-graph", arpa, str(lexicon), graph_dir,
+             "--states_per_phone", "2"]
+        )
+
+        # synth loglikes for two utterances
+        lm = train_ngram_lm(SENTS, order=2)
+        g = build_decoding_graph(lm, LEX, GraphConfig(states_per_phone=2))
+        truth = {"utt1": ["go", "stop"], "utt2": ["left", "right", "go"]}
+        arks = {k: _loglikes_for(v, g) for k, v in truth.items()}
+        write_ark_scp(arks, str(tmp_path / "loglikes"))
+
+        ref = tmp_path / "ref_text"
+        ref.write_text(
+            "".join(f"{k} {' '.join(v)}\n" for k, v in truth.items())
+        )
+        out = str(tmp_path / "hyp.txt")
+        decode_wfst.main(
+            ["decode", graph_dir, str(tmp_path / "loglikes.ark"), out,
+             "--acoustic_scale", "1.0", "--beam", "100"]
+        )
+        hyps = dict(
+            line.split(maxsplit=1) for line in open(out).read().splitlines()
+        )
+        assert hyps["utt1"].strip() == "go stop"
+        assert hyps["utt2"].strip() == "left right go"
