@@ -38,6 +38,10 @@ def get_parser():
     d.add_argument("--acoustic_scale", type=float, default=0.1)
     d.add_argument("--beam", type=float, default=16.0)
     d.add_argument("--max_active", type=int, default=7000)
+    d.add_argument("--num_threads", type=int, default=1,
+                   help="parallel decode workers (the latgen-faster-"
+                        "mapped-parallel --num-threads analogue; the C++ "
+                        "search releases the GIL)")
     d.add_argument("--ref_text", help="Kaldi text file for WER scoring")
     return p
 
@@ -86,17 +90,31 @@ def _decode(args):
             w, i = line.split()
             id2w[int(i)] = w
 
+    def one(item):
+        key, ll = item
+        ids, cost = dec.decode(
+            ll, acoustic_scale=args.acoustic_scale,
+            beam=args.beam, max_active=args.max_active,
+        )
+        return key, " ".join(id2w[i] for i in ids), cost
+
     hyps = {}
     with open(args.out, "w") as out:
-        for key, ll in read_ark_native(args.loglikes):
-            ids, cost = dec.decode(
-                ll, acoustic_scale=args.acoustic_scale,
-                beam=args.beam, max_active=args.max_active,
-            )
-            hyp = " ".join(id2w[i] for i in ids)
-            hyps[key] = hyp
-            out.write(f"{key} {hyp}\n")
-            print(f"{key}: {hyp} (cost {cost:.1f})")
+        if args.num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(args.num_threads) as pool:
+                results = pool.map(one, read_ark_native(args.loglikes))
+                for key, hyp, cost in results:
+                    hyps[key] = hyp
+                    out.write(f"{key} {hyp}\n")
+                    print(f"{key}: {hyp} (cost {cost:.1f})")
+        else:
+            for item in read_ark_native(args.loglikes):
+                key, hyp, cost = one(item)
+                hyps[key] = hyp
+                out.write(f"{key} {hyp}\n")
+                print(f"{key}: {hyp} (cost {cost:.1f})")
 
     if args.ref_text:
         from speech_recognition_tools_tpu.eval.wer import score_hypotheses

@@ -205,3 +205,31 @@ class TestDecodeCli:
         )
         assert hyps["utt1"].strip() == "go stop"
         assert hyps["utt2"].strip() == "left right go"
+
+    def test_threaded_decode_matches_serial(self, graph, tmp_path):
+        from speech_recognition_tools_tpu.cli import decode_wfst
+        from speech_recognition_tools_tpu.io.kaldi_ark import write_ark_scp
+
+        g, path = graph
+        gdir = tmp_path / "graph"
+        gdir.mkdir()
+        import shutil
+
+        shutil.copy(path, gdir / "HCLG.txt")
+        g.write_words(str(gdir / "words.txt"))
+        arks = {
+            f"u{i}": _loglikes_for(
+                [list(LEX)[j] for j in RS.randint(0, 4, 2)], g, noise=0.5
+            )
+            for i in range(6)
+        }
+        write_ark_scp(arks, str(tmp_path / "ll"))
+        outs = []
+        for nt in ("1", "4"):
+            out = str(tmp_path / f"hyp{nt}.txt")
+            decode_wfst.main(
+                ["decode", str(gdir), str(tmp_path / "ll.ark"), out,
+                 "--acoustic_scale", "1.0", "--num_threads", nt]
+            )
+            outs.append(sorted(open(out).read().splitlines()))
+        assert outs[0] == outs[1]
