@@ -117,7 +117,7 @@ class TestMultiStreamEgs:
 class TestEncodedClassifiers:
     @pytest.mark.parametrize("base_arch,enc_arch", [
         ("vae", "vae_encoded"),
-        ("curl", "curl_encoded"),
+        pytest.param("curl", "curl_encoded", marks=pytest.mark.slow),
     ])
     def test_train_and_dump(self, tmp_path, base_arch, enc_arch):
         from speech_recognition_tools_tpu.cli import dump_outputs, train_am
@@ -145,6 +145,7 @@ class TestEncodedClassifiers:
         assert post.shape == (24, 3)
         np.testing.assert_allclose(post.sum(-1), 1.0, atol=1e-4)
 
+    @pytest.mark.slow
     def test_base_params_frozen(self, tmp_path):
         """The generative model must not move during classifier training:
         encode_fn closes over restored params and stop_gradients the

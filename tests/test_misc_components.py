@@ -233,6 +233,7 @@ def test_train_am_expand_component_lifelong(tmp_path):
     assert cfg["comp_num"] == 3
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["modnet", "modnet_sigmoid"])
 def test_train_am_modnet(tmp_path, arch):
     from speech_recognition_tools_tpu.cli import train_am

@@ -283,6 +283,7 @@ class TestCNN:
         recon, z = m.apply(params, x)
         assert recon.shape == x.shape
 
+    @pytest.mark.slow
     def test_rate_scale_vae(self):
         x = jnp.asarray(np.random.RandomState(0).randn(B, 1, 8, 12), jnp.float32)
         m = M.VaeRsModulation(in_channels=(1, 4), out_channels=(4, 8), kernel=(3, 3), bn_size=5)

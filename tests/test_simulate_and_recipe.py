@@ -74,6 +74,7 @@ class TestSimulateUtterance:
 
 
 class TestSimulateCorpus:
+    @pytest.mark.slow
     def test_artefacts(self, tmp_path):
         utts = [(f"u{i}", RS.randn(8000).astype(np.float32)) for i in range(3)]
         meta = simulate_corpus(

@@ -240,6 +240,7 @@ class TestJittedBeamLMBatch:
 
 
 class TestTrainLmCli:
+    @pytest.mark.slow
     def test_trains_and_restores(self, tmp_path):
         from speech_recognition_tools_tpu.cli import train_lm
         from speech_recognition_tools_tpu.cli.recog_e2e import _load_lm
