@@ -182,11 +182,11 @@ def _band_cepstra(cos_dct, fbank, order, coeff_num, backend="scan"):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_samples", "shard"),
+    static_argnames=("cfg", "max_samples", "shard", "min_samples"),
 )
 def _fdlp_impl(
     signals, num_samples, fbank_arr, cfg: FdlpConfig, max_samples: int, jitter,
-    shard=None,
+    shard=None, min_samples=None,
 ):
     # fbank_arr is passed as a TRACED argument (not a closure constant) so
     # XLA cannot constant-fold the per-lag filterbank products in
@@ -223,7 +223,9 @@ def _fdlp_impl(
     # frame with a unit window (gather of exact samples), apply the analysis
     # window in the work dtype so the f64 path sees no f32 rounding.
     ones = jnp.ones((fp.flength_samples,), dtype)
-    frames, num_frames = frame_signal(signals, num_samples, fp, ones, max_frames)
+    frames, num_frames = frame_signal(
+        signals, num_samples, fp, ones, max_frames, min_samples=min_samples
+    )
     frames = frames.astype(work_dtype) * jnp.asarray(c["win"], work_dtype)
     if shard is not None:
         frames = cstr(frames, P(data_ax, time_ax))
@@ -232,7 +234,7 @@ def _fdlp_impl(
     # cosine matmuls (XLA FFT at non-pow2 lengths is pathologically slow on
     # TPU, and f64 FFT does not compile).
     scale = jnp.asarray(1.0 / np.sqrt(2 * int(cfg.srate * cfg.fduration)), work_dtype)
-    cos_dct = dct2(frames, dtype=work_dtype) * scale
+    cos_dct = dct2(frames, dtype=work_dtype, allow_fft=shard is None) * scale
     cos_dct = cos_dct.reshape(B * max_frames, -1)
     cos_dct = cstr(cos_dct, P(flat_ax or None))
 
@@ -350,9 +352,17 @@ def fdlp_spectrogram_batch(
         "would drop its circular wrap terms"
     )
     fb_dtype = jnp.float64 if cfg.precision == "high" else signals.dtype
+    # static length floor enables the gather-free framing fast path
+    # (ops/framing.py); bucketed to powers of two to bound recompiles.
+    mn = int(np.min(np.asarray(num_samples))) if num_samples.size else 0
+    fp = frame_params(cfg.srate, cfg.lfr, cfg.fduration)
+    if mn >= fp.extend + 2:
+        min_samples = fp.extend + 2
+    else:
+        min_samples = None
     return _fdlp_impl(
         signals, num_samples, jnp.asarray(fbank, fb_dtype), cfg,
-        max_samples, jitter, shard=_shard,
+        max_samples, jitter, shard=_shard, min_samples=min_samples,
     )
 
 

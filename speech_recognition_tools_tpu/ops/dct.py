@@ -1,17 +1,25 @@
-"""DCT-II with scipy.fftpack scaling (unnormalised), as blocked matmuls.
+"""DCT-II with scipy.fftpack scaling (unnormalised): Bluestein fast path
++ blocked-matmul fallback.
 
 scipy.fftpack.dct(x) (type 2, norm=None) computes
     y[k] = 2 * sum_n x[n] cos(pi k (2n+1) / (2N)).
 
 TPU rationale: XLA's FFT at non-power-of-two lengths (FDLP windows are
-N = srate*fduration = 8000/24000/...) is ~4 orders of magnitude slower than
-pow2 on v5e, and f64 FFT doesn't compile at all. An (N x N) cosine matmul
-rides the MXU instead, works in f64 (software-emulated matmuls), and the
-cosine blocks are generated on the fly so no O(N^2) constant is shipped
-with the program.
+N = srate*fduration = 8000/24000/...) is ~4 orders of magnitude slower
+than pow2 on v5e, and f64 FFT doesn't compile at all. Two paths:
+
+  * f32 fast path: Makhoul's even/odd-reversed reordering turns the
+    DCT-II into a length-N DFT, which Bluestein's identity
+    (pi (k-n)^2 = pi k^2 + pi n^2 - 2 pi k n) converts to a *linear
+    convolution* evaluated with power-of-two FFTs (length >= 2N-1) —
+    O(N log N) with only TPU-fast pow2 FFTs. Chirp phases are reduced
+    mod 2N in exact integer arithmetic host-side.
+  * f64 / odd-N fallback: an (N x N) cosine matmul riding the MXU
+    (software-emulated f64), cosine blocks generated on the fly so no
+    O(N^2) constant is shipped with the program.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -49,14 +57,67 @@ def _dct2_blocked(x, block: int, dtype_name: str):
     return out
 
 
-def dct2(x: jax.Array, dtype=None, block: int = 1024) -> jax.Array:
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+@lru_cache(maxsize=16)
+def _bluestein_consts(n: int):
+    """Host f64 chirp constants with exact integer phase reduction.
+
+    Returns (chirp, c, Bf, M): chirp[j] = e^{-i pi j^2/N} (input chirp),
+    c[k] = 2 * e^{-i pi k/(2N)} * chirp[k] (combines the DCT post-twiddle
+    with Bluestein's output chirp), Bf = FFT_M of the wrapped chirp
+    b[m] = e^{+i pi m^2/N} with M pow2 >= 2N-1.
+    """
+    m = _next_pow2(2 * n - 1)
+    # pi j^2 / N phases are periodic in j^2 mod 2N — reduce exactly
+    j2 = np.array([(j * j) % (2 * n) for j in range(n)], np.float64)
+    chirp = np.exp(-1j * np.pi * j2 / n)
+    post = np.exp(-1j * np.pi * np.arange(n) / (2.0 * n))
+    c = 2.0 * post * chirp
+    b = np.zeros(m, np.complex128)
+    b[:n] = np.conj(chirp)                       # e^{+i pi m^2 / N}
+    b[m - n + 1 :] = np.conj(chirp)[1:][::-1]    # wrapped negative m
+    Bf = np.fft.fft(b)
+    return (
+        chirp.astype(np.complex64),
+        c.astype(np.complex64),
+        Bf.astype(np.complex64),
+        m,
+    )
+
+
+@jax.jit
+def _dct2_bluestein(x):
+    n = x.shape[-1]
+    chirp, c, Bf, m = _bluestein_consts(n)
+    # Makhoul reorder: even indices, then odd indices reversed
+    v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], axis=-1)
+    a = v.astype(jnp.complex64) * jnp.asarray(chirp)
+    A = jnp.fft.fft(a, n=m, axis=-1)
+    conv = jnp.fft.ifft(A * jnp.asarray(Bf), axis=-1)[..., :n]
+    return jnp.real(jnp.asarray(c) * conv)
+
+
+def dct2(
+    x: jax.Array, dtype=None, block: int = 1024, allow_fft: bool = True
+) -> jax.Array:
     """Unnormalised DCT-II along the last axis (scipy.fftpack semantics).
 
     Args:
       x: (..., N) input.
-      dtype: compute dtype (default: x.dtype). Pass jnp.float64 for the
-        high-precision parity path.
-      block: output-coefficient block size (memory/constant-size knob).
+      dtype: compute dtype (default: x.dtype). float32 even-N inputs take
+        the Bluestein pow2-FFT path; float64 (the high-precision parity
+        path — f64 FFT doesn't compile on TPU) and odd N take the blocked
+        cosine matmul.
+      block: output-coefficient block size of the matmul path.
+      allow_fft: pass False under GSPMD sharding constraints — the CPU
+        backend's FFT thunk rejects non-default layouts the partitioner
+        introduces (fft_thunk.cc IsMonotonicWithDim0Major RET_CHECK).
     """
     dtype = jnp.dtype(x.dtype if dtype is None else dtype)
-    return _dct2_blocked(x, min(block, x.shape[-1]), dtype.name)
+    n = x.shape[-1]
+    if allow_fft and dtype == jnp.float32 and n % 2 == 0 and n >= 64:
+        return _dct2_bluestein(x.astype(jnp.float32))
+    return _dct2_blocked(x, min(block, n), dtype.name)

@@ -1,0 +1,148 @@
+"""Low-level op tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+
+
+class TestStridedFraming:
+    """The strided-slice framing fast path must match the one-gather
+    formulation exactly (which is itself golden vs the reference
+    generator in test_dsp_parity)."""
+
+    @pytest.mark.parametrize(
+        "srate,frate,flength",
+        [
+            (16000, 1.0 / (0.75 * 0.5), 0.5),    # FDLP light
+            (16000, 1.0 / (0.75 * 1.5), 1.5),    # FDLP production
+            (16000, 100.0, 0.025),               # melspec/mfcc geometry
+            (8000, 1.0 / (0.75 * 0.5), 0.5),     # 8 kHz
+        ],
+    )
+    def test_matches_gather(self, srate, frate, flength):
+        from speech_recognition_tools_tpu.ops.framing import (
+            _frame_signal_gather,
+            frame_count,
+            frame_params,
+            frame_signal,
+        )
+
+        fp = frame_params(srate, frate, flength)
+        rs = np.random.RandomState(3)
+        nmax = int(srate * 2.3)
+        B = 4
+        x = jnp.asarray(rs.randn(B, nmax).astype(np.float32))
+        lens = jnp.asarray(
+            [nmax, nmax - fp.frate_samples // 2, nmax - 2777,
+             max(fp.flength_samples // 2, 100)],
+            jnp.int32,
+        )
+        F = int(frame_count(nmax, fp))
+        win = jnp.asarray(np.hamming(fp.flength_samples), jnp.float32)
+        got, ngot = frame_signal(x, lens, fp, win, F)
+        ref, nref = _frame_signal_gather(x, lens, fp, win, F)
+        np.testing.assert_array_equal(np.asarray(ngot), np.asarray(nref))
+        for b in range(B):
+            nf = int(nref[b])
+            np.testing.assert_allclose(
+                np.asarray(got[b, :nf]), np.asarray(ref[b, :nf]),
+                rtol=0, atol=0,
+            )
+
+    def test_short_utterance_fixup_overlap(self):
+        """nframes < n_right: left and right fixups overlap; must still
+        be exact."""
+        from speech_recognition_tools_tpu.ops.framing import (
+            _frame_signal_gather,
+            frame_count,
+            frame_params,
+            frame_signal,
+        )
+
+        fp = frame_params(16000, 1.0 / (0.75 * 0.5), 0.5)
+        rs = np.random.RandomState(4)
+        nmax = 16000
+        x = jnp.asarray(rs.randn(2, nmax).astype(np.float32))
+        lens = jnp.asarray([nmax, 4000], jnp.int32)  # second very short
+        F = int(frame_count(nmax, fp))
+        win = jnp.ones((fp.flength_samples,), jnp.float32)
+        got, ngot = frame_signal(x, lens, fp, win, F)
+        ref, nref = _frame_signal_gather(x, lens, fp, win, F)
+        for b in range(2):
+            nf = int(nref[b])
+            np.testing.assert_array_equal(
+                np.asarray(got[b, :nf]), np.asarray(ref[b, :nf])
+            )
+
+    @pytest.mark.parametrize(
+        "srate,frate,flength",
+        [
+            (16000, 1.0 / (0.75 * 0.5), 0.5),
+            (16000, 1.0 / (0.75 * 1.5), 1.5),
+            (16000, 100.0, 0.025),
+        ],
+    )
+    def test_gather_free_path_matches(self, srate, frate, flength):
+        """min_samples >= extend+2 enables the flip/dynamic-slice reflect
+        construction; must equal the gather oracle exactly."""
+        from speech_recognition_tools_tpu.ops.framing import (
+            _frame_signal_gather,
+            frame_count,
+            frame_params,
+            frame_signal,
+        )
+
+        fp = frame_params(srate, frate, flength)
+        rs = np.random.RandomState(9)
+        nmax = int(srate * 2.1)
+        B = 3
+        x = jnp.asarray(rs.randn(B, nmax).astype(np.float32))
+        lens = jnp.asarray(
+            [nmax, max(fp.extend + 2, nmax - 3333), fp.extend + 2],
+            jnp.int32,
+        )
+        F = int(frame_count(nmax, fp))
+        win = jnp.asarray(np.hamming(fp.flength_samples), jnp.float32)
+        got, ngot = frame_signal(
+            x, lens, fp, win, F, min_samples=fp.extend + 2
+        )
+        ref, nref = _frame_signal_gather(x, lens, fp, win, F)
+        np.testing.assert_array_equal(np.asarray(ngot), np.asarray(nref))
+        for b in range(B):
+            nf = int(nref[b])
+            np.testing.assert_array_equal(
+                np.asarray(got[b, :nf]), np.asarray(ref[b, :nf])
+            )
+
+
+class TestBluesteinDct:
+    """dct2's pow2-FFT Bluestein fast path vs scipy.fftpack (and vs the
+    matmul fallback on odd N)."""
+
+    @pytest.mark.parametrize("N", [64, 400, 8000, 24000])
+    def test_matches_scipy(self, N):
+        from scipy.fftpack import dct as sdct
+
+        from speech_recognition_tools_tpu.ops.dct import dct2
+
+        rs = np.random.RandomState(11)
+        x = rs.randn(4, N).astype(np.float32)
+        ref = sdct(x.astype(np.float64), type=2, axis=-1)
+        got = np.asarray(dct2(jnp.asarray(x)))
+        rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-5, rel
+
+    def test_odd_n_falls_back(self):
+        from scipy.fftpack import dct as sdct
+
+        from speech_recognition_tools_tpu.ops.dct import dct2
+
+        rs = np.random.RandomState(12)
+        x = rs.randn(3, 401).astype(np.float32)
+        ref = sdct(x.astype(np.float64), type=2, axis=-1)
+        got = np.asarray(dct2(jnp.asarray(x)))
+        rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+        assert rel < 1e-5, rel
