@@ -34,36 +34,45 @@ def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int):
     safe_r0 = jnp.where(r0 == 0, 1.0, r0)
     rn = r[:, 1 : p + 1] / safe_r0  # (BLK, p) normalised lags
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (blk, p), dimension=1)
-
-    # ---- Levinson-Durbin (see ops/levinson.py for the window derivation) --
+    # ---- Levinson-Durbin (see ops/levinson.py for the window derivation).
+    # Per-step VPU pass count is the throughput limiter (the Pallas grid
+    # is a *sequential* loop on the TensorCore), so every step is built
+    # from shift-concats and one fused multiply-reduce — no masked
+    # reductions or one-hot writes:
+    #   * rbuf rotates the normalised lags so the current lag is always
+    #     column 0 (a static slice instead of a masked extraction);
+    #   * u is seeded with the implicit a_0 = 1 at index 0, which makes
+    #     a' = a + k*u produce the new coefficient a'_i = k at position
+    #     i-1 with no one-hot term (the 1 rides the shift register);
+    #   * u' = [k, u[:-1]] + k*[0, a[:-1]] == [k, (u + k*a)[:-1]]
+    #     merges the two shift-concats into one.
     def lev_step(i, carry):
-        a, u, s, e = carry
+        a, u, s, e, rbuf = carry
+        r_i = rbuf[:, 0:1]
         acc = jnp.sum(a * s, axis=1, keepdims=True)
-        # dynamic_slice of values doesn't lower in Mosaic; extract lag i
-        # with a masked reduction (one VPU op per step)
-        r_i = jnp.sum(jnp.where(col == (i - 1), rn, 0.0), axis=1, keepdims=True)
         tiny = jnp.float32(1e-37)
         e_safe = jnp.where(e < tiny, tiny, e)
         k = -(r_i + acc) / e_safe
         kmax = jnp.float32(1.0 - 16.0 * jnp.finfo(jnp.float32).eps)
         k = jnp.clip(k, -kmax, kmax)
-        onehot = (col == (i - 1)).astype(jnp.float32)
-        a_new = a + k * u + k * onehot
+        u_new = jnp.concatenate([k, (u + k * a)[:, :-1]], axis=1)
+        a_new = a + k * u
         e_new = e * (1.0 - k * k)
-        u_shift = jnp.concatenate([k, u[:, :-1]], axis=1)
-        a_head = jnp.concatenate(
-            [jnp.zeros((blk, 1), jnp.float32), a[:, :-1]], axis=1
-        )
-        u_new = u_shift + k * a_head
         s_new = jnp.concatenate([r_i, s[:, :-1]], axis=1)
-        return a_new, u_new, s_new, e_new
+        rbuf_new = jnp.concatenate(
+            [rbuf[:, 1:], jnp.zeros((blk, 1), jnp.float32)], axis=1
+        )
+        return a_new, u_new, s_new, e_new, rbuf_new
 
     a0 = jnp.zeros((blk, p), jnp.float32)
-    u0 = jnp.zeros((blk, p), jnp.float32)
+    u0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (blk, p), dimension=1) == 0
+    ).astype(jnp.float32)
     s0 = jnp.zeros((blk, p), jnp.float32)
     e0 = jnp.ones((blk, 1), jnp.float32)
-    a, _, _, e = jax.lax.fori_loop(1, p + 1, lev_step, (a0, u0, s0, e0))
+    a, _, _, e, _ = jax.lax.fori_loop(
+        1, p + 1, lev_step, (a0, u0, s0, e0, rn)
+    )
 
     # ---- gain (reference quirk) + negative-gain fallback ----
     # xlpc = [1, a]; gg = r0 + sum(xlpc * r[1:p+2]) = r0 + r1 + sum a_k r_{k+2-1}
@@ -82,39 +91,48 @@ def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int):
         )
     b = jnp.concatenate([jnp.ones((blk, 1), jnp.float32), b_tail], axis=1)
 
-    colL = jax.lax.broadcasted_iota(jnp.int32, (blk, lim), dimension=1)
-    # window slots m = 1..lim-1 (value at index m-1)
-    m_vals = (
-        jax.lax.broadcasted_iota(jnp.int32, (blk, lim - 1), dimension=1) + 1
-    ).astype(jnp.float32)
-    m_idx = jax.lax.broadcasted_iota(jnp.int32, (blk, lim - 1), dimension=1)
-
     cep0 = jnp.log(jnp.sqrt(gg))  # (BLK, 1)
-    b1 = b[:, 1:2]
-    cep_init = (
-        cep0 * (colL == 0).astype(jnp.float32)
-        + b1 * (colL == 1).astype(jnp.float32)
-    )
-    # win[m] = b[n-m]; init for n=2: [b1, b0, 0, ...]
-    win_init = b1 * (m_idx == 0).astype(jnp.float32) + jnp.where(
-        m_idx == 1, 1.0, 0.0
-    )
+    if lim == 1:
+        cep_ref[:] = cep0  # single coefficient: reversed == identity
+        return
 
-    def cep_step(n, carry):
-        cep, win = carry
-        nf = n.astype(jnp.float32)
-        w = (m_vals / nf) * (m_vals < nf).astype(jnp.float32)
-        acc = jnp.sum(w * win * cep[:, 1:lim], axis=1, keepdims=True)
-        b_n = jnp.sum(jnp.where(colL == n, b, 0.0), axis=1, keepdims=True)
-        c_n = acc + b_n
-        cep = cep + c_n * (colL == n).astype(jnp.float32)
-        win = jnp.concatenate([b_n, win[:, :-1]], axis=1)
-        return cep, win
-
-    cep = cep_init
+    # Reversed-prepend register: cepR[j] = c_{n-1-j} on entry to step n,
+    # so the recursion
+    #   c_n = sum_{m=1}^{n-1} (m/n) b[n-m] c_m + b[n]
+    # becomes (with j = n-1-m) one fused multiply-reduce against the
+    # *static* vector b[1:] — no per-step masked extraction — and the
+    # append is a shift-concat. b[n] rides its own rotating buffer.
+    zcol = jnp.zeros((blk, 1), jnp.float32)
+    cepR = jnp.concatenate(
+        [b[:, 1:2], cep0] + ([jnp.zeros((blk, lim - 2), jnp.float32)]
+                             if lim > 2 else []),
+        axis=1,
+    )
+    bb = b[:, 1:lim]  # (BLK, lim-1), constant through the loop
+    jvec = jax.lax.broadcasted_iota(
+        jnp.int32, (blk, lim - 1), dimension=1
+    ).astype(jnp.float32)
     if lim > 2:
-        cep, _ = jax.lax.fori_loop(2, lim, cep_step, (cep_init, win_init))
-    cep_ref[:] = cep
+        bbuf = jnp.concatenate(
+            [b[:, 2:lim], jnp.zeros((blk, 2), jnp.float32)], axis=1
+        )
+
+        def cep_step(n, carry):
+            cepR, bbuf = carry
+            nf = n.astype(jnp.float32)
+            w = jnp.maximum(nf - 1.0 - jvec, 0.0) / nf
+            acc = jnp.sum(
+                w * bb * cepR[:, : lim - 1], axis=1, keepdims=True
+            )
+            c_n = acc + bbuf[:, 0:1]
+            cepR = jnp.concatenate([c_n, cepR[:, :-1]], axis=1)
+            bbuf = jnp.concatenate([bbuf[:, 1:], zcol], axis=1)
+            return cepR, bbuf
+
+        cepR, _ = jax.lax.fori_loop(2, lim, cep_step, (cepR, bbuf))
+    # written REVERSED (cep_ref[j] = c_{lim-1-j}); lax.rev doesn't lower
+    # in Mosaic, so the caller flips with a plain XLA slice.
+    cep_ref[:] = cepR
 
 
 @partial(jax.jit, static_argnames=("order", "lim", "block", "interpret"))
@@ -158,4 +176,4 @@ def lpc_cepstra_pallas(
         ),
         interpret=interpret,
     )(r)
-    return out[:P]
+    return out[:P, ::-1]
