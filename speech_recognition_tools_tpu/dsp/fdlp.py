@@ -353,8 +353,14 @@ def fdlp_spectrogram_batch(
     )
     fb_dtype = jnp.float64 if cfg.precision == "high" else signals.dtype
     # static length floor enables the gather-free framing fast path
-    # (ops/framing.py); bucketed to powers of two to bound recompiles.
-    mn = int(np.min(np.asarray(num_samples))) if num_samples.size else 0
+    # (ops/framing.py); bucketed so it takes only two values. When this
+    # function is itself called under jit (num_samples is a tracer, e.g.
+    # featgen fused into a training step) the lengths are unknown at
+    # trace time — fall back to the gather-fixup framing.
+    try:
+        mn = int(np.min(np.asarray(num_samples))) if num_samples.size else 0
+    except jax.errors.TracerArrayConversionError:
+        mn = -1
     fp = frame_params(cfg.srate, cfg.lfr, cfg.fduration)
     if mn >= fp.extend + 2:
         min_samples = fp.extend + 2
