@@ -251,3 +251,34 @@ def test_train_am_modnet(tmp_path, arch):
     )
     import os
     assert os.path.exists(os.path.join(out, "final", "state.msgpack"))
+
+
+def test_tandem_feats_cli(tmp_path):
+    """get_Tandem_feats.sh equivalent: AM posterior features + PCA."""
+    import pickle as pkl
+
+    from speech_recognition_tools_tpu.cli import tandem_feats, train_am
+    from speech_recognition_tools_tpu.io import build_egs, read_mat_scp
+
+    rs = np.random.RandomState(21)
+    feats = {f"u{i}": rs.randn(20, 8).astype(np.float32) for i in range(4)}
+    labels = {k: rs.randint(0, 5, 20).astype(np.int32) for k in feats}
+    egs = str(tmp_path / "egs")
+    build_egs(iter(feats.items()), egs, labels=labels, num_targets=5)
+    am = str(tmp_path / "am")
+    train_am.main([egs, am, "--arch", "rnn", "--num_layers", "1",
+                   "--hidden_dim", "8", "--epochs", "1",
+                   "--batch_size", "2"])
+    out = str(tmp_path / "post")
+    tandem_feats.main([am, egs, out, "--tandem_type", "softmax",
+                       "--get_pca", "--pca_dim", "3"])
+    post = dict(read_mat_scp(out + ".scp"))
+    assert len(post) == 4
+    for k, v in post.items():
+        assert v.shape == (20, 5)
+        np.testing.assert_allclose(v.sum(axis=1), 1.0, atol=1e-4)
+    proj = dict(read_mat_scp(out + "_pca.scp"))
+    assert proj["u0"].shape == (20, 3)
+    with open(out + "_pca.pkl", "rb") as f:
+        pca = pkl.load(f)
+    assert pca["transform"].shape == (3, 5)
