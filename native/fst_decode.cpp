@@ -53,6 +53,20 @@ struct Token {
   int32_t bp;  // arena index
 };
 
+// N-best token: tokens at a state are kept distinct by the hash of
+// their word history (hist), so alternative word sequences survive the
+// per-state recombination (the standard word-lattice N-best trick).
+struct NToken {
+  float cost;
+  int32_t bp;
+  uint64_t hist;
+};
+
+inline uint64_t hist_extend(uint64_t h, int32_t olabel) {
+  if (olabel == 0) return h;
+  return h * 1000003ULL + (uint64_t)olabel;
+}
+
 }  // namespace
 
 extern "C" {
@@ -227,6 +241,174 @@ int32_t fst_decode(void* h, const float* loglikes, int32_t T, int32_t P,
   int32_t n = (int32_t)std::min<size_t>(words.size(), out_cap);
   std::memcpy(out_words, words.data(), n * sizeof(int32_t));
   return (int32_t)words.size();
+}
+
+// N-best decode: like fst_decode but each state carries up to `nbest`
+// tokens with distinct word histories. Returns the number of
+// hypotheses written (<= nbest); hypothesis i's words are
+// out_words[out_offsets[i] : out_offsets[i] + out_lens[i]] and its
+// total cost is out_costs[i], best first.
+int32_t fst_decode_nbest(void* h, const float* loglikes, int32_t T,
+                         int32_t P, float acoustic_scale, float beam,
+                         int32_t max_active, int32_t nbest,
+                         int32_t* out_words, int32_t out_cap,
+                         int32_t* out_lens, float* out_costs) {
+  Fst* fst = static_cast<Fst*>(h);
+  if (!fst || T < 0 || P <= 0 || nbest < 1) return -1;
+
+  std::vector<BackPtr> arena;
+  arena.reserve(1 << 16);
+  using Toks = std::unordered_map<int32_t, std::vector<NToken>>;
+  Toks cur, nxt;
+  arena.push_back({-1, 0});
+  cur[0] = {{0.0f, 0, 0ULL}};
+
+  // returns true iff the token was accepted (inserted or strictly
+  // improved a slot) — strict inequalities guarantee termination of the
+  // epsilon relaxation, and a rejected token's arena entry is popped by
+  // the caller (safe: nothing references it yet).
+  auto insert_tok = [&](std::vector<NToken>& v, const NToken& t,
+                        int32_t cap) {
+    for (auto& e : v) {
+      if (e.hist == t.hist) {
+        if (t.cost < e.cost) {
+          e = t;
+          return true;
+        }
+        return false;
+      }
+    }
+    if ((int32_t)v.size() < cap) {
+      v.push_back(t);
+      return true;
+    }
+    int wi = 0;
+    for (int i = 1; i < (int)v.size(); ++i)
+      if (v[i].cost > v[wi].cost) wi = i;
+    if (t.cost < v[wi].cost) {
+      v[wi] = t;
+      return true;
+    }
+    return false;
+  };
+
+  std::vector<int32_t> queue;
+  auto eps_closure = [&](Toks& toks) {
+    queue.clear();
+    for (auto& kv : toks) queue.push_back(kv.first);
+    while (!queue.empty()) {
+      int32_t s = queue.back();
+      queue.pop_back();
+      std::vector<NToken> snapshot = toks[s];
+      for (int32_t i = fst->offsets[s]; i < fst->offsets[s + 1]; ++i) {
+        const Arc& a = fst->arcs[i];
+        if (a.ilabel != 0) continue;
+        bool changed = false;
+        for (const NToken& tok : snapshot) {
+          int32_t bp = (int32_t)arena.size();
+          arena.push_back({tok.bp, a.olabel});
+          NToken t{tok.cost + a.w, bp, hist_extend(tok.hist, a.olabel)};
+          if (insert_tok(toks[a.dst], t, nbest))
+            changed = true;
+          else
+            arena.pop_back();
+        }
+        if (changed) queue.push_back(a.dst);
+      }
+    }
+  };
+
+  auto prune = [&](Toks& toks) {
+    if (toks.empty()) return;
+    float best = kInf;
+    for (auto& kv : toks)
+      for (auto& t : kv.second) best = std::min(best, t.cost);
+    float thresh = best + beam;
+    if (max_active > 0) {
+      std::vector<float> costs;
+      for (auto& kv : toks)
+        for (auto& t : kv.second) costs.push_back(t.cost);
+      if ((int32_t)costs.size() > max_active) {
+        std::nth_element(costs.begin(), costs.begin() + max_active - 1,
+                         costs.end());
+        thresh = std::min(thresh, costs[max_active - 1]);
+      }
+    }
+    for (auto it = toks.begin(); it != toks.end();) {
+      auto& v = it->second;
+      v.erase(std::remove_if(v.begin(), v.end(),
+                             [&](const NToken& t) {
+                               return t.cost > thresh;
+                             }),
+              v.end());
+      it = v.empty() ? toks.erase(it) : std::next(it);
+    }
+  };
+
+  eps_closure(cur);
+  prune(cur);
+
+  for (int32_t t = 0; t < T; ++t) {
+    const float* frame = loglikes + (int64_t)t * P;
+    nxt.clear();
+    for (auto& kv : cur) {
+      int32_t s = kv.first;
+      for (int32_t i = fst->offsets[s]; i < fst->offsets[s + 1]; ++i) {
+        const Arc& a = fst->arcs[i];
+        if (a.ilabel == 0) continue;
+        int32_t pdf = a.ilabel - 1;
+        if (pdf >= P) return -1;
+        float ac = a.w - acoustic_scale * frame[pdf];
+        for (const NToken& tok : kv.second) {
+          int32_t bp = (int32_t)arena.size();
+          arena.push_back({tok.bp, a.olabel});
+          NToken nt{tok.cost + ac, bp, hist_extend(tok.hist, a.olabel)};
+          if (!insert_tok(nxt[a.dst], nt, nbest)) arena.pop_back();
+        }
+      }
+    }
+    std::swap(cur, nxt);
+    if (cur.empty()) return -1;
+    eps_closure(cur);
+    prune(cur);
+  }
+
+  // collect final hypotheses across states, dedupe by history
+  std::vector<NToken> finals;
+  for (auto& kv : cur) {
+    float fc = fst->final_cost[kv.first];
+    if (fc == kInf) continue;
+    for (auto& t : kv.second)
+      finals.push_back({t.cost + fc, t.bp, t.hist});
+  }
+  if (finals.empty())
+    for (auto& kv : cur)
+      for (auto& t : kv.second) finals.push_back(t);
+  std::sort(finals.begin(), finals.end(),
+            [](const NToken& a, const NToken& b) { return a.cost < b.cost; });
+
+  int32_t written = 0;
+  int32_t word_pos = 0;
+  std::vector<uint64_t> seen;
+  for (const NToken& t : finals) {
+    if (written >= nbest) break;
+    bool dup = false;
+    for (uint64_t hh : seen) dup |= (hh == t.hist);
+    if (dup) continue;
+    seen.push_back(t.hist);
+    std::vector<int32_t> words;
+    for (int32_t bp = t.bp; bp >= 0; bp = arena[bp].prev)
+      if (arena[bp].olabel != 0) words.push_back(arena[bp].olabel);
+    std::reverse(words.begin(), words.end());
+    if (word_pos + (int32_t)words.size() > out_cap) break;
+    std::memcpy(out_words + word_pos, words.data(),
+                words.size() * sizeof(int32_t));
+    out_lens[written] = (int32_t)words.size();
+    out_costs[written] = t.cost;
+    word_pos += (int32_t)words.size();
+    ++written;
+  }
+  return written;
 }
 
 }  // extern "C"

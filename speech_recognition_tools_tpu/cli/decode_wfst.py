@@ -42,6 +42,16 @@ def get_parser():
                    help="parallel decode workers (the latgen-faster-"
                         "mapped-parallel --num-threads analogue; the C++ "
                         "search releases the GIL)")
+    d.add_argument("--nbest", type=int, default=1,
+                   help=">1 enables N-best decoding (+ LM rescoring if "
+                        "--rescore_lm_dir is given)")
+    d.add_argument("--rescore_arpa",
+                   help="ARPA LM the graph was built from (required for "
+                        "rescoring: its score is removed exactly)")
+    d.add_argument("--rescore_lm_dir",
+                   help="train_lm RNNLM checkpoint dir used to rescore "
+                        "the N-best (lattice-rescoring equivalent)")
+    d.add_argument("--rescore_weight", type=float, default=1.0)
     d.add_argument("--ref_text", help="Kaldi text file for WER scoring")
     return p
 
@@ -90,12 +100,48 @@ def _decode(args):
             w, i = line.split()
             id2w[int(i)] = w
 
+    rescore = None
+    if args.nbest > 1 and args.rescore_arpa:
+        from speech_recognition_tools_tpu.decode.wfst import (
+            rescore_nbest,
+            rnnlm_sequence_scorer,
+        )
+        from speech_recognition_tools_tpu.models.ngram_lm import read_arpa
+
+        old_lm = read_arpa(args.rescore_arpa)
+        scorer = None
+        if args.rescore_lm_dir:
+            from speech_recognition_tools_tpu.cli.recog_e2e import _load_lm
+
+            from speech_recognition_tools_tpu.io.text import load_vocab
+
+            lm_model, lm_params = _load_lm(args.rescore_lm_dir)
+            lm_vocab = load_vocab(
+                os.path.join(args.rescore_lm_dir, "vocab.json")
+            )
+            scorer = rnnlm_sequence_scorer(lm_model, lm_params, lm_vocab)
+
+        def rescore(hyps):
+            return rescore_nbest(
+                hyps, id2w, old_lm, scorer,
+                new_weight=args.rescore_weight,
+            )
+
     def one(item):
         key, ll = item
-        ids, cost = dec.decode(
-            ll, acoustic_scale=args.acoustic_scale,
-            beam=args.beam, max_active=args.max_active,
-        )
+        if args.nbest > 1:
+            hyps_n = dec.decode_nbest(
+                ll, nbest=args.nbest, acoustic_scale=args.acoustic_scale,
+                beam=args.beam, max_active=args.max_active,
+            )
+            if rescore is not None:
+                hyps_n = rescore(hyps_n)
+            ids, cost = hyps_n[0]
+        else:
+            ids, cost = dec.decode(
+                ll, acoustic_scale=args.acoustic_scale,
+                beam=args.beam, max_active=args.max_active,
+            )
         return key, " ".join(id2w[i] for i in ids), cost
 
     hyps = {}

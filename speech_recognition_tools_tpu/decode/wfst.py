@@ -61,6 +61,42 @@ class WfstDecoder:
             raise RuntimeError("decoding failed (empty beam or bad pdf id)")
         return [int(w) for w in out[: min(n, max_words)]], float(cost.value)
 
+    def decode_nbest(self, loglikes, nbest=10, acoustic_scale=0.1,
+                     beam=16.0, max_active=7000, max_words=16384):
+        """N-best decode: tokens stay distinct by word history, so the
+        per-state recombination preserves alternative word sequences
+        (the native counterpart of the reference's lattice path).
+
+        Returns a list of (word_ids, total_cost), best first.
+        """
+        ll = np.ascontiguousarray(loglikes, np.float32)
+        assert ll.ndim == 2, ll.shape
+        out = np.zeros(max_words, np.int32)
+        lens = np.zeros(nbest, np.int32)
+        costs = np.zeros(nbest, np.float32)
+        n = self._lib.fst_decode_nbest(
+            self._h,
+            ll.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ll.shape[0], ll.shape[1],
+            ctypes.c_float(acoustic_scale), ctypes.c_float(beam),
+            int(max_active), int(nbest),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(max_words),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            costs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if n < 0:
+            raise RuntimeError("decoding failed (empty beam or bad pdf id)")
+        hyps = []
+        pos = 0
+        for i in range(n):
+            hyps.append((
+                [int(w) for w in out[pos : pos + int(lens[i])]],
+                float(costs[i]),
+            ))
+            pos += int(lens[i])
+        return hyps
+
     def __del__(self):
         if getattr(self, "_h", None) and getattr(self, "_lib", None):
             self._lib.fst_free(self._h)
@@ -128,3 +164,64 @@ def decode_py(fst_path, loglikes, acoustic_scale=0.1):
             if cost < best[0]:
                 best = (cost, hist)
     return list(best[1]), best[0]
+
+
+def rescore_nbest(hyps, id2word, old_lm, new_scorer, lm_scale=1.0,
+                  new_weight=1.0):
+    """LM-rescore an N-best list (the native counterpart of the
+    reference's lattice-rescoring stage).
+
+    The graph's own LM contribution is removed exactly — the decoding
+    graph was built from `old_lm` (decode/graph.py), so its per-sequence
+    score is recomputable — and replaced by `new_scorer`:
+
+        cost' = cost + lm_scale*ln(10)*lp_old(W) - new_weight*lm_scale
+                      *ln(10)*lp_new(W)
+
+    Args:
+      hyps: [(word_ids, cost), ...] from WfstDecoder.decode_nbest.
+      id2word: graph symbol table (DecodingGraph.id_to_word()).
+      old_lm: the NgramLM the graph was built from.
+      new_scorer: callable(list[str]) -> log10 sequence probability
+        (e.g. lambda ws: old_lm.sentence_logprob(ws)[0], or an RNNLM
+        wrapper); None keeps only the old-LM removal.
+      lm_scale: scale of LM cost in the graph (1.0 when build_decoding
+        _graph was used unmodified).
+      new_weight: weight of the new LM.
+
+    Returns the re-ranked [(word_ids, cost'), ...].
+    """
+    ln10 = math.log(10.0)
+    out = []
+    for ids, cost in hyps:
+        words = [id2word[i] for i in ids]
+        lp_old, _ = old_lm.sentence_logprob(words)
+        c = cost + lm_scale * ln10 * lp_old
+        if new_scorer is not None:
+            c -= new_weight * lm_scale * ln10 * float(new_scorer(words))
+        out.append((ids, c))
+    out.sort(key=lambda x: x[1])
+    return out
+
+
+def rnnlm_sequence_scorer(model, params, vocab):
+    """log10 P(word sequence) under a character RNNLM trained by
+    cli/train_lm (ESPnet conventions: the ASR char vocab with <space>
+    tokens and a shared <sos/eos> as the last id)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tools_tpu.io.text import encode_text
+
+    sos = len(vocab) - 1
+
+    def score(words):
+        ids = encode_text(" ".join(words), vocab)
+        toks = jnp.asarray([[sos] + ids + [sos]], jnp.int32)
+        logits = model.apply(params, toks[:, :-1])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = toks[:, 1:]
+        ll = jnp.take_along_axis(logp, tgt[..., None], -1)[0, :, 0]
+        return float(jnp.sum(ll)) / math.log(10.0)
+
+    return score

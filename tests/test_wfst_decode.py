@@ -233,3 +233,105 @@ class TestDecodeCli:
             )
             outs.append(sorted(open(out).read().splitlines()))
         assert outs[0] == outs[1]
+
+
+class TestNbest:
+    def test_nbest_first_matches_onebest(self, graph):
+        g, path = graph
+        dec = WfstDecoder(path)
+        ll = _loglikes_for(["go", "stop"], g, noise=0.8)
+        one, cost1 = dec.decode(ll, acoustic_scale=0.8, beam=1e9)
+        hyps = dec.decode_nbest(ll, nbest=5, acoustic_scale=0.8, beam=1e9)
+        assert hyps[0][0] == one
+        assert abs(hyps[0][1] - cost1) < 1e-3
+        # distinct hypotheses, ascending costs
+        seqs = [tuple(h[0]) for h in hyps]
+        assert len(set(seqs)) == len(seqs)
+        costs = [h[1] for h in hyps]
+        assert costs == sorted(costs)
+        assert len(hyps) > 1
+
+    def test_rescore_same_lm_keeps_order(self, graph):
+        """Removing the graph LM and re-adding the SAME LM must not
+        change the ranking (sanity of the exact-removal identity)."""
+        from speech_recognition_tools_tpu.decode.wfst import rescore_nbest
+
+        g, path = graph
+        lm = train_ngram_lm(SENTS, order=2)
+        dec = WfstDecoder(path)
+        ll = _loglikes_for(["left", "right"], g, noise=1.0)
+        hyps = dec.decode_nbest(ll, nbest=4, acoustic_scale=0.7, beam=1e9)
+        res = rescore_nbest(
+            hyps, g.id_to_word(), lm,
+            lambda ws: lm.sentence_logprob(ws)[0],
+        )
+        assert [h[0] for h in res] == [h[0] for h in hyps]
+        for (i1, c1), (i2, c2) in zip(hyps, res):
+            assert abs(c1 - c2) < 0.3, (c1, c2)
+
+    def test_rescore_oracle_lm_promotes_truth(self, graph):
+        """An oracle LM that loves the true sequence must rank it first
+        even when the acoustics are ambiguous."""
+        from speech_recognition_tools_tpu.decode.wfst import rescore_nbest
+
+        g, path = graph
+        lm = train_ngram_lm(SENTS, order=2)
+        dec = WfstDecoder(path)
+        truth = ["stop", "go"]
+        ll = _loglikes_for(truth, g, noise=2.0)
+        hyps = dec.decode_nbest(ll, nbest=8, acoustic_scale=0.4, beam=1e9)
+        inv = g.id_to_word()
+        in_list = [
+            i for i, h in enumerate(hyps)
+            if [inv[w] for w in h[0]] == truth
+        ]
+        if not in_list:
+            pytest.skip("truth fell outside the nbest under this noise")
+
+        def oracle(ws):
+            return 0.0 if ws == truth else -50.0
+
+        res = rescore_nbest(hyps, inv, lm, oracle)
+        assert [inv[w] for w in res[0][0]] == truth
+
+    def test_cli_nbest_rescoring(self, graph, tmp_path):
+        """decode CLI with --nbest + --rescore_arpa + RNNLM rescoring."""
+        import shutil
+
+        from speech_recognition_tools_tpu.cli import (
+            decode_wfst,
+            train_lm,
+            train_ngram,
+        )
+        from speech_recognition_tools_tpu.io.kaldi_ark import write_ark_scp
+
+        g, path = graph
+        gdir = tmp_path / "graph"
+        gdir.mkdir()
+        shutil.copy(path, gdir / "HCLG.txt")
+        g.write_words(str(gdir / "words.txt"))
+
+        text = tmp_path / "text"
+        text.write_text(
+            "".join(f"u{i} {' '.join(s)}\n" for i, s in enumerate(SENTS))
+        )
+        train_ngram.main([str(text), str(tmp_path / "lm"), "--order", "2"])
+        import glob
+
+        arpa = glob.glob(str(tmp_path / "lm") + "/*.arpa*")[0]
+        train_lm.main([str(text), str(tmp_path / "rnnlm"), "--embed_dim",
+                       "8", "--hidden", "16", "--epochs", "1",
+                       "--batch_size", "8"])
+
+        arks = {"u0": _loglikes_for(["go", "stop"], g, noise=0.5)}
+        write_ark_scp(arks, str(tmp_path / "ll"))
+        out = str(tmp_path / "hyp.txt")
+        decode_wfst.main(
+            ["decode", str(gdir), str(tmp_path / "ll.ark"), out,
+             "--acoustic_scale", "1.0", "--beam", "1000",
+             "--nbest", "4", "--rescore_arpa", arpa,
+             "--rescore_lm_dir", str(tmp_path / "rnnlm"),
+             "--rescore_weight", "0.5"]
+        )
+        lines = open(out).read().splitlines()
+        assert len(lines) == 1 and lines[0].startswith("u0 ")
