@@ -25,7 +25,7 @@ NEG_INF = -1e30
 @partial(
     jax.jit,
     static_argnames=("model", "beam_size", "max_len", "ctc_weight",
-                     "penalty", "lm_apply", "lm_weight"),
+                     "penalty", "lm_apply", "lm_weight", "incremental"),
 )
 def beam_search_jit(
     model,
@@ -39,8 +39,18 @@ def beam_search_jit(
     penalty: float = 0.0,
     lm_apply=None,
     lm_weight: float = 1.0,
+    incremental: bool = False,
 ):
     """Jitted beam search for one utterance (feats (1, T, D)).
+
+    incremental=True runs the decoder with flax KV caches — O(L) work
+    per step with per-step beam reordering of the cache — instead of the
+    O(L^2) full-prefix decode_step; token-identical (tests assert it).
+    Measured on v5e (adim 256, 6enc/3dec, beam 10): the full-prefix path
+    is ~10-25% FASTER up to max_len 200 — the per-step cache gathers and
+    (K, 1) matmuls cost more than the redundant-but-fat full-prefix
+    attention, so full-prefix is the default; flip it for much longer
+    outputs or larger decoders.
 
     Returns (tokens (K, max_len+1) int32 with sos at 0 and -1 padding,
     scores (K,)); take tokens[argmax(scores)] and strip sos/eos/-1.
@@ -70,15 +80,34 @@ def beam_search_jit(
         prefix_lens=jnp.zeros((K,), jnp.int32),
         r_state=init_prefix_state(ctc_logp, enc_len[0], K, cfg.blank_id),
     )
+    if incremental:
+        _, mut = model.apply(
+            params, tokens0, memory, enc_len_b,
+            method=TransformerASR.decode_init_cache, mutable=["cache"],
+        )
+        state["cache"] = mut["cache"]
 
     def step(state, step_idx):
-        dec_logits = model.apply(
-            params, state["tokens"], memory, enc_len_b,
-            method=TransformerASR.decode_step,
-        )
-        att_logp = jax.nn.log_softmax(
-            jnp.take(dec_logits, step_idx, axis=1), axis=-1
-        )  # (K, V)
+        if incremental:
+            last = jax.lax.dynamic_slice_in_dim(
+                state["tokens"], step_idx, 1, axis=1
+            )  # (K, 1)
+            logits1, mut = model.apply(
+                {**params, "cache": state["cache"]},
+                last, step_idx, memory, enc_len_b,
+                method=TransformerASR.decode_incremental,
+                mutable=["cache"],
+            )
+            cache = mut["cache"]
+            att_logp = jax.nn.log_softmax(logits1[:, 0], axis=-1)
+        else:
+            dec_logits = model.apply(
+                params, state["tokens"], memory, enc_len_b,
+                method=TransformerASR.decode_step,
+            )
+            att_logp = jax.nn.log_softmax(
+                jnp.take(dec_logits, step_idx, axis=1), axis=-1
+            )  # (K, V)
         new_att = state["att_cum"][:, None] + att_logp
         new_lm = state["lm_cum"][:, None]
         if lm_apply is not None:
@@ -137,6 +166,14 @@ def beam_search_jit(
                 ends[:, None, None], state["r_state"][beam_idx], r_picked
             ),
         )
+        if incremental:
+            # reorder the KV caches by surviving-beam parent; scalar
+            # cache_index leaves are shared across beams
+            new_state["cache"] = jax.tree.map(
+                lambda c: c[beam_idx] if c.ndim >= 1 and c.shape[0] == K
+                else c,
+                cache,
+            )
         return new_state, None
 
     state, _ = jax.lax.scan(step, state, jnp.arange(max_len))
@@ -155,7 +192,7 @@ def tokens_to_list(tokens, scores, eos_id):
 @partial(
     jax.jit,
     static_argnames=("model", "beam_size", "max_len", "ctc_weight",
-                     "penalty", "lm_apply", "lm_weight"),
+                     "penalty", "lm_apply", "lm_weight", "incremental"),
 )
 def beam_search_jit_batched(
     model,
@@ -169,6 +206,7 @@ def beam_search_jit_batched(
     penalty: float = 0.0,
     lm_apply=None,
     lm_weight: float = 1.0,
+    incremental: bool = False,
 ):
     """Batched jitted beam search: B independent searches in one program.
 
@@ -185,6 +223,7 @@ def beam_search_jit_batched(
             model, params, f[None], l[None],
             beam_size=beam_size, max_len=max_len, ctc_weight=ctc_weight,
             penalty=penalty, lm_apply=lm_apply, lm_weight=lm_weight,
+            incremental=incremental,
         )
 
     return jax.vmap(one)(feats, lengths)

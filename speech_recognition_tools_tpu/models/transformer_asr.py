@@ -64,20 +64,26 @@ class _MHABlock(nn.Module):
     ff_dim: int
     causal: bool = False
     cross: bool = False
+    decode_mode: bool = False  # flax KV-cache incremental decoding
 
     @nn.compact
     def __call__(self, x, mask, memory=None, memory_mask=None,
                  deterministic=True):
         c = self.cfg
         h = nn.LayerNorm()(x)
-        self_mask = mask[:, None, None, :]
-        if self.causal:
-            T = x.shape[1]
-            tri = jnp.tril(jnp.ones((T, T), bool))
-            self_mask = self_mask & tri[None, None]
+        if self.decode_mode:
+            # causality comes from the autoregressive cache index
+            self_mask = None
+        else:
+            self_mask = mask[:, None, None, :]
+            if self.causal:
+                T = x.shape[1]
+                tri = jnp.tril(jnp.ones((T, T), bool))
+                self_mask = self_mask & tri[None, None]
         h = nn.MultiHeadDotProductAttention(
             num_heads=c.aheads, qkv_features=c.adim,
             dropout_rate=0.0, deterministic=deterministic,
+            decode=self.decode_mode,
         )(h, h, mask=self_mask)
         x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
         if self.cross:
@@ -134,18 +140,30 @@ class TransformerDecoder(nn.Module):
     cfg: TransformerASRConfig
 
     @nn.compact
-    def __call__(self, tokens, memory, memory_len, deterministic=True):
+    def __call__(self, tokens, memory, memory_len, deterministic=True,
+                 decode_mode=False, pos=None):
+        """Full-prefix pass, or (decode_mode=True) one KV-cached step:
+        tokens (K, 1) = last generated tokens, pos = their position.
+        Parameters are shared between the modes (same module names);
+        the flax 'cache' collection carries cached_key/cached_value.
+        Initialise the cache by one decode_mode call with a full-length
+        dummy under mutable=['cache'] (flax zero-creates it from the
+        input shape), then step with length-1 inputs."""
         c = self.cfg
         tok_mask = tokens != -1
         h = nn.Embed(c.vocab_size, c.adim, name="embed")(
             jnp.maximum(tokens, 0)
         )
-        h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+        if decode_mode and h.shape[1] == 1:
+            pe = jnp.take(_posenc(4096, c.adim), pos, axis=0)
+            h = h * np.sqrt(c.adim) + pe[None, None, :]
+        else:
+            h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
         mem_mask = jnp.arange(memory.shape[1])[None, :] < memory_len[:, None]
         for i in range(c.dlayers):
             h = _MHABlock(c, c.dunits, causal=True, cross=True,
-                          name=f"layer_{i}")(
+                          decode_mode=decode_mode, name=f"layer_{i}")(
                 h, tok_mask, memory, mem_mask, deterministic
             )
         h = nn.LayerNorm(name="after_norm")(h)
@@ -177,6 +195,21 @@ class TransformerASR(nn.Module):
         """Full-prefix decoder pass (scores for the last position are
         logits[:, -1]); O(T^2) per step but static-shape."""
         return self.decoder(tokens, memory, enc_len, True)
+
+    def decode_init_cache(self, dummy_tokens, memory, enc_len):
+        """Zero-create the KV cache sized by dummy_tokens (K, max_len+1):
+        call under mutable=['cache'] and keep the returned collection."""
+        return self.decoder(
+            dummy_tokens, memory, enc_len, True, decode_mode=True
+        )
+
+    def decode_incremental(self, last_tokens, pos, memory, enc_len):
+        """One KV-cached decoder step: last_tokens (K, 1) at position
+        `pos` -> logits (K, 1, V). O(L) per step; exact same scores as
+        decode_step (tests assert token parity)."""
+        return self.decoder(
+            last_tokens, memory, enc_len, True, decode_mode=True, pos=pos
+        )
 
 
 def asr_loss(model, params, batch, rng, cfg: TransformerASRConfig,

@@ -46,7 +46,7 @@ def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int):
     #     i-1 with no one-hot term (the 1 rides the shift register);
     #   * u' = [k, u[:-1]] + k*[0, a[:-1]] == [k, (u + k*a)[:-1]]
     #     merges the two shift-concats into one.
-    def lev_step(i, carry):
+    def lev_step(_, carry):
         a, u, s, e, rbuf = carry
         r_i = rbuf[:, 0:1]
         acc = jnp.sum(a * s, axis=1, keepdims=True)
@@ -70,9 +70,11 @@ def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int):
     ).astype(jnp.float32)
     s0 = jnp.zeros((blk, p), jnp.float32)
     e0 = jnp.ones((blk, 1), jnp.float32)
-    a, _, _, e, _ = jax.lax.fori_loop(
-        1, p + 1, lev_step, (a0, u0, s0, e0, rn)
-    )
+    # fori_loop with explicit int32 bounds: Mosaic only lowers the fori
+    # pattern (lax.scan carries are rejected), and under jax_enable_x64
+    # python-int bounds make an int64 induction var that fails Mosaic
+    # legalization ('func.return').
+    a, _, _, e, _ = jax.lax.fori_loop(0, p, lev_step, (a0, u0, s0, e0, rn))
 
     # ---- gain (reference quirk) + negative-gain fallback ----
     # xlpc = [1, a]; gg = r0 + sum(xlpc * r[1:p+2]) = r0 + r1 + sum a_k r_{k+2-1}
@@ -117,9 +119,8 @@ def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int):
             [b[:, 2:lim], jnp.zeros((blk, 2), jnp.float32)], axis=1
         )
 
-        def cep_step(n, carry):
-            cepR, bbuf = carry
-            nf = n.astype(jnp.float32)
+        def cep_step(_, carry):
+            cepR, bbuf, nf = carry
             w = jnp.maximum(nf - 1.0 - jvec, 0.0) / nf
             acc = jnp.sum(
                 w * bb * cepR[:, : lim - 1], axis=1, keepdims=True
@@ -127,9 +128,11 @@ def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int):
             c_n = acc + bbuf[:, 0:1]
             cepR = jnp.concatenate([c_n, cepR[:, :-1]], axis=1)
             bbuf = jnp.concatenate([bbuf[:, 1:], zcol], axis=1)
-            return cepR, bbuf
+            return cepR, bbuf, nf + 1.0
 
-        cepR, _ = jax.lax.fori_loop(2, lim, cep_step, (cepR, bbuf))
+        cepR, _, _ = jax.lax.fori_loop(
+            0, lim - 2, cep_step, (cepR, bbuf, jnp.float32(2.0))
+        )
     # written REVERSED (cep_ref[j] = c_{lim-1-j}); lax.rev doesn't lower
     # in Mosaic, so the caller flips with a plain XLA slice.
     cep_ref[:] = cepR
@@ -162,17 +165,21 @@ def lpc_cepstra_pallas(
         filler = jnp.zeros((pad, r.shape[1]), r.dtype).at[:, 0].set(1.0)
         r = jnp.concatenate([r, filler], axis=0)
     grid = (r.shape[0] // block,)
+    # index maps wrapped to int32: under jax_enable_x64 a plain
+    # `lambda i: (i, 0)` returns int64 block indices, which Mosaic fails
+    # to legalize ('func.return').
+    imap = lambda i: (jnp.int32(i), jnp.int32(0))
     out = pl.pallas_call(
         partial(_lpc_cepstra_kernel, order=order, lim=lim),
         out_shape=jax.ShapeDtypeStruct((r.shape[0], lim), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (block, r.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (block, r.shape[1]), imap, memory_space=pltpu.VMEM
             )
         ],
         out_specs=pl.BlockSpec(
-            (block, lim), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block, lim), imap, memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(r)

@@ -258,3 +258,67 @@ class TestTrainLmCli:
         lm, lm_params = _load_lm(out)
         logits = lm.apply(lm_params, jnp.zeros((1, 4), jnp.int32))
         assert logits.shape[-1] == lm.vocab_size
+
+
+class TestIncrementalDecode:
+    def test_incremental_matches_full_prefix(self, model_and_params):
+        """KV-cached decoding (incremental=True) is token-identical to
+        the O(L^2) full-prefix path."""
+        from speech_recognition_tools_tpu.decode.beam_jit import (
+            beam_search_jit,
+            tokens_to_list,
+        )
+
+        model, params = model_and_params
+        b = _batch()
+        toks_i, sc_i = beam_search_jit(
+            model, params, b["feats"][:1], b["lengths"][:1],
+            beam_size=4, max_len=8, incremental=True,
+        )
+        toks_f, sc_f = beam_search_jit(
+            model, params, b["feats"][:1], b["lengths"][:1],
+            beam_size=4, max_len=8, incremental=False,
+        )
+        assert tokens_to_list(toks_i, sc_i, CFG.eos_id) == tokens_to_list(
+            toks_f, sc_f, CFG.eos_id
+        )
+        np.testing.assert_allclose(
+            np.asarray(sc_i), np.asarray(sc_f), rtol=1e-4, atol=1e-4
+        )
+
+    def test_decoder_step_logits_match(self, model_and_params):
+        """decode_incremental logits == decode_step logits position by
+        position for a fixed token prefix."""
+        model, params = model_and_params
+        b = _batch()
+        memory, enc_len, _ = model.apply(
+            params, b["feats"][:1], b["lengths"][:1],
+            method=TransformerASR.encode,
+        )
+        K, L = 2, 6
+        memory = jnp.repeat(memory, K, axis=0)
+        enc_len_b = jnp.repeat(enc_len, K, axis=0)
+        toks = jnp.asarray(
+            RS.randint(1, CFG.vocab_size - 1, (K, L)), jnp.int32
+        )
+        full = model.apply(
+            params, toks, memory, enc_len_b,
+            method=TransformerASR.decode_step,
+        )
+        _, mut = model.apply(
+            params, toks, memory, enc_len_b,
+            method=TransformerASR.decode_init_cache, mutable=["cache"],
+        )
+        cache = mut["cache"]
+        for t in range(L):
+            step, mut = model.apply(
+                {**params, "cache": cache}, toks[:, t : t + 1], t,
+                memory, enc_len_b,
+                method=TransformerASR.decode_incremental,
+                mutable=["cache"],
+            )
+            cache = mut["cache"]
+            np.testing.assert_allclose(
+                np.asarray(step[:, 0]), np.asarray(full[:, t]),
+                rtol=2e-4, atol=2e-4,
+            )
