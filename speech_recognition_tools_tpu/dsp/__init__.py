@@ -15,6 +15,7 @@ from speech_recognition_tools_tpu.dsp.fdlp import (
     fdlp_spectrogram_batch,
     fdlp_spectrogram_sharded,
 )
+from speech_recognition_tools_tpu.dsp.streaming import StreamingFdlp
 from speech_recognition_tools_tpu.dsp.melspec import MelConfig, mel_spectrum_batch
 from speech_recognition_tools_tpu.dsp.mfcc import MfccConfig, mfcc_batch
 from speech_recognition_tools_tpu.dsp.modspec import (

@@ -335,3 +335,41 @@ class TestNbest:
         )
         lines = open(out).read().splitlines()
         assert len(lines) == 1 and lines[0].startswith("u0 ")
+
+
+class TestFuzz:
+    def test_random_graphs_match_python(self, tmp_path):
+        """Property test: on random connected WFSTs (epsilon cycles with
+        positive costs included) the C++ one-best equals the exhaustive
+        python Viterbi."""
+        rs = np.random.RandomState(123)
+        for trial in range(6):
+            S = rs.randint(4, 12)
+            P = rs.randint(2, 5)
+            lines = []
+            for s in range(S):
+                for _ in range(rs.randint(1, 4)):
+                    d = rs.randint(0, S)
+                    il = rs.randint(0, P + 1)  # 0 = eps
+                    ol = rs.randint(0, 3)
+                    w = float(rs.rand() * 2 + (0.1 if il == 0 else 0.0))
+                    lines.append(f"{s} {d} {il} {ol} {w:.4f}")
+                # chain arc guaranteeing connectivity
+                lines.append(
+                    f"{s} {(s + 1) % S} {rs.randint(1, P + 1)} 0 0.5"
+                )
+            finals = sorted(rs.choice(S, 2, replace=False))
+            for s in finals:
+                lines.append(f"{s} 0.0")
+            path = str(tmp_path / f"fuzz{trial}.txt")
+            open(path, "w").write("\n".join(lines) + "\n")
+
+            T = rs.randint(2, 7)
+            ll = rs.randn(T, P).astype(np.float32)
+            dec = WfstDecoder(path)
+            ids_c, cost_c = dec.decode(
+                ll, acoustic_scale=0.9, beam=1e9, max_active=0
+            )
+            ids_p, cost_p = decode_py(path, ll, acoustic_scale=0.9)
+            assert abs(cost_c - cost_p) < 1e-3, (trial, cost_c, cost_p)
+            assert ids_c == ids_p, (trial, ids_c, ids_p)
