@@ -282,3 +282,69 @@ def test_tandem_feats_cli(tmp_path):
     with open(out + "_pca.pkl", "rb") as f:
         pca = pkl.load(f)
     assert pca["transform"].shape == (3, 5)
+
+
+def test_babysit_restarts_until_success(tmp_path):
+    """Supervisor restarts crashed training; resumable trainer makes
+    progress monotone (train_rnn_hybrid.sh:118-160 contract)."""
+    from speech_recognition_tools_tpu.cli.babysit import babysit
+
+    calls = []
+
+    class FakeRc:
+        def __init__(self, rc):
+            self.returncode = rc
+
+    rcs = iter([1, 1, 0])
+
+    def fake_run(cmd):
+        calls.append(list(cmd))
+        return FakeRc(next(rcs))
+
+    clock = [0.0]
+
+    import speech_recognition_tools_tpu.cli.babysit as bb
+
+    real_time = bb.time.time
+    bb.time.time = lambda: clock.__setitem__(0, clock[0] + 100) or clock[0]
+    try:
+        rc = babysit(["train"], max_restarts=5, min_uptime=30,
+                     backoff=0, _run=fake_run, _sleep=lambda s: None)
+    finally:
+        bb.time.time = real_time
+    assert rc == 0
+    assert len(calls) == 3
+
+
+def test_babysit_fast_crash_is_fatal():
+    from speech_recognition_tools_tpu.cli.babysit import babysit
+
+    class FakeRc:
+        returncode = 2
+
+    rc = babysit(["boom"], max_restarts=5, min_uptime=30, backoff=0,
+                 _run=lambda c: FakeRc(), _sleep=lambda s: None)
+    assert rc == 2
+
+
+def test_babysit_end_to_end(tmp_path):
+    """Real subprocess: a script that crashes once (flag file) then
+    succeeds."""
+    import subprocess
+    import sys as _sys
+
+    from speech_recognition_tools_tpu.cli.babysit import babysit
+
+    flag = tmp_path / "crashed_once"
+    script = tmp_path / "job.py"
+    script.write_text(
+        "import os, sys\n"
+        f"flag = {str(flag)!r}\n"
+        "if not os.path.exists(flag):\n"
+        "    open(flag, 'w').close()\n"
+        "    sys.exit(3)\n"
+        "print('done')\n"
+    )
+    rc = babysit([_sys.executable, str(script)], max_restarts=3,
+                 min_uptime=0.0, backoff=0.0)
+    assert rc == 0
