@@ -86,7 +86,16 @@ def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int):
 
     if cfg.complex_modulation:
         half = int(cfg.fduration * cfg.srate / 2)
-        trans = jnp.fft.ifft(frames, axis=-1)[..., :half]
+        n = frames.shape[-1]
+        if frames.dtype == jnp.float32 and n & (n - 1):
+            # non-pow2 XLA FFT is ~1e4x slower on TPU; Bluestein runs it
+            # as pow2 FFTs (c64 — the f64 parity path keeps jnp.fft,
+            # which is exact on CPU)
+            from speech_recognition_tools_tpu.ops.dct import bluestein_fft
+
+            trans = bluestein_fft(frames, inverse=True)[..., :half]
+        else:
+            trans = jnp.fft.ifft(frames, axis=-1)[..., :half]
     else:
         from speech_recognition_tools_tpu.ops.dct import dct2
 

@@ -88,6 +88,33 @@ def _bluestein_consts(n: int):
     )
 
 
+@partial(jax.jit, static_argnames=("inverse",))
+def bluestein_fft(x, inverse: bool = False):
+    """Length-N DFT (or inverse) along the last axis for arbitrary N via
+    Bluestein's identity — only pow2 FFTs touch the hardware.
+
+    exp(-2*pi*i*j*k/N) = chirp[j] * chirp[k] / chirp[j-k] with
+    chirp[j] = e^{-i pi j^2/N}, so the DFT is the chirp-premultiplied
+    input convolved with the conjugate chirp. Use for non-pow2 lengths
+    where XLA's FFT is pathologically slow on TPU (e.g. the analytic-
+    signal ifft of the complex-modulation path); the inverse is
+    conj(fft(conj(x)))/N.
+    """
+    n = x.shape[-1]
+    chirp, _, Bf, m = _bluestein_consts(n)
+    xc = x.astype(jnp.complex64)
+    if inverse:
+        xc = jnp.conj(xc)
+    a = xc * jnp.asarray(chirp)
+    conv = jnp.fft.ifft(
+        jnp.fft.fft(a, n=m, axis=-1) * jnp.asarray(Bf), axis=-1
+    )[..., :n]
+    out = jnp.asarray(chirp) * conv
+    if inverse:
+        out = jnp.conj(out) / n
+    return out
+
+
 @jax.jit
 def _dct2_bluestein(x):
     n = x.shape[-1]

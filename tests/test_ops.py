@@ -146,3 +146,20 @@ class TestBluesteinDct:
         got = np.asarray(dct2(jnp.asarray(x)))
         rel = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
         assert rel < 1e-5, rel
+
+
+class TestBluesteinFft:
+    @pytest.mark.parametrize("N", [100, 8000, 24000, 128])
+    def test_forward_and_inverse_match_numpy(self, N):
+        from speech_recognition_tools_tpu.ops.dct import bluestein_fft
+
+        rs = np.random.RandomState(13)
+        x = (rs.randn(3, N) + 1j * rs.randn(3, N)).astype(np.complex64)
+        got_f = np.asarray(bluestein_fft(jnp.asarray(x)))
+        ref_f = np.fft.fft(x, axis=-1)
+        rel = np.max(np.abs(got_f - ref_f)) / np.max(np.abs(ref_f))
+        assert rel < 1e-5, rel
+        got_i = np.asarray(bluestein_fft(jnp.asarray(x), inverse=True))
+        ref_i = np.fft.ifft(x, axis=-1)
+        rel = np.max(np.abs(got_i - ref_i)) / np.max(np.abs(ref_i))
+        assert rel < 1e-5, rel
