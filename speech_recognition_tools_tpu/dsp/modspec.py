@@ -105,39 +105,81 @@ def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int):
     ndct = trans.shape[-1]
     assert fbank.shape[1] == ndct, (fbank.shape, ndct)
 
-    # flatten (B*F, ndct) and expand bands lazily per chunk
+    # flatten (B*F, ndct)
     P0 = B * max_frames
     trans = trans.reshape(P0, ndct)
     NB = cfg.nfilters
     P = P0 * NB
-    chunk = min(cfg.problem_chunk, P)
-    npad = (-P) % chunk
     fbank_d = jnp.asarray(fbank, trans.dtype if cfg.complex_modulation else dtype)
-
-    prob_idx = jnp.arange(P + npad)
-    bf = jnp.minimum(prob_idx // NB, P0 - 1)
-    band = prob_idx % NB
-    bf_blocks = bf.reshape(-1, chunk)
-    band_blocks = band.reshape(-1, chunk)
 
     coeff_num = cfg.coeff_num
     lim = cfg.coeff_n
+    keepreal = not cfg.complex_modulation
 
-    def block(args):
-        bfb, bandb = args
-        z = jnp.take(trans, bfb, axis=0) * jnp.take(fbank_d, bandb, axis=0)
-        keepreal = not cfg.complex_modulation
-        r = circular_autocorr(z, cfg.order + 2, keepreal=keepreal)
-        xlpc, gg = lpc_from_autocorr(r, cfg.order)
-        if cfg.set_unity_gain:
-            gg = jnp.ones_like(gg)
-        cep = lpc_to_cepstrum(xlpc, gg, lim)
-        if not cfg.complex_modulation:
-            cep = jnp.real(cep)
-        return cep  # (chunk, lim)
+    from speech_recognition_tools_tpu.ops.autocorr import (
+        banded_autocorr,
+        banded_supports_separable,
+    )
 
-    ceps = jax.lax.map(block, (bf_blocks, band_blocks))
-    ceps = ceps.reshape(-1, lim)[:P].reshape(B, max_frames, NB, lim)
+    if keepreal and banded_supports_separable(fbank, cfg.order + 2):
+        # real path: the shared-lag banded autocorrelation computes the
+        # signal lag products once per frame and contracts them against
+        # all bands on the MXU (ops/autocorr) — instead of a circular
+        # FFT per (frame x band) problem — then the fused Pallas kernel
+        # (or XLA scans off-TPU) runs the LPC+cepstrum recursions over
+        # P0*NB lanes. Chunk the frame axis to bound the lag workspace.
+        nlags = cfg.order + 2
+        frame_chunk = max(
+            64, min(P0, (1 << 28) // (8 * ndct * 4))
+        )  # ~0.25 GB lag workspace
+        npad0 = (-P0) % frame_chunk
+        tpad = jnp.concatenate(
+            [trans, jnp.zeros((npad0, ndct), trans.dtype)], axis=0
+        ).reshape(-1, frame_chunk, ndct)
+        r = jax.lax.map(
+            lambda t: banded_autocorr(t, fbank_d, nlags), tpad
+        )  # (nc, fc, NB, nlags)
+        r = r.reshape(-1, NB, nlags)[:P0].reshape(P0 * NB, nlags)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if on_tpu and r.dtype == jnp.float32:
+            from speech_recognition_tools_tpu.ops.pallas_lpc import (
+                lpc_cepstra_pallas,
+            )
+
+            cep = lpc_cepstra_pallas(
+                r, cfg.order, lim, unity_gain=cfg.set_unity_gain
+            )
+        else:
+            xlpc, gg = lpc_from_autocorr(r, cfg.order)
+            if cfg.set_unity_gain:
+                gg = jnp.ones_like(gg)
+            cep = lpc_to_cepstrum(xlpc, gg, lim)
+        ceps = cep.reshape(B, max_frames, NB, lim)
+    else:
+        # complex-modulation (or wrap-support) path: per-problem
+        # circular autocorrelation, chunked
+        chunk = min(cfg.problem_chunk, P)
+        npad = (-P) % chunk
+        prob_idx = jnp.arange(P + npad)
+        bf = jnp.minimum(prob_idx // NB, P0 - 1)
+        band = prob_idx % NB
+        bf_blocks = bf.reshape(-1, chunk)
+        band_blocks = band.reshape(-1, chunk)
+
+        def block(args):
+            bfb, bandb = args
+            z = jnp.take(trans, bfb, axis=0) * jnp.take(fbank_d, bandb, axis=0)
+            r = circular_autocorr(z, cfg.order + 2, keepreal=keepreal)
+            xlpc, gg = lpc_from_autocorr(r, cfg.order)
+            if cfg.set_unity_gain:
+                gg = jnp.ones_like(gg)
+            cep = lpc_to_cepstrum(xlpc, gg, lim)
+            if keepreal:
+                cep = jnp.real(cep)
+            return cep  # (chunk, lim)
+
+        ceps = jax.lax.map(block, (bf_blocks, band_blocks))
+        ceps = ceps.reshape(-1, lim)[:P].reshape(B, max_frames, NB, lim)
 
     if cfg.compensate_noise:
         if cfg.complex_modulation:

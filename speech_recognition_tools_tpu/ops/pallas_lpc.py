@@ -28,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 _STEP_UNROLL = 5
 
 
-def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int):
+def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int,
+                        unity_gain: bool = False):
     # r_ref: (BLK, order+2); cep_ref: (BLK, lim)
     r = r_ref[:]
     blk = r.shape[0]
@@ -96,6 +97,8 @@ def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int):
     fallback = jnp.maximum(e * r0, 0.0)
     tiny = jnp.float32(1.1754944e-38)
     gg = jnp.where(gg > 0, gg, jnp.maximum(fallback, tiny))
+    if unity_gain:  # modspec --set_unity_gain (cep0 becomes 0)
+        gg = jnp.ones_like(gg)
 
     # ---- cepstrum recursion (ops/cepstrum.py) ----
     # b over indices 0..lim-1: b[0]=1, b[n]=-a[n-1] for n-1 < p, else 0
@@ -162,13 +165,15 @@ def _lpc_cepstra_kernel(r_ref, cep_ref, *, order: int, lim: int):
     cep_ref[:] = cepR
 
 
-@partial(jax.jit, static_argnames=("order", "lim", "block", "interpret"))
+@partial(jax.jit, static_argnames=("order", "lim", "block", "interpret",
+                                  "unity_gain"))
 def lpc_cepstra_pallas(
     r: jax.Array,
     order: int,
     lim: int,
     block: int = 512,
     interpret: bool = False,
+    unity_gain: bool = False,
 ):
     """Fused lags -> LPC -> cepstra on TPU.
 
@@ -194,7 +199,8 @@ def lpc_cepstra_pallas(
     # to legalize ('func.return').
     imap = lambda i: (jnp.int32(i), jnp.int32(0))
     out = pl.pallas_call(
-        partial(_lpc_cepstra_kernel, order=order, lim=lim),
+        partial(_lpc_cepstra_kernel, order=order, lim=lim,
+                unity_gain=unity_gain),
         out_shape=jax.ShapeDtypeStruct((r.shape[0], lim), jnp.float32),
         grid=grid,
         in_specs=[
