@@ -35,20 +35,44 @@ def get_parser():
     p.add_argument("--specaug", action="store_true",
                    help="apply SpecAugment (conf/specaug.yaml defaults)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--min_io_ratio", type=float, default=1.0,
+                   help="CTC-feasibility pruning (filtering_samples.py): "
+                        "drop samples with subsampled-enc-len - "
+                        "tokens*ratio < delta")
+    p.add_argument("--min_io_delta", type=int, default=0)
     return p
 
 
-def token_batches(egs_dir, texts, vocab, batch_size):
+def ctc_feasible(num_frames, num_tokens, min_io_ratio=1.0, min_io_delta=0):
+    """CTC-feasibility filter (reference local/filtering_samples.py,
+    run_fdlp_e1.sh:336-343): prune samples whose subsampled encoder
+    length can't cover the label sequence (loss_ctc=inf otherwise).
+    Encoder time reduction is the conv2d 4x subsampling."""
+    enc_len = ((num_frames + 1) // 2 + 1) // 2
+    return enc_len - num_tokens * min_io_ratio >= min_io_delta
+
+
+def token_batches(egs_dir, texts, vocab, batch_size, min_io_ratio=1.0,
+                  min_io_delta=0):
     import numpy as np
 
     from speech_recognition_tools_tpu.io import iter_egs_batches
     from speech_recognition_tools_tpu.io.text import encode_text
 
     for b in iter_egs_batches(egs_dir, batch_size, drop_labels=True):
-        keys = [k for k in b["keys"] if k in texts]
+        keys, idx = [], []
+        for i, k in enumerate(b["keys"]):
+            if k not in texts:
+                continue
+            if not ctc_feasible(
+                int(b["lengths"][i]), len(encode_text(texts[k], vocab)) + 1,
+                min_io_ratio, min_io_delta,
+            ):
+                continue
+            keys.append(k)
+            idx.append(i)
         if not keys:
             continue
-        idx = [i for i, k in enumerate(b["keys"]) if k in texts]
         toks = [encode_text(texts[k], vocab) for k in keys]
         U = max(max(len(t) for t in toks) + 1, 4)
         tokens = np.zeros((len(keys), U), np.int32)
@@ -97,7 +121,8 @@ def main(argv=None):
     )
     model = TransformerASR(cfg)
 
-    first = next(token_batches(args.egs_dir, texts, vocab, args.batch_size))
+    first = next(token_batches(args.egs_dir, texts, vocab, args.batch_size,
+                               args.min_io_ratio, args.min_io_delta))
     params = model.init(
         {"params": jax.random.key(args.seed),
          "dropout": jax.random.key(args.seed + 1)},
@@ -140,7 +165,8 @@ def main(argv=None):
     recent = []
     for epoch in range(args.epochs):
         losses = []
-        for batch in token_batches(args.egs_dir, texts, vocab, args.batch_size):
+        for batch in token_batches(args.egs_dir, texts, vocab, args.batch_size,
+                               args.min_io_ratio, args.min_io_delta):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             rng, sub = jax.random.split(rng)
             params, opt_state, loss, aux = step(params, opt_state, batch, sub)

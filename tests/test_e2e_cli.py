@@ -55,3 +55,16 @@ def test_train_and_recog(tmp_path):
          "--pm_scores", "0.02,0.01", "--beam_size", "2", "--max_len", "8"]
     )
     assert len(open(hyp2).read().splitlines()) == 4
+
+
+def test_ctc_feasibility_filter():
+    """filtering_samples.py parity: samples whose subsampled encoder
+    length can't cover the labels are pruned."""
+    from speech_recognition_tools_tpu.cli.train_e2e import ctc_feasible
+
+    # 40 frames -> enc_len 10: 10 tokens ok, 11 not
+    assert ctc_feasible(40, 10)
+    assert not ctc_feasible(40, 11)
+    assert not ctc_feasible(40, 9, min_io_delta=2)
+    assert ctc_feasible(40, 4, min_io_ratio=2.0)
+    assert not ctc_feasible(40, 6, min_io_ratio=2.0)
