@@ -757,6 +757,11 @@ bool id_searchwindows(const Rate& r, const Signal& ref, const Signal& deg,
                 w > del_deg_start)
                 ++n;
         }
+        // bound like the ITU reference's MAXNUTTERANCES: without this a
+        // long choppy recording (>kMaxUtts qualifying utterances) would
+        // write past the fixed arrays (index kMaxUtts is split_align's
+        // scratch slot; kMaxUtts-1 is the last real utterance)
+        if (n >= kMaxUtts) break;
     }
     al.nutts = n;
     return n > 0;
@@ -785,6 +790,7 @@ void id_utterances(const Rate& r, const Signal& ref, const Signal& deg,
                 w > del_deg_start)
                 ++n;
         }
+        if (n >= kMaxUtts) break;  // see id_searchwindows bound
     }
     al.utt_start[0] = kSearchBuffer;
     al.utt_end[al.nutts - 1] = vad_len - kSearchBuffer;

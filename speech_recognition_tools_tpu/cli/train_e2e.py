@@ -106,7 +106,11 @@ def main(argv=None):
         average_checkpoints,
         noam_schedule,
     )
-    from speech_recognition_tools_tpu.train import save_checkpoint
+    from speech_recognition_tools_tpu.train import (
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
 
     texts = read_text_file(args.text)
     vocab = build_char_vocab(texts.values())
@@ -136,6 +140,33 @@ def main(argv=None):
     )
     opt_state = tx.init(params)
 
+    # babysitter-style resume: newest epoch checkpoint wins (params,
+    # optimizer state incl. the Noam step count, epoch counter, and the
+    # recent-params window for final averaging)
+    start_epoch = 0
+    recent = []
+    if os.path.exists(os.path.join(args.store_path, "final_avg")):
+        print("final_avg already exists — training complete, nothing to do")
+        return
+    newest = latest_checkpoint(args.store_path)
+    if newest and os.path.basename(newest).startswith("epoch_"):
+        try:
+            payload, meta = load_checkpoint(
+                newest, template={"params": params, "opt_state": opt_state}
+            )
+            opt_state = payload["opt_state"]
+        except KeyError:  # pre-opt_state checkpoint format
+            payload, meta = load_checkpoint(newest, template={"params": params})
+        params = payload["params"]
+        start_epoch = int(meta.get("extra", {}).get("epoch", 0))
+        for e in range(max(1, start_epoch - args.average_last + 1),
+                       start_epoch + 1):
+            p = os.path.join(args.store_path, f"epoch_{e}")
+            if os.path.exists(os.path.join(p, "state.msgpack")):
+                pay, _ = load_checkpoint(p, template={"params": params})
+                recent.append(pay["params"])
+        print(f"resumed from {newest} at epoch {start_epoch}")
+
     from speech_recognition_tools_tpu.dsp.specaug import (
         SpecAugConfig,
         spec_augment,
@@ -161,9 +192,8 @@ def main(argv=None):
 
     hyper = dict(vars(args))
     hyper.update(model_class="TransformerASR", vocab_size=len(vocab))
-    rng = jax.random.key(args.seed + 2)
-    recent = []
-    for epoch in range(args.epochs):
+    rng = jax.random.key(args.seed + 2 + start_epoch)
+    for epoch in range(start_epoch, args.epochs):
         losses = []
         for batch in token_batches(args.egs_dir, texts, vocab, args.batch_size,
                                args.min_io_ratio, args.min_io_delta):
@@ -173,7 +203,7 @@ def main(argv=None):
             losses.append(float(loss))
         print(f"epoch {epoch + 1}: loss {sum(losses)/max(len(losses),1):.4f}")
         save_checkpoint(args.store_path, f"epoch_{epoch + 1}", params, hyper,
-                        extra={"epoch": epoch + 1})
+                        opt_state=opt_state, extra={"epoch": epoch + 1})
         recent.append(jax.tree.map(lambda x: x, params))
         if len(recent) > args.average_last:
             recent.pop(0)

@@ -104,7 +104,31 @@ def main(argv=None):
 
     import numpy as np
 
-    for ep in range(args.epochs):
+    # babysitter-style resume: newest per-epoch checkpoint wins
+    from speech_recognition_tools_tpu.train import (
+        latest_checkpoint,
+        load_checkpoint,
+    )
+
+    hyper = dict(vars(args))
+    hyper.update(model_class="RNNLM", vocab_size=len(vocab))
+    start_ep = 0
+    newest = latest_checkpoint(args.store_path)
+    if newest and os.path.basename(newest).startswith("epoch_"):
+        try:
+            payload, meta = load_checkpoint(
+                newest, template={"params": params, "opt_state": opt_state}
+            )
+            opt_state = payload["opt_state"]
+        except KeyError:
+            payload, meta = load_checkpoint(newest, template={"params": params})
+        params = payload["params"]
+        start_ep = int(meta.get("extra", {}).get("epoch", 0))
+        print(f"resumed from {newest} at epoch {start_ep}")
+
+    from speech_recognition_tools_tpu.train import save_checkpoint as _sc
+
+    for ep in range(start_ep, args.epochs):
         losses = []
         for toks, lens in lm_batches(
             texts, vocab, args.batch_size, args.bptt_len, seed=args.seed + ep
@@ -115,9 +139,9 @@ def main(argv=None):
             losses.append(float(loss))
         ppl = float(np.exp(np.mean(losses)))
         print(f"epoch {ep + 1}: nll {np.mean(losses):.4f} ppl {ppl:.2f}")
+        _sc(args.store_path, f"epoch_{ep + 1}", params, hyper,
+            opt_state=opt_state, extra={"epoch": ep + 1})
 
-    hyper = dict(vars(args))
-    hyper.update(model_class="RNNLM", vocab_size=len(vocab))
     save_checkpoint(args.store_path, "final", params, hyper)
     print(f"saved LM to {os.path.join(args.store_path, 'final')}")
 

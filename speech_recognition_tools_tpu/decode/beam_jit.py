@@ -96,6 +96,7 @@ def beam_search_jit(
                 {**params, "cache": state["cache"]},
                 last, step_idx, memory, enc_len_b,
                 method=TransformerASR.decode_incremental,
+                pe_len=max(max_len + 1, 16),
                 mutable=["cache"],
             )
             cache = mut["cache"]

@@ -79,7 +79,6 @@ class FdlpConfig:
     gamma_weight: str = "None"  # 'scale,shape,pk'
     lifter_config: tuple | None = None
     window: str = "hamming"
-    band_block: int = 8  # bands per lax.map block (memory knob)
     precision: str = "fast"  # 'fast' (f32) | 'high' (f64 LPC chain)
     # LPC+cepstrum recursion backend: 'scan' = two XLA lax.scans;
     # 'fused' = single Pallas kernel (ops/pallas_lpc, f32/TPU only);

@@ -23,8 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << int(np.ceil(np.log2(max(int(n), 2))))
 
 
 def synth_rir(
@@ -76,7 +74,9 @@ def fft_convolve_full(sig, rir):
     sig (..., N), rir (..., L) -> (..., N + L - 1); leading dims broadcast.
     """
     n = sig.shape[-1] + rir.shape[-1] - 1
-    nfft = _next_pow2(n)
+    from speech_recognition_tools_tpu.ops.dct import _next_pow2
+
+    nfft = _next_pow2(max(n, 2))
     S = jnp.fft.rfft(sig, nfft)
     H = jnp.fft.rfft(rir, nfft)
     return jnp.fft.irfft(S * H, nfft)[..., :n]

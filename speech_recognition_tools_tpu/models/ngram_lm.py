@@ -103,7 +103,7 @@ def train_ngram_lm(sentences, order: int = 3, add_lexicon=None):
     if add_lexicon:
         for w in add_lexicon:
             counts[1][(w,)] += 1
-    counts[1][(UNK,)] += counts[1].get((UNK,), 0) or 1
+    counts[1][(UNK,)] = counts[1][(UNK,)] or 1  # floor at one, don't double
 
     vocab = {g[0] for g in counts[1]}
     vocab.discard(BOS)
@@ -198,17 +198,26 @@ def train_ngram_lm(sentences, order: int = 3, add_lexicon=None):
 
 
 def write_arpa(lm: NgramLM, path):
-    """Write the model in ARPA format (kaldi_lm's lm_unpruned.gz shape)."""
-    by_n = defaultdict(list)
+    """Write the model in ARPA format (kaldi_lm's lm_unpruned.gz shape).
+
+    Contexts that carry only a back-off weight (no probability of their
+    own — e.g. BOS-headed contexts, which are never *predicted*) still
+    need an n-gram line to anchor the weight, with the conventional -99
+    log-probability; dropping them would change every backed-off score
+    after a round-trip and strip the start-state back-off arcs from
+    decoding graphs built on the re-read model."""
+    by_n = defaultdict(dict)
     for g, lp in lm.logprob.items():
-        by_n[len(g)].append((g, lp))
+        by_n[len(g)][g] = lp
+    for g in lm.backoff:
+        by_n[len(g)].setdefault(g, -99.0)
     with _open(path, "wt") as f:
         f.write("\\data\\\n")
         for n in range(1, lm.order + 1):
             f.write(f"ngram {n}={len(by_n[n])}\n")
         for n in range(1, lm.order + 1):
             f.write(f"\n\\{n}-grams:\n")
-            for g, lp in sorted(by_n[n]):
+            for g, lp in sorted(by_n[n].items()):
                 bo = lm.backoff.get(g)
                 line = f"{lp:.6f}\t{' '.join(g)}"
                 if bo is not None and n < lm.order:

@@ -141,7 +141,7 @@ class TransformerDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, memory, memory_len, deterministic=True,
-                 decode_mode=False, pos=None):
+                 decode_mode=False, pos=None, pe_len=4096):
         """Full-prefix pass, or (decode_mode=True) one KV-cached step:
         tokens (K, 1) = last generated tokens, pos = their position.
         Parameters are shared between the modes (same module names);
@@ -155,7 +155,10 @@ class TransformerDecoder(nn.Module):
             jnp.maximum(tokens, 0)
         )
         if decode_mode and h.shape[1] == 1:
-            pe = jnp.take(_posenc(4096, c.adim), pos, axis=0)
+            # pe_len must bound the caller's max position: jnp.take
+            # clips out-of-bounds indices, which would silently reuse
+            # pe[pe_len-1] and diverge from the full-prefix path
+            pe = jnp.take(_posenc(pe_len, c.adim), pos, axis=0)
             h = h * np.sqrt(c.adim) + pe[None, None, :]
         else:
             h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
@@ -203,12 +206,15 @@ class TransformerASR(nn.Module):
             dummy_tokens, memory, enc_len, True, decode_mode=True
         )
 
-    def decode_incremental(self, last_tokens, pos, memory, enc_len):
+    def decode_incremental(self, last_tokens, pos, memory, enc_len,
+                           pe_len=4096):
         """One KV-cached decoder step: last_tokens (K, 1) at position
         `pos` -> logits (K, 1, V). O(L) per step; exact same scores as
-        decode_step (tests assert token parity)."""
+        decode_step (tests assert token parity). pe_len must exceed the
+        maximum position (the caller's max_len)."""
         return self.decoder(
-            last_tokens, memory, enc_len, True, decode_mode=True, pos=pos
+            last_tokens, memory, enc_len, True, decode_mode=True, pos=pos,
+            pe_len=pe_len,
         )
 
 

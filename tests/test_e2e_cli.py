@@ -68,3 +68,36 @@ def test_ctc_feasibility_filter():
     assert not ctc_feasible(40, 9, min_io_delta=2)
     assert ctc_feasible(40, 4, min_io_ratio=2.0)
     assert not ctc_feasible(40, 6, min_io_ratio=2.0)
+
+
+@pytest.mark.slow
+def test_train_e2e_resumes_from_crash(tmp_path, capsys):
+    """Babysitter contract: after a 'crash' (no final_avg), rerunning
+    resumes from the newest epoch checkpoint instead of re-training."""
+    import shutil
+
+    from speech_recognition_tools_tpu.cli import train_e2e
+
+    feats = {f"u{i}": RS.randn(30, 8).astype(np.float32) for i in range(3)}
+    egs = str(tmp_path / "egs")
+    build_egs(iter(feats.items()), egs)
+    text = tmp_path / "text"
+    text.write_text("".join(f"u{i} ab\n" for i in range(3)))
+    out = str(tmp_path / "e2e")
+    common = [egs, str(text), out, "--adim", "16", "--aheads", "2",
+              "--elayers", "1", "--eunits", "16", "--dlayers", "1",
+              "--dunits", "16", "--batch_size", "3", "--warmup_steps",
+              "5", "--average_last", "2"]
+    train_e2e.main(common + ["--epochs", "2"])
+    shutil.rmtree(os.path.join(out, "final_avg"))  # simulate crash
+    capsys.readouterr()
+    train_e2e.main(common + ["--epochs", "3"])
+    printed = capsys.readouterr().out
+    assert "resumed from" in printed and "at epoch 2" in printed
+    assert "epoch 3:" in printed and "epoch 2:" not in printed
+    assert os.path.exists(os.path.join(out, "final_avg", "state.msgpack"))
+
+    # completed run: rerun is a no-op
+    capsys.readouterr()
+    train_e2e.main(common + ["--epochs", "3"])
+    assert "training complete" in capsys.readouterr().out

@@ -100,3 +100,25 @@ class TestCli:
         assert os.path.exists(os.path.join(out, "word.counts"))
         lm = read_arpa(os.path.join(out, "3gram.arpa.gz"))
         assert lm.perplexity(_sents()[:3]) < 100.0
+
+
+def test_arpa_roundtrip_preserves_bos_backoff(tmp_path):
+    """Backoff-only contexts (BOS-headed) must survive ARPA export: they
+    anchor the start-state back-off arcs of decoding graphs (regression:
+    write_arpa used to drop them, changing scores after a round-trip)."""
+    from speech_recognition_tools_tpu.models.ngram_lm import (
+        BOS,
+        read_arpa,
+        train_ngram_lm,
+        write_arpa,
+    )
+
+    sents = [s.split() for s in ["a b", "b a", "a a b", "b"]]
+    lm = train_ngram_lm(sents, order=2)
+    p = str(tmp_path / "lm.arpa")
+    write_arpa(lm, p)
+    lm2 = read_arpa(p)
+    for ctx in [(BOS,), ("a",), ()]:
+        for w in ["a", "b", "zzz"]:
+            assert abs(lm.score(ctx, w) - lm2.score(ctx, w)) < 1e-4, (ctx, w)
+    assert (BOS,) in lm2.backoff
