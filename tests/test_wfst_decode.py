@@ -373,3 +373,31 @@ class TestFuzz:
             ids_p, cost_p = decode_py(path, ll, acoustic_scale=0.9)
             assert abs(cost_c - cost_p) < 1e-3, (trial, cost_c, cost_p)
             assert ids_c == ids_p, (trial, ids_c, ids_p)
+
+
+class TestEdgeCases:
+    def test_no_final_state_falls_back_to_best_token(self, tmp_path):
+        """Kaldi partial-result behaviour: unreachable finals still
+        yield the best partial hypothesis."""
+        path = str(tmp_path / "nofinal.txt")
+        # 0 -[pdf1/w1]-> 1 -[pdf2/w2]-> 2 ; final state 3 unreachable
+        open(path, "w").write("0 1 1 1 0.0\n1 2 2 2 0.0\n3 0.0\n")
+        dec = WfstDecoder(path)
+        ll = np.zeros((2, 2), np.float32)
+        ids, cost = dec.decode(ll, acoustic_scale=1.0, beam=1e9)
+        assert ids == [1, 2]
+
+    def test_bad_pdf_id_raises(self, tmp_path):
+        path = str(tmp_path / "bad.txt")
+        open(path, "w").write("0 1 5 0 0.0\n1 0.0\n")  # pdf 4 >= P=2
+        dec = WfstDecoder(path)
+        with pytest.raises(RuntimeError):
+            dec.decode(np.zeros((1, 2), np.float32))
+
+    def test_zero_frames(self, graph):
+        """T=0 decodes to the best zero-arc path (empty or eps-only)."""
+        g, path = graph
+        dec = WfstDecoder(path)
+        ids, cost = dec.decode(np.zeros((0, g.num_pdfs), np.float32),
+                               beam=1e9)
+        assert ids == [] or all(i > 0 for i in ids)
