@@ -129,19 +129,28 @@ def _decode(args):
 
     def one(item):
         key, ll = item
-        if args.nbest > 1:
-            hyps_n = dec.decode_nbest(
-                ll, nbest=args.nbest, acoustic_scale=args.acoustic_scale,
-                beam=args.beam, max_active=args.max_active,
-            )
-            if rescore is not None:
-                hyps_n = rescore(hyps_n)
-            ids, cost = hyps_n[0]
-        else:
-            ids, cost = dec.decode(
-                ll, acoustic_scale=args.acoustic_scale,
-                beam=args.beam, max_active=args.max_active,
-            )
+        try:
+            if args.nbest > 1:
+                hyps_n = dec.decode_nbest(
+                    ll, nbest=args.nbest,
+                    acoustic_scale=args.acoustic_scale,
+                    beam=args.beam, max_active=args.max_active,
+                )
+                if rescore is not None:
+                    hyps_n = rescore(hyps_n)
+                ids, cost = hyps_n[0]
+            else:
+                ids, cost = dec.decode(
+                    ll, acoustic_scale=args.acoustic_scale,
+                    beam=args.beam, max_active=args.max_active,
+                )
+        except RuntimeError as e:
+            # Kaldi's latgen warns and moves on when an utterance falls off
+            # the beam; aborting the whole run on one hard utterance would
+            # lose every other hypothesis.
+            print(f"WARNING: {key}: decode failed ({e}); "
+                  "emitting empty hypothesis")
+            return key, "", float("inf")
         return key, " ".join(id2w[i] for i in ids), cost
 
     hyps = {}

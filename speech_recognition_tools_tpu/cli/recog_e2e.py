@@ -116,6 +116,12 @@ def main(argv=None):
 
     hyps = {}
     batch = args.batch_size if args.jit_decode else 1
+    if args.api == "cl" and len(dirs) > 1 and batch > 1:
+        # the cl fusion path decodes one utterance at a time; a larger
+        # batch would silently drop all but the first key of each batch.
+        print("WARNING: --api cl decodes utterance-by-utterance; "
+              "forcing batch_size 1")
+        batch = 1
     for b in iter_egs_batches(args.egs_dir, batch, drop_labels=True):
         feats = jnp.asarray(b["feats"])
         lengths = jnp.asarray(b["lengths"])

@@ -444,6 +444,11 @@ def main(argv=None):
     if args.dev_egs_dir and not multi_dirs:
         dev_utts = load_egs(args.dev_egs_dir)[1]
     else:
+        if args.dev_egs_dir and multi_dirs:
+            print("WARNING: --dev_egs_dir is ignored with "
+                  "--multi_egs_dirs (dev would need parallel stream "
+                  "dirs); using a held-out tail of the training "
+                  "utterances for dev loss instead")
         # multi-stream dev would need parallel dev dirs; hold out a tail
         dev_utts = utts[-max(1, len(utts) // 10):]
     num_classes = args.num_classes or cfg_egs.num_targets

@@ -89,6 +89,15 @@ def build_decoding_graph(
     Returns a DecodingGraph; pdf-id = phone * states_per_phone + state.
     """
     S = cfg.states_per_phone
+    empty = [w for w, phones in lexicon.items() if not phones]
+    if empty:
+        # an empty pronunciation would splice a free zero-cost epsilon path
+        # between LM context states (dropping the word label and LM cost),
+        # which with a positive-log10 backoff can even form a negative-cost
+        # epsilon cycle that hangs the decoder.
+        raise ValueError(
+            f"lexicon entries with no phones: {sorted(empty)[:10]}"
+        )
     num_phones = 1 + max(
         [p for phones in lexicon.values() for p in phones]
         + ([cfg.silence_phone] if cfg.silence_phone is not None else [0])

@@ -59,7 +59,15 @@ class WfstDecoder:
         )
         if n < 0:
             raise RuntimeError("decoding failed (empty beam or bad pdf id)")
-        return [int(w) for w in out[: min(n, max_words)]], float(cost.value)
+        if n > max_words:
+            # The C++ core returns the *required* word count and truncates
+            # the write at out_cap — retry once with an exact-size buffer
+            # rather than silently dropping the hypothesis tail.
+            return self.decode(
+                loglikes, acoustic_scale=acoustic_scale, beam=beam,
+                max_active=max_active, max_words=int(n),
+            )
+        return [int(w) for w in out[:n]], float(cost.value)
 
     def decode_nbest(self, loglikes, nbest=10, acoustic_scale=0.1,
                      beam=16.0, max_active=7000, max_words=16384):
