@@ -24,17 +24,28 @@ masked lag products into signal lag products (shared across bands) times
 host-derivable filterbank lag products, contracted on the MXU — one
 einsum per lag block instead of per-band shifted stacks (ops/autocorr).
 
-Precision modes: the Levinson recursion amplifies autocorrelation rounding
-by up to ~1e6 on narrowband mel channels, so plain float32 deviates from
-the float64 CPU reference by up to ~1e-1 on low-energy cells.
+Precision modes: the Levinson recursion amplifies *non-realizable*
+autocorrelation rounding — lag errors that are not the exact
+autocorrelation of any signal — by the Toeplitz condition number of
+narrowband mel channels. Errors that merely perturb the signal upstream
+(f32 quantization of the windowed frames or of the DCT output) pass
+through benignly, because the exact lags of a slightly-perturbed signal
+are still a valid PSD sequence. Measured error budget at the production
+config (80 bands / order 150 / 1.5 s), max |Δlog-feat| vs the f64 chain:
+all-f32 1.1e-4; f32 front-end + f64 from the autocorrelation on: 7.9e-6.
   * precision="fast": float32 throughout — right for feature extraction
     feeding a network.
-  * precision="high": the amplification-critical stages (window multiply,
-    DCT, band masking, autocorrelation, Levinson, cepstrum) run in f64
+  * precision="mixed" (the ≥1000x-realtime <1e-4 mode): framing, window
+    and DCT stay f32 (their rounding is a realizable signal
+    perturbation); the autocorrelation accumulates the f32 DCT in true
+    f64 (an f32 input is exact in f64, so the lags are the *exact*
+    autocorrelation of the quantized signal), and Levinson, cepstrum,
+    envelope projection and the final log run f64.
+  * precision="high": everything from the window multiply on runs in f64
     (software-emulated matmuls/elementwise on TPU; no FFT — the
     autocorrelation uses blocked shifted einsums); the benign stages
-    (envelope exp, OLA, log) stay in the I/O dtype. Meets the <1e-4
-    max-deviation bar against the CPU reference.
+    (envelope exp, OLA, log) stay in the I/O dtype. Tightest parity
+    (~2e-7) for golden/debug use.
 """
 
 from dataclasses import dataclass
@@ -79,7 +90,9 @@ class FdlpConfig:
     gamma_weight: str = "None"  # 'scale,shape,pk'
     lifter_config: tuple | None = None
     window: str = "hamming"
-    precision: str = "fast"  # 'fast' (f32) | 'high' (f64 LPC chain)
+    # 'fast' (f32) | 'mixed' (f32 front-end, f64 autocorr->log: <1e-4
+    # parity at >=1000x realtime) | 'high' (f64 everywhere: ~2e-7)
+    precision: str = "fast"
     # LPC+cepstrum recursion backend: 'scan' = two XLA lax.scans;
     # 'fused' = single Pallas kernel (ops/pallas_lpc, f32/TPU only);
     # 'auto' = fused on the TPU fast path, scan elsewhere.
@@ -197,7 +210,12 @@ def _fdlp_impl(
     dtype = signals.dtype
     B = signals.shape[0]
     high = cfg.precision == "high"
-    work_dtype = jnp.float64 if high else dtype
+    mixed = cfg.precision == "mixed"
+    # front_dtype: framing/window/DCT (realizable signal perturbation —
+    # f32 is fine in mixed mode); lpc_dtype: autocorrelation accumulation
+    # through Levinson/cepstrum/envelope/log (amplification-critical).
+    front_dtype = jnp.float64 if high else dtype
+    lpc_dtype = jnp.float64 if (high or mixed) else dtype
 
     # Sequence (time-axis) parallelism, SURVEY §5: every stage between
     # framing and the OLA is independent per analysis frame, so the frame
@@ -225,15 +243,15 @@ def _fdlp_impl(
     frames, num_frames = frame_signal(
         signals, num_samples, fp, ones, max_frames, min_samples=min_samples
     )
-    frames = frames.astype(work_dtype) * jnp.asarray(c["win"], work_dtype)
+    frames = frames.astype(front_dtype) * jnp.asarray(c["win"], front_dtype)
     if shard is not None:
         frames = cstr(frames, P(data_ax, time_ax))
 
     # DCT-II (scipy.fftpack scaling) / sqrt(2 * srate*fduration), as blocked
     # cosine matmuls (XLA FFT at non-pow2 lengths is pathologically slow on
     # TPU, and f64 FFT does not compile).
-    scale = jnp.asarray(1.0 / np.sqrt(2 * int(cfg.srate * cfg.fduration)), work_dtype)
-    cos_dct = dct2(frames, dtype=work_dtype, allow_fft=shard is None) * scale
+    scale = jnp.asarray(1.0 / np.sqrt(2 * int(cfg.srate * cfg.fduration)), front_dtype)
+    cos_dct = dct2(frames, dtype=front_dtype, allow_fft=shard is None) * scale
     cos_dct = cos_dct.reshape(B * max_frames, -1)
     cos_dct = cstr(cos_dct, P(flat_ax or None))
 
@@ -247,12 +265,12 @@ def _fdlp_impl(
         on_tpu = jax.default_backend() in ("tpu", "axon")
         lpc_backend = (
             "fused"
-            if (on_tpu and shard is None and work_dtype == jnp.float32)
+            if (on_tpu and shard is None and lpc_dtype == jnp.float32)
             else "scan"
         )
     ceps = _band_cepstra(
-        cos_dct, fbank_arr.astype(work_dtype), cfg.order, cfg.coeff_num,
-        backend=lpc_backend,
+        cos_dct.astype(lpc_dtype), fbank_arr.astype(lpc_dtype),
+        cfg.order, cfg.coeff_num, backend=lpc_backend,
     )
     ceps = cstr(ceps, P(flat_ax or None))
 
@@ -260,13 +278,13 @@ def _fdlp_impl(
     # f32-HIGHEST (bf16 6-pass, ~1e-6 rel) would inject ~1e-4 absolute error
     # straight into the final log feature. In high mode the tiny (C x kk)
     # projection therefore stays f64 through the exp; fast mode accepts it.
-    ceps = ceps * jnp.asarray(c["weights"], work_dtype)[None, None, :]
+    ceps = ceps * jnp.asarray(c["weights"], lpc_dtype)[None, None, :]
     env = jnp.exp(
         jnp.einsum(
             "pbc,ck->pbk",
             ceps,
-            jnp.asarray(c["cosmat"], work_dtype),
-            preferred_element_type=work_dtype,
+            jnp.asarray(c["cosmat"], lpc_dtype),
+            preferred_element_type=lpc_dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
     ).astype(dtype)
@@ -291,10 +309,10 @@ def _fdlp_impl(
         )(jitter)
         valid = valid[0]
         feats = overlap_add(env, pos, valid, num_frames, out_len, max_out)
-    # TPU's native f32 log has ~1e-4 absolute error; in high mode take the
-    # final log in f64 (emulated, ~1e-14) and cast back.
+    # TPU's native f32 log has ~1e-4 absolute error; in mixed/high modes
+    # take the final log in f64 (emulated, ~1e-14) and cast back.
     feats = jnp.clip(feats, min=jnp.asarray(1e-14, dtype))
-    feats = jnp.log(feats.astype(work_dtype)).astype(dtype)
+    feats = jnp.log(feats.astype(lpc_dtype)).astype(dtype)
     if shard is not None:
         # gather the (small) output: replicated over time, sharded on data
         feats = cstr(feats, P(data_ax))
@@ -327,9 +345,11 @@ def fdlp_spectrogram_batch(
         utterance's true length are garbage; mask with num_out_frames).
       num_out_frames: (B,) true output frame counts.
     """
-    if cfg.precision == "high" and not jax.config.read("jax_enable_x64"):
+    if cfg.precision in ("high", "mixed") and not jax.config.read(
+        "jax_enable_x64"
+    ):
         raise ValueError(
-            "FdlpConfig(precision='high') needs jax_enable_x64 "
+            f"FdlpConfig(precision={cfg.precision!r}) needs jax_enable_x64 "
             "(jax.config.update('jax_enable_x64', True))"
         )
     signals = jnp.asarray(signals, dtype)
@@ -350,7 +370,9 @@ def fdlp_spectrogram_batch(
         "a filterbank band wraps the spectrum ends; banded_autocorr "
         "would drop its circular wrap terms"
     )
-    fb_dtype = jnp.float64 if cfg.precision == "high" else signals.dtype
+    fb_dtype = (
+        jnp.float64 if cfg.precision in ("high", "mixed") else signals.dtype
+    )
     # static length floor enables the gather-free framing fast path
     # (ops/framing.py); bucketed so it takes only two values. When this
     # function is itself called under jit (num_samples is a tracer, e.g.
