@@ -1,0 +1,425 @@
+#!/usr/bin/env python3
+"""Generic config-driven corpus recipe: the runnable form of
+recipes/configs/*.json.
+
+The native equivalent of the reference's per-corpus shell drivers
+(e2e/wsj/run_fdlp_e1.sh:197-543 featgen -> dict/json -> LM -> train ->
+decode -> score; recipes/timit/run_rnn.sh:62-86 hybrid featgen -> egs ->
+train -> decode), with the reference's --stage/--stop_stage resume
+contract. One driver executes both branches; the config's `am.type`
+selects hybrid (`rnn`, ...) vs e2e (`transformer_asr`).
+
+Data layout (Kaldi-style, like the reference's data dirs):
+  <data>/<set>/wav.scp          utt -> wav path (or recording, with segments)
+  <data>/<set>/text             utt -> transcription
+  [<data>/<set>/segments]       segment-style scp (utt rec start end)
+  [<data>/<set>/ali.pkl]        hybrid only: {utt: (T,) int frame labels}
+                                (the Kaldi ali-to-pdf analogue; produce it
+                                with io.kaldi_ark readers or any aligner)
+  [<data>/lexicon.txt]          hybrid WFST decode: word phone-id [...]
+
+Stages (reference numbering):
+  1  feature extraction for every set (frontend section)
+  2  data prep: char dict (e2e) + egs dirs (+ CMVN per egs section)
+  3  LM training: RNNLM (e2e `lm` section) / n-gram (hybrid)
+  4  AM training (am section)
+  5  decode + score every test set -> <expdir>/RESULTS
+  6  PM scores (hybrid `pm` section)
+
+Usage:
+  python recipes/run_corpus.py --config recipes/configs/wsj_fdlp_e2e.json \
+      --data /path/to/wsj_data --expdir exp/wsj [--stage 1] \
+      [--set am.epochs=2] [--test_sets test_dev93,test_eval92]
+
+`--set key.path=value` overrides any config entry (the parse_options.sh
+duality). Multichannel configs (`enhancement` section) expect wav.scp to
+point at enhanced wavs — run the enhancement front-end first (see
+recipes/reverb_demo/run.py for the simulate -> WPE -> GEV chain).
+"""
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def parse_override(s):
+    """'a.b.c=v' -> (['a','b','c'], typed v)."""
+    path, _, raw = s.partition("=")
+    if raw in ("true", "false"):
+        v = raw == "true"
+    elif raw in ("null", "None"):
+        v = None
+    else:
+        try:
+            v = int(raw)
+        except ValueError:
+            try:
+                v = float(raw)
+            except ValueError:
+                v = raw
+    return path.split("."), v
+
+
+def apply_override(cfg, path, value):
+    d = cfg
+    for k in path[:-1]:
+        d = d.setdefault(k, {})
+    d[path[-1]] = value
+
+
+def frontend_argv(fe, scp, out, data_set_dir):
+    """Map the config's frontend section to the featgen CLI argv."""
+    typ = fe.get("type", "fdlp")
+    argv = [scp, out]
+    flag_names = {
+        "fdlp": ("srate", "nfilters", "fduration", "order", "coeff_num",
+                 "coeff_range", "overlap_fraction", "fbank_type", "frate",
+                 "odd_mod_zero", "gamma_weight", "lifter_config",
+                 "precision"),
+        "melspec": ("srate", "nfilters", "fduration", "frate", "nfft",
+                    "spectrum_type", "fbank_type"),
+        "mfcc": ("srate", "nfilters", "fduration", "frate", "nfft",
+                 "context"),
+        "modspec": ("srate", "nfilters", "fduration", "frate", "order",
+                    "coeff_0", "coeff_n", "fbank_type"),
+    }[typ]
+    for k in flag_names:
+        if k in fe:
+            v = fe[k]
+            if isinstance(v, bool):
+                if v:
+                    argv.append(f"--{k}")
+            else:
+                argv += [f"--{k}", str(v)]
+    seg = os.path.join(data_set_dir, "segments")
+    if os.path.exists(seg):
+        argv = [seg] + argv[1:] + [
+            "--scp_type", "segment", "--wav_scp", scp,
+        ]
+    return typ, argv
+
+
+def run_featgen(typ, argv):
+    import importlib
+
+    mod = importlib.import_module(
+        "speech_recognition_tools_tpu.cli." + {
+            "fdlp": "compute_fdlp_spectrogram",
+            "melspec": "compute_mel_spectrum",
+            "mfcc": "compute_mfcc",
+            "modspec": "compute_modulation_spectrum",
+        }[typ]
+    )
+    mod.main(argv)
+
+
+def load_ali(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    p.add_argument("--config", required=True)
+    p.add_argument("--data", required=True, help="corpus root (see docstring)")
+    p.add_argument("--expdir", required=True)
+    p.add_argument("--stage", type=int, default=1)
+    p.add_argument("--stop_stage", type=int, default=99)
+    p.add_argument("--train_set", default="train")
+    p.add_argument("--dev_set", default="dev")
+    p.add_argument("--test_sets", default=None,
+                   help="comma list (default: config decode.sets or 'test')")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="KEY.PATH=VALUE", help="config override")
+    args = p.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    for s in args.overrides:
+        apply_override(cfg, *parse_override(s))
+
+    am = cfg.get("am", {})
+    branch = "e2e" if am.get("type") == "transformer_asr" else "hybrid"
+    test_sets = (
+        args.test_sets.split(",") if args.test_sets
+        else [str(s) for s in cfg.get("decode", {}).get("sets", ["test"])]
+    )
+    sets = [args.train_set, args.dev_set] + test_sets
+    exp = args.expdir
+    os.makedirs(exp, exist_ok=True)
+    if cfg.get("enhancement"):
+        print("NOTE: config has an `enhancement` section — wav.scp must "
+              "point at enhanced audio (recipes/reverb_demo/run.py runs "
+              "the WPE/GEV chain)")
+
+    def in_range(s):
+        return args.stage <= s <= args.stop_stage
+
+    def dset(name):
+        d = os.path.join(args.data, name)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(f"data set dir missing: {d}")
+        return d
+
+    def feats_scp(name):
+        return os.path.join(exp, f"feats_{name}.scp")
+
+    import numpy as np
+
+    if in_range(1):
+        print(f"=== stage 1: {cfg['frontend'].get('type', 'fdlp')} featgen")
+        for name in sets:
+            d = dset(name)
+            typ, argv = frontend_argv(
+                cfg["frontend"], os.path.join(d, "wav.scp"),
+                os.path.join(exp, f"feats_{name}"), d,
+            )
+            run_featgen(typ, argv)
+
+    from speech_recognition_tools_tpu.io import build_egs, read_mat_scp
+    from speech_recognition_tools_tpu.io.text import (
+        build_char_vocab,
+        read_text_file,
+        save_vocab,
+    )
+
+    egs_cfg = cfg.get("egs", {})
+    vocab_path = os.path.join(exp, "vocab.json")
+
+    if in_range(2):
+        print("=== stage 2: data prep (egs + dict)")
+        if branch == "e2e":
+            texts = read_text_file(os.path.join(dset(args.train_set), "text"))
+            save_vocab(build_char_vocab(texts.values()), vocab_path)
+        cmvn = None
+        if egs_cfg.get("cmvn", "global") == "global":
+            tr = dict(read_mat_scp(feats_scp(args.train_set)))
+            allf = np.concatenate(list(tr.values()), axis=0)
+            cmvn = (np.mean(allf, axis=0), np.std(allf, axis=0))
+        context = egs_cfg.get("left_context") or egs_cfg.get("context")
+        for name in sets:
+            feats = dict(read_mat_scp(feats_scp(name)))
+            if egs_cfg.get("cmvn") == "per_utt":
+                feats = {
+                    k: (v - v.mean(0)) / np.where(v.std(0) == 0, 1.0, v.std(0))
+                    for k, v in feats.items()
+                }
+            labels = None
+            num_targets = am.get("num_classes")
+            ali = os.path.join(dset(name), "ali.pkl")
+            if branch == "hybrid" and os.path.exists(ali):
+                labels = {
+                    k: np.asarray(v, np.int32)
+                    for k, v in load_ali(ali).items()
+                }
+                if num_targets is None:
+                    num_targets = 1 + max(
+                        int(np.max(v)) for v in labels.values()
+                    )
+            build_egs(
+                iter(feats.items()), os.path.join(exp, f"egs_{name}"),
+                labels=labels, cmvn=cmvn, context=context,
+                max_seq_len=egs_cfg.get("max_seq_len"),
+                num_targets=num_targets,
+            )
+
+    if in_range(3):
+        print("=== stage 3: LM")
+        train_text = os.path.join(dset(args.train_set), "text")
+        if branch == "e2e" and cfg.get("lm"):
+            from speech_recognition_tools_tpu.cli import train_lm
+
+            lm = cfg["lm"]
+            train_lm.main([
+                train_text, os.path.join(exp, "lm"),
+                "--vocab", vocab_path,
+                "--layers", str(lm.get("layers", 1)),
+                "--hidden", str(lm.get("units", 1000)),
+                "--epochs", str(lm.get("epochs", 20)),
+                "--batch_size", str(lm.get("batch_size", 64)),
+            ])
+        elif branch == "hybrid":
+            from speech_recognition_tools_tpu.cli import train_ngram
+
+            train_ngram.main([
+                train_text, os.path.join(exp, "ngram"),
+                "--order", str(cfg.get("lm", {}).get("order", 3)),
+            ])
+
+    if in_range(4):
+        print(f"=== stage 4: {branch} AM training")
+        if branch == "e2e":
+            from speech_recognition_tools_tpu.cli import train_e2e
+
+            argv = [
+                os.path.join(exp, f"egs_{args.train_set}"),
+                os.path.join(dset(args.train_set), "text"),
+                os.path.join(exp, "am"),
+                "--dev_egs_dir", os.path.join(exp, f"egs_{args.dev_set}"),
+                "--vocab", vocab_path,
+            ]
+            for k in ("adim", "aheads", "elayers", "eunits", "dlayers",
+                      "dunits", "mtlalpha", "lsm_weight", "dropout",
+                      "warmup_steps", "transformer_lr", "grad_clip",
+                      "epochs", "batch_size", "average_last"):
+                if k in am:
+                    argv += [f"--{k}", str(am[k])]
+            if am.get("specaug"):
+                argv.append("--specaug")
+            train_e2e.main(argv)
+        else:
+            from speech_recognition_tools_tpu.cli import train_am
+
+            argv = [
+                os.path.join(exp, f"egs_{args.train_set}"),
+                os.path.join(exp, "am"),
+                "--arch", am.get("type", "rnn"),
+                "--dev_egs_dir", os.path.join(exp, f"egs_{args.dev_set}"),
+            ]
+            flags = {
+                "num_layers": "num_layers", "hidden_dim": "hidden_dim",
+                "num_classes": "num_classes", "optimizer": "optimizer",
+                "learning_rate": "learning_rate", "lrr": "lrr",
+                "lr_tol": "lr_tol", "clip_thresh": "clip_thresh",
+                "epochs": "epochs", "batch_size": "batch_size",
+                "dropout": "dropout",
+            }
+            for ck, fk in flags.items():
+                if ck in am:
+                    argv += [f"--{fk}", str(am[ck])]
+            train_am.main(argv)
+
+    results = []
+    if in_range(5):
+        print("=== stage 5: decode + score")
+        from speech_recognition_tools_tpu.eval.wer import score_hypotheses
+
+        dec = cfg.get("decode", {})
+        if branch == "e2e":
+            from speech_recognition_tools_tpu.cli import recog_e2e
+
+            for name in test_sets:
+                hyp = os.path.join(exp, f"hyp_{name}.txt")
+                argv = [
+                    os.path.join(exp, "am"),
+                    os.path.join(exp, f"egs_{name}"), hyp,
+                    "--beam_size", str(dec.get("beam_size", 10)),
+                    "--ctc_weight", str(dec.get("ctc_weight", 0.3)),
+                    "--penalty", str(dec.get("penalty", 0.0)),
+                    "--max_len", str(dec.get("max_len", 200)),
+                ]
+                if cfg.get("lm") and os.path.isdir(os.path.join(exp, "lm")):
+                    argv += ["--lm_dir", os.path.join(exp, "lm"),
+                             "--lm_weight", str(dec.get("lm_weight", 1.0))]
+                recog_e2e.main(argv)
+                refs = read_text_file(os.path.join(dset(name), "text"))
+                hyps = read_text_file(hyp)
+                wer, _ = score_hypotheses(
+                    {k: v.split() for k, v in refs.items()},
+                    {k: hyps.get(k, "").split() for k in refs},
+                )
+                results.append((name, wer))
+        else:
+            import glob
+
+            from speech_recognition_tools_tpu.cli import (
+                compute_prior,
+                decode_wfst,
+                dump_outputs,
+            )
+
+            num_classes = am.get("num_classes")
+            if num_classes is None:
+                from speech_recognition_tools_tpu.io.egs import EgsConfig
+
+                with open(os.path.join(
+                    exp, f"egs_{args.train_set}", "egs.config"
+                )) as f:
+                    num_classes = EgsConfig.from_json(f.read()).num_targets
+            compute_prior.main([
+                os.path.join(exp, f"egs_{args.train_set}"),
+                os.path.join(exp, "prior.pkl"),
+                "--num_classes", str(num_classes),
+            ])
+            lex = os.path.join(args.data, "lexicon.txt")
+            graph = os.path.join(exp, "graph")
+            if os.path.exists(lex):
+                arpa = glob.glob(os.path.join(exp, "ngram", "*.arpa*"))[0]
+                decode_wfst.main([
+                    "build-graph", arpa, lex, graph,
+                    "--states_per_phone",
+                    str(dec.get("states_per_phone", 1)),
+                ])
+            for name in test_sets:
+                ll = os.path.join(exp, f"loglikes_{name}")
+                dump_outputs.main([
+                    os.path.join(exp, "am"),
+                    os.path.join(exp, f"egs_{name}"), ll,
+                    "--prior", os.path.join(exp, "prior.pkl"),
+                    "--prior_weight", str(dec.get("prior_weight", 0.8)),
+                ])
+                if not os.path.exists(lex):
+                    print(f"no {lex}: skipping WFST decode of {name} "
+                          "(loglikes ark written for the external-FST "
+                          "bridge, decode/export.py)")
+                    continue
+                hyp = os.path.join(exp, f"hyp_{name}.txt")
+                decode_wfst.main([
+                    "decode", graph, ll + ".ark", hyp,
+                    "--acoustic_scale", str(dec.get("acoustic_scale", 0.1)),
+                    "--beam", str(dec.get("beam", 16.0)),
+                ])
+                refs = read_text_file(os.path.join(dset(name), "text"))
+                hyps = read_text_file(hyp)
+                wer, _ = score_hypotheses(
+                    {k: v.split() for k, v in refs.items()},
+                    {k: hyps.get(k, "").split() for k in refs},
+                )
+                results.append((name, wer))
+        if results:
+            with open(os.path.join(exp, "RESULTS"), "a") as f:
+                for name, wer in results:
+                    line = f"%WER {wer:.2f} [{name}] config={args.config}"
+                    print(line)
+                    f.write(line + "\n")
+
+    if in_range(6) and branch == "hybrid" and cfg.get("pm"):
+        print("=== stage 6: PM model + scores")
+        from speech_recognition_tools_tpu.cli import pm_score_cli, train_am
+
+        pm = cfg["pm"]
+        name = test_sets[0]
+        ll_scp = os.path.join(exp, f"loglikes_{name}.scp")
+        lls = dict(read_mat_scp(ll_scp))
+        build_egs(iter(lls.items()), os.path.join(exp, "pm_egs"))
+        train_am.main([
+            os.path.join(exp, "pm_egs"), os.path.join(exp, "pm"),
+            "--arch", pm.get("type", "pm_ae"),
+            "--num_layers", str(pm.get("num_layers_enc", 2)),
+            "--num_layers_dec", str(pm.get("num_layers_dec", 2)),
+            "--hidden_dim", str(pm.get("hidden_dim", 512)),
+            "--bn_dim", str(pm.get("bn_dim", 64)),
+            "--epochs", str(pm.get("epochs", 5)),
+            "--loss", "mse",
+        ])
+        pm_score_cli.main([
+            "pm", os.path.join(exp, "am"), os.path.join(exp, "pm"),
+            os.path.join(exp, f"egs_{name}"),
+            os.path.join(exp, "pm.score"),
+        ])
+        print(f"PM scores -> {os.path.join(exp, 'pm.score')}")
+
+    print("run_corpus done")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -40,6 +40,9 @@ def get_parser():
                         "drop samples with subsampled-enc-len - "
                         "tokens*ratio < delta")
     p.add_argument("--min_io_delta", type=int, default=0)
+    p.add_argument("--vocab", help="existing vocab.json (e.g. built at "
+                                   "data-prep time and shared with the "
+                                   "RNNLM); default: build from text")
     return p
 
 
@@ -96,6 +99,7 @@ def main(argv=None):
 
     from speech_recognition_tools_tpu.io.text import (
         build_char_vocab,
+        load_vocab,
         read_text_file,
         save_vocab,
     )
@@ -113,7 +117,10 @@ def main(argv=None):
     )
 
     texts = read_text_file(args.text)
-    vocab = build_char_vocab(texts.values())
+    if args.vocab:
+        vocab = load_vocab(args.vocab)
+    else:
+        vocab = build_char_vocab(texts.values())
     os.makedirs(args.store_path, exist_ok=True)
     save_vocab(vocab, os.path.join(args.store_path, "vocab.json"))
 

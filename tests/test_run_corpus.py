@@ -1,0 +1,162 @@
+"""Integration tests of the generic config-driven corpus driver
+(recipes/run_corpus.py): both branches — hybrid (timit_hybrid.json) and
+e2e (wsj_fdlp_e2e.json) — end-to-end on tiny synthetic corpora, with
+`--set` overrides shrinking the models to test size.
+
+This is the runnable form of the reference's recipe layer
+(e2e/wsj/run_fdlp_e1.sh, recipes/timit/run_rnn.sh) and defines the
+procedure that produces WER numbers the day a real corpus is mounted.
+"""
+
+import importlib.util
+import os
+import pickle
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "run_corpus", os.path.join(REPO, "recipes", "run_corpus.py")
+)
+run_corpus = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(run_corpus)
+
+SRATE = 8000
+LEXICON = {"go": [0], "stop": [1, 2], "left": [3], "right": [4, 0]}
+PHONE_DUR = 0.24
+
+
+def _phone_signal(ph, n, rs):
+    t = np.arange(n) / SRATE
+    f0 = 250.0 + 300.0 * ph
+    sig = np.sin(2 * np.pi * f0 * t) + 0.5 * np.sin(2 * np.pi * 2.1 * f0 * t)
+    return sig + 0.05 * rs.randn(n)
+
+
+def _make_corpus(root, sets=(("train", 8), ("dev", 2), ("test", 2)),
+                 with_ali=True):
+    from scipy.io.wavfile import write as wav_write
+
+    rs = np.random.RandomState(7)
+    words_list = sorted(LEXICON)
+    nper = int(PHONE_DUR * SRATE)
+    fppp = int(round(PHONE_DUR * 100))  # frames per phone at 100 Hz
+    for name, n_utts in sets:
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        scp, texts, alis = [], {}, {}
+        for i in range(n_utts):
+            utt = f"{name}{i}"
+            words = [words_list[j]
+                     for j in rs.randint(0, len(words_list), 2 + i % 2)]
+            phones = [p for w in words for p in LEXICON[w]]
+            sig = np.concatenate([_phone_signal(p, nper, rs) for p in phones])
+            sig = (sig / np.abs(sig).max() * 12000).astype(np.int16)
+            path = os.path.join(d, f"{utt}.wav")
+            wav_write(path, SRATE, sig)
+            scp.append(f"{utt} {path}")
+            texts[utt] = " ".join(words)
+            alis[utt] = np.repeat(np.asarray(phones, np.int32), fppp)
+        with open(os.path.join(d, "wav.scp"), "w") as f:
+            f.write("\n".join(scp) + "\n")
+        with open(os.path.join(d, "text"), "w") as f:
+            f.write("".join(f"{k} {v}\n" for k, v in sorted(texts.items())))
+        if with_ali:
+            with open(os.path.join(d, "ali.pkl"), "wb") as f:
+                pickle.dump(alis, f)
+    with open(os.path.join(root, "lexicon.txt"), "w") as f:
+        f.write("".join(
+            f"{w} {' '.join(str(p) for p in ps)}\n"
+            for w, ps in sorted(LEXICON.items())
+        ))
+
+
+def test_override_parsing():
+    path, v = run_corpus.parse_override("am.epochs=3")
+    assert path == ["am", "epochs"] and v == 3
+    assert run_corpus.parse_override("a.b=0.5")[1] == 0.5
+    assert run_corpus.parse_override("a.b=true")[1] is True
+    assert run_corpus.parse_override("a.b=mel,1")[1] == "mel,1"
+    cfg = {"am": {"epochs": 50}}
+    run_corpus.apply_override(cfg, ["am", "epochs"], 3)
+    run_corpus.apply_override(cfg, ["lm", "units"], 8)
+    assert cfg == {"am": {"epochs": 3}, "lm": {"units": 8}}
+
+
+def test_hybrid_branch(tmp_path):
+    data = str(tmp_path / "data")
+    _make_corpus(data)
+    exp = str(tmp_path / "exp")
+    results = run_corpus.main([
+        "--config", os.path.join(REPO, "recipes/configs/timit_hybrid.json"),
+        "--data", data, "--expdir", exp,
+        "--set", "frontend.srate=8000",
+        "--set", "am.num_layers=1", "--set", "am.hidden_dim=48",
+        "--set", "am.epochs=8", "--set", "am.batch_size=4",
+        "--set", "decode.acoustic_scale=0.5", "--set", "decode.beam=24",
+        "--set", "pm.hidden_dim=16", "--set", "pm.bn_dim=8",
+        "--set", "pm.num_layers_enc=1", "--set", "pm.num_layers_dec=1",
+        "--set", "pm.epochs=1",
+    ])
+    # every stage artifact of the chain exists
+    for f in ("feats_train.scp", "egs_train/egs.config", "ngram",
+              "am", "prior.pkl", "graph/HCLG.txt", "hyp_test.txt",
+              "RESULTS", "pm.score"):
+        assert os.path.exists(os.path.join(exp, f)), f
+    assert results and results[0][0] == "test"
+    assert np.isfinite(results[0][1])
+    with open(os.path.join(exp, "pm.score"), "rb") as f:
+        assert len(pickle.load(f)) == 2  # both test utts scored
+
+
+def test_hybrid_stage_resume(tmp_path):
+    """--stage/--stop_stage contract: rerun a single stage standalone."""
+    data = str(tmp_path / "data")
+    _make_corpus(data, sets=(("train", 4), ("dev", 2), ("test", 2)))
+    exp = str(tmp_path / "exp")
+    common = [
+        "--config", os.path.join(REPO, "recipes/configs/timit_hybrid.json"),
+        "--data", data, "--expdir", exp,
+        "--set", "frontend.srate=8000",
+    ]
+    run_corpus.main(common + ["--stage", "1", "--stop_stage", "1"])
+    assert os.path.exists(os.path.join(exp, "feats_test.scp"))
+    assert not os.path.exists(os.path.join(exp, "egs_train"))
+    run_corpus.main(common + ["--stage", "2", "--stop_stage", "2"])
+    assert os.path.exists(os.path.join(exp, "egs_test/egs.config"))
+
+
+@pytest.mark.slow
+def test_e2e_branch(tmp_path):
+    data = str(tmp_path / "data")
+    _make_corpus(data, with_ali=False)
+    exp = str(tmp_path / "exp")
+    results = run_corpus.main([
+        "--config", os.path.join(REPO, "recipes/configs/wsj_fdlp_e2e.json"),
+        "--data", data, "--expdir", exp,
+        # shrink the production front-end + transformer to test size
+        "--set", "frontend.srate=8000", "--set", "frontend.nfilters=20",
+        "--set", "frontend.fduration=0.5", "--set", "frontend.order=50",
+        "--set", "frontend.coeff_num=50", "--set", "frontend.coeff_range=1,20",
+        "--set", "am.adim=32", "--set", "am.aheads=2",
+        "--set", "am.elayers=1", "--set", "am.eunits=32",
+        "--set", "am.dlayers=1", "--set", "am.dunits=32",
+        "--set", "am.epochs=2", "--set", "am.batch_size=4",
+        "--set", "am.warmup_steps=50", "--set", "am.average_last=2",
+        "--set", "lm.units=16", "--set", "lm.epochs=1",
+        "--set", "decode.beam_size=2", "--set", "decode.max_len=24",
+    ])
+    for f in ("vocab.json", "egs_train/egs.config", "lm", "am/vocab.json",
+              "hyp_test.txt", "RESULTS"):
+        assert os.path.exists(os.path.join(exp, f)), f
+    assert results and np.isfinite(results[0][1])
+    # the ASR and the fusion RNNLM share the stage-2 dictionary
+    import json
+
+    with open(os.path.join(exp, "vocab.json")) as f:
+        v0 = json.load(f)
+    with open(os.path.join(exp, "am", "vocab.json")) as f:
+        assert json.load(f) == v0
