@@ -412,3 +412,256 @@ int32_t fst_decode_nbest(void* h, const float* loglikes, int32_t T,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Lattice-generating decode: the native counterpart of Kaldi's
+// latgen-faster-mapped lattice output (reference decode_dnn.sh:128-143
+// writes lat.JOB.gz; lattice-combine fuses them). Token passing keeps,
+// per frame, every surviving (state) token and records *all* arcs
+// between surviving tokens (not just the Viterbi backpointer); a
+// backward pass then prunes nodes/links to `lattice_beam` of the best
+// path. The result is a state-level lattice (epsilon arcs preserved,
+// acoustic and graph costs kept separate) that Python
+// (decode/lattice.py) compresses to a word lattice and uses for
+// rescoring / oracle WER / system combination.
+
+namespace {
+
+struct LatLink {
+  int32_t from, to;
+  int32_t olabel;
+  float graph_w, ac_w;
+};
+
+struct RawLattice {
+  std::vector<int32_t> frames;  // per node; node 0 = start
+  std::vector<LatLink> links;
+  std::vector<int32_t> final_nodes;
+  std::vector<float> final_costs;
+  float best_cost = kInf;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* fst_decode_lattice(void* h, const float* loglikes, int32_t T,
+                         int32_t P, float acoustic_scale, float beam,
+                         int32_t max_active, float lattice_beam) {
+  Fst* fst = static_cast<Fst*>(h);
+  if (!fst || T < 0 || P <= 0) return nullptr;
+
+  // global token store: tok -> (frame, state, forward cost)
+  std::vector<int32_t> tok_frame, tok_state;
+  std::vector<float> tok_fwd;
+  std::vector<LatLink> links;
+  auto new_tok = [&](int32_t frame, int32_t state, float fwd) {
+    tok_frame.push_back(frame);
+    tok_state.push_back(state);
+    tok_fwd.push_back(fwd);
+    return (int32_t)tok_frame.size() - 1;
+  };
+
+  // per-frame active set: state -> token id
+  std::unordered_map<int32_t, int32_t> cur, prev;
+  std::vector<int32_t> queue;
+
+  // epsilon relaxation of forward costs within the current frame
+  auto eps_relax = [&](int32_t frame) {
+    queue.clear();
+    for (auto& kv : cur) queue.push_back(kv.first);
+    while (!queue.empty()) {
+      int32_t s = queue.back();
+      queue.pop_back();
+      float c0 = tok_fwd[cur[s]];
+      for (int32_t i = fst->offsets[s]; i < fst->offsets[s + 1]; ++i) {
+        const Arc& a = fst->arcs[i];
+        if (a.ilabel != 0) continue;
+        float c = c0 + a.w;
+        auto it = cur.find(a.dst);
+        if (it == cur.end()) {
+          cur[a.dst] = new_tok(frame, a.dst, c);
+          queue.push_back(a.dst);
+        } else if (c < tok_fwd[it->second]) {
+          tok_fwd[it->second] = c;
+          queue.push_back(a.dst);
+        }
+      }
+    }
+  };
+
+  auto prune_cur = [&]() {
+    if (cur.empty()) return;
+    float best = kInf;
+    for (auto& kv : cur) best = std::min(best, tok_fwd[kv.second]);
+    float thresh = best + beam;
+    if (max_active > 0 && (int32_t)cur.size() > max_active) {
+      std::vector<float> costs;
+      costs.reserve(cur.size());
+      for (auto& kv : cur) costs.push_back(tok_fwd[kv.second]);
+      std::nth_element(costs.begin(), costs.begin() + max_active - 1,
+                       costs.end());
+      thresh = std::min(thresh, costs[max_active - 1]);
+    }
+    for (auto it = cur.begin(); it != cur.end();)
+      it = (tok_fwd[it->second] > thresh) ? cur.erase(it) : std::next(it);
+  };
+
+  // one link per (surviving src token, arc, surviving dst token)
+  auto emit_eps_links = [&]() {
+    for (auto& kv : cur) {
+      int32_t s = kv.first, tid = kv.second;
+      for (int32_t i = fst->offsets[s]; i < fst->offsets[s + 1]; ++i) {
+        const Arc& a = fst->arcs[i];
+        if (a.ilabel != 0) continue;
+        auto it = cur.find(a.dst);
+        if (it != cur.end() && it->second != tid)
+          links.push_back({tid, it->second, a.olabel, a.w, 0.0f});
+      }
+    }
+  };
+
+  cur[0] = new_tok(0, 0, 0.0f);
+  eps_relax(0);
+  prune_cur();
+  emit_eps_links();
+
+  for (int32_t t = 0; t < T; ++t) {
+    const float* frame = loglikes + (int64_t)t * P;
+    std::swap(prev, cur);
+    cur.clear();
+    // emitting step: forward costs
+    for (auto& kv : prev) {
+      int32_t s = kv.first;
+      float c0 = tok_fwd[kv.second];
+      for (int32_t i = fst->offsets[s]; i < fst->offsets[s + 1]; ++i) {
+        const Arc& a = fst->arcs[i];
+        if (a.ilabel == 0) continue;
+        int32_t pdf = a.ilabel - 1;
+        if (pdf >= P) return nullptr;
+        float c = c0 + a.w - acoustic_scale * frame[pdf];
+        auto it = cur.find(a.dst);
+        if (it == cur.end())
+          cur[a.dst] = new_tok(t + 1, a.dst, c);
+        else if (c < tok_fwd[it->second])
+          tok_fwd[it->second] = c;
+      }
+    }
+    if (cur.empty()) return nullptr;
+    eps_relax(t + 1);
+    prune_cur();
+    // links from surviving prev tokens into surviving cur tokens
+    for (auto& kv : prev) {
+      int32_t s = kv.first, tid = kv.second;
+      for (int32_t i = fst->offsets[s]; i < fst->offsets[s + 1]; ++i) {
+        const Arc& a = fst->arcs[i];
+        if (a.ilabel == 0) continue;
+        auto it = cur.find(a.dst);
+        if (it == cur.end()) continue;
+        int32_t pdf = a.ilabel - 1;
+        links.push_back({tid, it->second, a.olabel, a.w,
+                         -acoustic_scale * frame[pdf]});
+      }
+    }
+    emit_eps_links();
+  }
+
+  int32_t n_tok = (int32_t)tok_frame.size();
+
+  // final tokens (Kaldi partial-result fallback when no final reachable)
+  std::vector<std::pair<int32_t, float>> finals;
+  for (auto& kv : cur) {
+    float fc = fst->final_cost[kv.first];
+    if (fc != kInf) finals.push_back({kv.second, fc});
+  }
+  if (finals.empty())
+    for (auto& kv : cur) finals.push_back({kv.second, 0.0f});
+
+  // backward costs: bwd[tok] = best cost to a final; sweep links in
+  // reverse creation order (near-topological: frames ascend, eps chains
+  // were relaxed in creation order) until fixpoint.
+  std::vector<float> bwd(n_tok, kInf);
+  for (auto& p : finals) bwd[p.first] = p.second;
+  for (int sweep = 0; sweep < 100; ++sweep) {
+    bool changed = false;
+    for (auto it = links.rbegin(); it != links.rend(); ++it) {
+      if (bwd[it->to] == kInf) continue;
+      float c = it->graph_w + it->ac_w + bwd[it->to];
+      if (c < bwd[it->from] - 1e-6f) {
+        bwd[it->from] = c;
+        changed = true;
+      }
+    }
+    if (!changed) break;
+  }
+
+  float best = kInf;
+  for (int32_t i = 0; i < n_tok; ++i)
+    if (bwd[i] != kInf) best = std::min(best, tok_fwd[i] + bwd[i]);
+  if (best == kInf) return nullptr;
+  float thresh = best + lattice_beam;
+
+  // keep + renumber (start token must survive: fwd=0, on the best path)
+  std::vector<int32_t> remap(n_tok, -1);
+  RawLattice* lat = new RawLattice();
+  lat->best_cost = best;
+  for (int32_t i = 0; i < n_tok; ++i) {
+    if (bwd[i] == kInf || tok_fwd[i] + bwd[i] > thresh) continue;
+    remap[i] = (int32_t)lat->frames.size();
+    lat->frames.push_back(tok_frame[i]);
+  }
+  for (const LatLink& l : links) {
+    if (remap[l.from] < 0 || remap[l.to] < 0) continue;
+    if (tok_fwd[l.from] + l.graph_w + l.ac_w + bwd[l.to] > thresh) continue;
+    lat->links.push_back(
+        {remap[l.from], remap[l.to], l.olabel, l.graph_w, l.ac_w});
+  }
+  for (auto& p : finals) {
+    if (remap[p.first] < 0) continue;
+    lat->final_nodes.push_back(remap[p.first]);
+    lat->final_costs.push_back(p.second);
+  }
+  if (lat->frames.empty() || lat->final_nodes.empty()) {
+    delete lat;
+    return nullptr;
+  }
+  return lat;
+}
+
+int32_t lat_num_nodes(void* h) {
+  return (int32_t)static_cast<RawLattice*>(h)->frames.size();
+}
+int64_t lat_num_links(void* h) {
+  return (int64_t)static_cast<RawLattice*>(h)->links.size();
+}
+int32_t lat_num_finals(void* h) {
+  return (int32_t)static_cast<RawLattice*>(h)->final_nodes.size();
+}
+float lat_best_cost(void* h) {
+  return static_cast<RawLattice*>(h)->best_cost;
+}
+void lat_get_node_frames(void* h, int32_t* out) {
+  RawLattice* lat = static_cast<RawLattice*>(h);
+  std::memcpy(out, lat->frames.data(), lat->frames.size() * sizeof(int32_t));
+}
+void lat_get_links(void* h, int32_t* from, int32_t* to, int32_t* olabel,
+                   float* graph_w, float* ac_w) {
+  RawLattice* lat = static_cast<RawLattice*>(h);
+  for (size_t i = 0; i < lat->links.size(); ++i) {
+    from[i] = lat->links[i].from;
+    to[i] = lat->links[i].to;
+    olabel[i] = lat->links[i].olabel;
+    graph_w[i] = lat->links[i].graph_w;
+    ac_w[i] = lat->links[i].ac_w;
+  }
+}
+void lat_get_finals(void* h, int32_t* nodes, float* costs) {
+  RawLattice* lat = static_cast<RawLattice*>(h);
+  std::memcpy(nodes, lat->final_nodes.data(),
+              lat->final_nodes.size() * sizeof(int32_t));
+  std::memcpy(costs, lat->final_costs.data(),
+              lat->final_costs.size() * sizeof(float));
+}
+void lat_free(void* h) { delete static_cast<RawLattice*>(h); }
+
+}  // extern "C"

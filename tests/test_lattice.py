@@ -1,0 +1,355 @@
+"""Lattice generation + lattice algorithms (decode/lattice.py over
+native/fst_decode.cpp's fst_decode_lattice).
+
+Parity targets (VERDICT round-2, missing #1): Kaldi's lattice path —
+latgen-faster-mapped lattice output (decode_dnn.sh:128-143), lattice
+rescoring, lattice-combine system fusion (combine_lattice.sh:23-26).
+
+Acceptance criteria encoded here:
+  * lattice best path == one-best decoder output (words and cost);
+  * lattice oracle WER <= one-best WER;
+  * exact lattice rescoring with the graph's own LM is a no-op, and
+    rescoring with a new LM matches exhaustive N-best rescoring;
+  * 2-system combination corrects errors neither system fixes alone.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from speech_recognition_tools_tpu.decode.graph import (
+    GraphConfig,
+    build_decoding_graph,
+)
+from speech_recognition_tools_tpu.decode.lattice import (
+    cn_combine,
+    combine,
+    decode_lattice,
+)
+from speech_recognition_tools_tpu.decode.wfst import WfstDecoder
+from speech_recognition_tools_tpu.eval.wer import edit_distance_csid
+from speech_recognition_tools_tpu.models.ngram_lm import train_ngram_lm
+
+RS = np.random.RandomState(11)
+
+LEX = {"go": [0], "stop": [1, 2], "left": [3], "right": [4, 0]}
+SENTS = [
+    "go stop".split(), "go left".split(), "stop go".split(),
+    "right stop".split(), "go stop left".split(), "stop".split(),
+    "left right go".split(), "go go stop".split(),
+]
+S = 2  # states per phone
+
+
+@pytest.fixture(scope="module")
+def graph(tmp_path_factory):
+    lm = train_ngram_lm(SENTS, order=2)
+    g = build_decoding_graph(lm, LEX, GraphConfig(states_per_phone=S))
+    path = str(tmp_path_factory.mktemp("lat_graph") / "hclg.txt")
+    g.write(path)
+    return g, path, lm
+
+
+# balanced corpus: every (first, second) word pair equally likely, so the
+# LM is neutral between truth and confusion in the margin-controlled tests
+SENTS_BAL = [
+    [a, b] for a in ("go", "left") for b in ("stop", "right")
+]
+
+
+@pytest.fixture(scope="module")
+def graph_bal(tmp_path_factory):
+    lm = train_ngram_lm(SENTS_BAL, order=2)
+    g = build_decoding_graph(lm, LEX, GraphConfig(states_per_phone=S))
+    path = str(tmp_path_factory.mktemp("lat_graph_bal") / "hclg.txt")
+    g.write(path)
+    return g, path, lm
+
+
+def _loglikes_for(words, g, frames_per_state=3, noise=0.0, rs=RS):
+    pdfs = []
+    for w in words:
+        for ph in LEX[w]:
+            for st in range(S):
+                pdfs += [ph * S + st] * frames_per_state
+    T, P = len(pdfs), g.num_pdfs
+    ll = np.full((T, P), -10.0, np.float32)
+    ll[np.arange(T), pdfs] = 0.0
+    if noise:
+        ll += rs.randn(T, P).astype(np.float32) * noise
+    return ll
+
+
+class TestLatticeGeneration:
+    def test_best_path_matches_onebest(self, graph):
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        for trial in range(3):
+            words = [list(LEX)[i] for i in RS.randint(0, 4, 2 + trial)]
+            ll = _loglikes_for(words, g, noise=0.8)
+            ids, cost = dec.decode(ll, acoustic_scale=0.8, beam=1e9,
+                                   max_active=0)
+            lat = decode_lattice(dec, ll, acoustic_scale=0.8, beam=1e9,
+                                 max_active=7000, lattice_beam=10.0)
+            lids, lcost = lat.best_path()
+            assert lids == ids
+            assert abs(lcost - cost) < 1e-2, (lcost, cost)
+            assert abs(lat.best_cost - cost) < 1e-2
+
+    def test_lattice_is_dag_with_flow(self, graph):
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        ll = _loglikes_for(["go", "stop"], g, noise=1.0)
+        lat = decode_lattice(dec, ll, acoustic_scale=0.8, beam=1e9,
+                             lattice_beam=10.0)
+        lat.topo_order()  # raises if not a DAG
+        post = lat.posteriors()
+        # every path leaves the start node exactly once
+        out0 = post[np.asarray(lat.link_from) == 0]
+        assert abs(out0.sum() - 1.0) < 1e-3, out0.sum()
+        assert (post >= -1e-9).all() and (post <= 1 + 1e-6).all()
+
+    def test_beam_shrinks_lattice(self, graph):
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        ll = _loglikes_for(["left", "right"], g, noise=1.0)
+        big = decode_lattice(dec, ll, acoustic_scale=0.8, lattice_beam=12.0)
+        small = decode_lattice(dec, ll, acoustic_scale=0.8, lattice_beam=1.0)
+        assert small.num_links < big.num_links
+        assert small.best_path()[0] == big.best_path()[0]
+
+    def test_word_lattice_preserves_paths(self, graph):
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        ll = _loglikes_for(["stop", "go"], g, noise=1.0)
+        lat = decode_lattice(dec, ll, acoustic_scale=0.8, lattice_beam=8.0)
+        wl = lat.word_lattice()
+        assert (wl.link_olabel != 0).all()
+        ids, cost = lat.best_path()
+        wids, wcost = wl.best_path()
+        assert wids == ids
+        assert abs(wcost - cost) < 1e-2
+
+
+class TestNbestFromLattice:
+    def test_matches_decoder_nbest(self, graph):
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        ll = _loglikes_for(["go", "stop"], g, noise=1.0)
+        lat = decode_lattice(dec, ll, acoustic_scale=0.8, beam=1e9,
+                             lattice_beam=15.0)
+        lhyps = lat.nbest(5)
+        dhyps = dec.decode_nbest(ll, nbest=5, acoustic_scale=0.8, beam=1e9)
+        assert lhyps[0][0] == dhyps[0][0]
+        assert abs(lhyps[0][1] - dhyps[0][1]) < 1e-2
+        costs = [h[1] for h in lhyps]
+        assert costs == sorted(costs)
+        seqs = [tuple(h[0]) for h in lhyps]
+        assert len(set(seqs)) == len(seqs)
+
+
+class TestOracle:
+    def test_oracle_leq_onebest(self, graph):
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        inv = g.id_to_word()
+        w2i = {w: i for i, w in inv.items()}
+        for trial in range(4):
+            truth = [list(LEX)[i] for i in RS.randint(0, 4, 3)]
+            ll = _loglikes_for(truth, g, noise=2.5)
+            lat = decode_lattice(dec, ll, acoustic_scale=0.5, beam=1e9,
+                                 lattice_beam=12.0)
+            ids, _ = lat.best_path()
+            ref_ids = [w2i[w] for w in truth]
+            c, s, i, d = edit_distance_csid(ref_ids, ids)
+            onebest_err = s + i + d
+            oerr, olen, ohyp = lat.oracle_wer(ref_ids)
+            assert olen == len(truth)
+            assert oerr <= onebest_err, (oerr, onebest_err)
+
+    def test_oracle_strictly_beats_wrong_onebest(self, graph_bal):
+        """When a confusion narrowly wins acoustically, the one-best errs
+        but the truth survives in the lattice: oracle WER < one-best WER
+        (Kaldi lattice-oracle's reason to exist)."""
+        g, path, _ = graph_bal
+        dec = WfstDecoder(path)
+        inv = g.id_to_word()
+        w2i = {w: i for i, w in inv.items()}
+        truth = ["go", "stop"]
+        ll = TestCombination._asym_loglikes(
+            TestCombination(), g, truth, ["left", "right"], weak_pos=0
+        )
+        lat = decode_lattice(dec, ll, acoustic_scale=1.0, beam=1e9,
+                             lattice_beam=12.0)
+        ids, _ = lat.best_path()
+        ref_ids = [w2i[w] for w in truth]
+        c, s, i, d = edit_distance_csid(ref_ids, ids)
+        assert s + i + d >= 1  # one-best took the confusion
+        oerr, _, ohyp = lat.oracle_wer(ref_ids)
+        assert oerr == 0
+        assert ohyp == ref_ids
+
+    def test_oracle_zero_when_truth_in_lattice(self, graph):
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        w2i = {w: i for i, w in g.id_to_word().items()}
+        truth = ["go", "stop"]
+        ll = _loglikes_for(truth, g, noise=0.2)
+        lat = decode_lattice(dec, ll, acoustic_scale=1.0, beam=1e9,
+                             lattice_beam=10.0)
+        oerr, _, ohyp = lat.oracle_wer([w2i[w] for w in truth])
+        assert oerr == 0
+        assert ohyp == [w2i[w] for w in truth]
+
+
+class TestExactRescoring:
+    def test_same_lm_is_identity(self, graph):
+        """Removing the graph LM and re-adding the same LM must reproduce
+        the plain best path, words and cost (exactness of the removal)."""
+        g, path, lm = graph
+        dec = WfstDecoder(path)
+        inv = g.id_to_word()
+        for trial in range(3):
+            words = [list(LEX)[i] for i in RS.randint(0, 4, 2 + trial)]
+            ll = _loglikes_for(words, g, noise=1.2)
+            lat = decode_lattice(dec, ll, acoustic_scale=0.7, beam=1e9,
+                                 lattice_beam=10.0)
+            ids, cost = lat.best_path()
+            rids, rcost = lat.rescore(inv, lm)
+            assert rids == ids
+            assert abs(rcost - cost) < 1e-3, (rcost, cost)
+
+    def test_matches_exhaustive_nbest_rescoring(self, graph):
+        """Lattice rescoring with a new LM == rescoring a large N-best
+        list (the lattice covers what N-best approximates)."""
+        from speech_recognition_tools_tpu.decode.wfst import rescore_nbest
+        from speech_recognition_tools_tpu.models.ngram_lm import (
+            BOS,
+            EOS,
+        )
+
+        g, path, lm = graph
+        new_lm = train_ngram_lm(
+            ["left left go".split(), "right go".split(),
+             "go right stop".split(), "left stop".split()],
+            order=2,
+        )
+        dec = WfstDecoder(path)
+        inv = g.id_to_word()
+        ll = _loglikes_for(["left", "right"], g, noise=1.5)
+        lat = decode_lattice(dec, ll, acoustic_scale=0.6, beam=1e9,
+                             lattice_beam=20.0)
+
+        K = new_lm.order - 1
+
+        def cond(hist_words, word):
+            ctx = (BOS,) * max(0, K - len(hist_words)) + tuple(
+                hist_words
+            )[-K:]
+            return new_lm.score(ctx, EOS if word is None else word)
+
+        rids, rcost = lat.rescore(inv, lm, new_scorer=cond)
+
+        # exhaustive N-best route (large N approximates every path)
+        nb = lat.nbest(200)
+        res = rescore_nbest(
+            nb, inv, lm, lambda ws: new_lm.sentence_logprob(ws)[0]
+        )
+        assert rids == res[0][0]
+        assert abs(rcost - res[0][1]) < 1e-3, (rcost, res[0][1])
+
+    def test_oracle_new_lm_promotes_truth(self, graph):
+        g, path, lm = graph
+        dec = WfstDecoder(path)
+        inv = g.id_to_word()
+        w2i = {w: i for i, w in inv.items()}
+        truth = ["stop", "go"]
+        ll = _loglikes_for(truth, g, noise=2.0)
+        lat = decode_lattice(dec, ll, acoustic_scale=0.4, beam=1e9,
+                             lattice_beam=25.0)
+        oerr, _, _ = lat.oracle_wer([w2i[w] for w in truth])
+        if oerr:
+            pytest.skip("truth not in lattice under this noise draw")
+
+        def oracle(hist, word):
+            want = truth + [None]
+            k = len(hist)
+            ok = list(hist) == truth[:k] and (
+                word == (want[k] if k < len(want) else "!")
+            )
+            return 0.0 if ok else -50.0
+
+        rids, _ = lat.rescore(inv, lm, new_scorer=oracle, beam=200.0)
+        assert [inv[i] for i in rids] == truth
+
+
+class TestCombination:
+    def _asym_loglikes(self, g, truth, confusions, weak_pos, margin=0.25,
+                       frames_per_state=3):
+        """Loglikes favouring `truth`, except at position `weak_pos`
+        where the confusion word narrowly wins (one-best errs there but
+        the truth stays in the lattice with high posterior)."""
+        T_words = []
+        for i, w in enumerate(truth):
+            use = confusions[i] if i == weak_pos else w
+            T_words.append((w, use))
+        pdf_rows = []
+        for i, (w, use) in enumerate(T_words):
+            right = [ph * S + st for ph in LEX[w] for st in range(S)]
+            wrong = [ph * S + st for ph in LEX[use] for st in range(S)]
+            n = max(len(right), len(wrong)) * frames_per_state
+            row = np.full((n, g.num_pdfs), -10.0, np.float32)
+            for t in range(n):
+                r = right[min(t // frames_per_state, len(right) - 1)]
+                u = wrong[min(t // frames_per_state, len(wrong) - 1)]
+                if i == weak_pos:
+                    row[t, u] = 0.0
+                    row[t, r] = -margin
+                else:
+                    row[t, r] = 0.0
+            pdf_rows.append(row)
+        return np.concatenate(pdf_rows, axis=0)
+
+    def test_two_system_combination_beats_both(self, graph_bal):
+        """System A errs on word 2, system B on word 1 (each narrowly);
+        posterior-vote combination recovers the full truth."""
+        g, path, _ = graph_bal
+        dec = WfstDecoder(path)
+        inv = g.id_to_word()
+        w2i = {w: i for i, w in inv.items()}
+        truth = ["go", "stop"]
+        confus = ["left", "right"]
+        llA = self._asym_loglikes(g, truth, confus, weak_pos=1)
+        llB = self._asym_loglikes(g, truth, confus, weak_pos=0)
+        latA = decode_lattice(dec, llA, acoustic_scale=1.0, beam=1e9,
+                              lattice_beam=12.0)
+        latB = decode_lattice(dec, llB, acoustic_scale=1.0, beam=1e9,
+                              lattice_beam=12.0)
+        ref = [w2i[w] for w in truth]
+
+        def errs(ids):
+            c, s, i, d = edit_distance_csid(ref, ids)
+            return s + i + d
+
+        eA = errs(latA.best_path()[0])
+        eB = errs(latB.best_path()[0])
+        assert eA >= 1 and eB >= 1  # neither system is right alone
+        fused = cn_combine([latA, latB])
+        assert errs(fused) < min(eA, eB)
+        assert fused == ref
+
+    def test_union_combine_structure(self, graph):
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        ll1 = _loglikes_for(["go", "stop"], g, noise=0.5)
+        ll2 = _loglikes_for(["go", "stop"], g, noise=0.5,
+                            rs=np.random.RandomState(3))
+        lat1 = decode_lattice(dec, ll1, acoustic_scale=1.0, lattice_beam=8.0)
+        lat2 = decode_lattice(dec, ll2, acoustic_scale=1.0, lattice_beam=8.0)
+        u = combine([lat1, lat2], weights=[1.0, 1.0])
+        u.topo_order()
+        ids, cost = u.best_path()
+        best_each = min(lat1.best_path()[1], lat2.best_path()[1])
+        assert abs(cost - best_each) < 1e-2
+        assert ids in (lat1.best_path()[0], lat2.best_path()[0])
