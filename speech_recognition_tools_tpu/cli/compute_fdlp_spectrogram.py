@@ -31,7 +31,8 @@ def get_parser():
     parser.add_argument("--add_noise", help="'type,snr' | clean | diff")
     parser.add_argument("--srate", type=int, default=16000)
     parser.add_argument("--batch_size", type=int, default=32)
-    parser.add_argument("--precision", default="fast", choices=["fast", "high"])
+    parser.add_argument("--precision", default="fast",
+                        choices=["fast", "mixed", "high"])
     parser.add_argument("--random_jitter", action="store_true",
                         help="enable the reference's +-1 frame OLA jitter")
     return parser
