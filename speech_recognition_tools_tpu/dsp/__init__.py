@@ -13,6 +13,7 @@ from speech_recognition_tools_tpu.dsp.filterbanks import (
 from speech_recognition_tools_tpu.dsp.fdlp import (
     FdlpConfig,
     fdlp_spectrogram_batch,
+    fdlp_spectrogram_input_sharded,
     fdlp_spectrogram_sharded,
 )
 from speech_recognition_tools_tpu.dsp.streaming import StreamingFdlp

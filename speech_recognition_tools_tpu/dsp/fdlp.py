@@ -67,6 +67,7 @@ from speech_recognition_tools_tpu.ops.framing import (
     frame_count,
     frame_params,
     frame_signal,
+    frame_signal_time_sharded,
 )
 from speech_recognition_tools_tpu.ops.levinson import lpc_from_autocorr
 from speech_recognition_tools_tpu.ops.ola import ola_positions, overlap_add
@@ -194,11 +195,13 @@ def _band_cepstra(cos_dct, fbank, order, coeff_num, backend="scan"):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_samples", "shard", "min_samples"),
+    static_argnames=(
+        "cfg", "max_samples", "shard", "min_samples", "input_sharded"
+    ),
 )
 def _fdlp_impl(
     signals, num_samples, fbank_arr, cfg: FdlpConfig, max_samples: int, jitter,
-    shard=None, min_samples=None,
+    shard=None, min_samples=None, input_sharded=False,
 ):
     # fbank_arr is passed as a TRACED argument (not a closure constant) so
     # XLA cannot constant-fold the per-lag filterbank products in
@@ -237,12 +240,24 @@ def _fdlp_impl(
             return x
 
     max_frames = int(frame_count(max_samples, fp))
-    # frame with a unit window (gather of exact samples), apply the analysis
-    # window in the work dtype so the f64 path sees no f32 rounding.
-    ones = jnp.ones((fp.flength_samples,), dtype)
-    frames, num_frames = frame_signal(
-        signals, num_samples, fp, ones, max_frames, min_samples=min_samples
-    )
+    if input_sharded:
+        # sample-sharded framing: the waveform itself is sharded over the
+        # time axis and only flength-scale halos move between devices —
+        # per-device HBM for the input scales 1/n_time (VERDICT r2 #4)
+        frames = frame_signal_time_sharded(
+            signals, fp, max_frames, mesh, data_ax, time_ax
+        )
+        max_frames = int(frames.shape[1])  # padded to a multiple of nt
+        num_frames = frame_count(num_samples, fp)
+    else:
+        # frame with a unit window (gather of exact samples); the window
+        # is applied in the work dtype so the f64 path sees no f32
+        # rounding.
+        ones = jnp.ones((fp.flength_samples,), dtype)
+        frames, num_frames = frame_signal(
+            signals, num_samples, fp, ones, max_frames,
+            min_samples=min_samples,
+        )
     frames = frames.astype(front_dtype) * jnp.asarray(c["win"], front_dtype)
     if shard is not None:
         frames = cstr(frames, P(data_ax, time_ax))
@@ -390,6 +405,56 @@ def fdlp_spectrogram_batch(
     return _fdlp_impl(
         signals, num_samples, jnp.asarray(fbank, fb_dtype), cfg,
         max_samples, jitter, shard=_shard, min_samples=min_samples,
+    )
+
+
+def fdlp_spectrogram_input_sharded(
+    signals,
+    num_samples,
+    cfg: FdlpConfig,
+    mesh,
+    *,
+    time_axis: str = "time",
+    data_axis: str | None = None,
+    dtype=jnp.float32,
+):
+    """Sequence-parallel FDLP with the *waveform itself* sharded.
+
+    `fdlp_spectrogram_sharded` shards the analysis-frame compute but
+    replicates the input signal on every device; for hour-long
+    utterances the waveform dominates HBM. Here the sample axis lives
+    sharded over `time_axis` (shard_map framing with <= flength-sample
+    ppermute halos, ops/framing.frame_signal_time_sharded), so
+    per-device input bytes scale 1/n_time; the rest of the chain runs
+    under the same GSPMD frame sharding as the frame-parallel path.
+
+    Restrictions: all utterances full length (num_samples == N; pad the
+    batch equal or use the frame-sharded variant for ragged), N
+    divisible by the time-axis size, no OLA jitter.
+    """
+    ns = np.asarray(num_samples)
+    if not (ns == signals.shape[1]).all():
+        raise ValueError(
+            "input-sharded featgen requires full-length utterances "
+            "(num_samples == signals.shape[1]); use "
+            "fdlp_spectrogram_sharded for ragged batches"
+        )
+    signals = jnp.asarray(signals, dtype)
+    fbank = np.asarray(_host_constants(cfg)["fbank"])
+    assert banded_supports_separable(fbank, cfg.order + 2)
+    fb_dtype = (
+        jnp.float64 if cfg.precision in ("high", "mixed") else dtype
+    )
+    if cfg.precision in ("high", "mixed") and not jax.config.read(
+        "jax_enable_x64"
+    ):
+        raise ValueError(
+            f"FdlpConfig(precision={cfg.precision!r}) needs jax_enable_x64"
+        )
+    return _fdlp_impl(
+        signals, jnp.asarray(num_samples, jnp.int32),
+        jnp.asarray(fbank, fb_dtype), cfg, int(signals.shape[1]), None,
+        shard=(mesh, data_axis, time_axis), input_sharded=True,
     )
 
 

@@ -132,6 +132,110 @@ def _strided_frames(chunks, B, F, a, b, g, flen):
     return jnp.stack(parts, axis=2).reshape(B, F, flen)
 
 
+def frame_signal_time_sharded(
+    signals: jax.Array,
+    params: FrameParams,
+    max_frames: int,
+    mesh,
+    data_axis: str | None,
+    time_axis: str,
+) -> jax.Array:
+    """Frames of a *sample-sharded* batch: the signal's sample axis lives
+    sharded over `mesh`'s `time_axis` and is never materialised on any
+    single device — each device exchanges only a <= flength-sample halo
+    with its neighbours over ICI (jax.lax.ppermute) and cuts its own
+    block of frames with static strided slices (SURVEY §5 long-context;
+    the per-device HBM for the waveform scales 1/n_time).
+
+    Restrictions (the long-utterance use case): every utterance must be
+    full length (num_samples == N) — ragged batches belong on the
+    frame-sharded path, which replicates the input — and N must divide
+    by the time-axis size.
+
+    Returns (B, ceil(max_frames/nt)*nt, flen) *unwindowed* frames,
+    sharded P(data_axis, time_axis); frames past `max_frames` are
+    garbage (mask with frame_count downstream).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map as _shard_map
+
+        def shard_map(f, **kw):
+            return _shard_map(f, **kw)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+
+        def shard_map(f, *, mesh, in_specs, out_specs):
+            return _sm(f, mesh, in_specs=in_specs, out_specs=out_specs)
+
+    nt = mesh.shape[time_axis]
+    B, N = signals.shape
+    if N % nt:
+        raise ValueError(f"N={N} not divisible by time-axis size {nt}")
+    C = N // nt
+    F = max_frames
+    Fl = -(-F // nt)
+    hop, flen, ext = params.frate_samples, params.flength_samples, params.extend
+    if ext + 2 > C:
+        raise ValueError("shard smaller than the reflect pad; use the "
+                         "frame-sharded path")
+
+    # per-device sample needs, exact host-side integers:
+    # device i computes frames k in [i*Fl, (i+1)*Fl) (garbage past F);
+    # frame k taps original samples [k*hop - ext, k*hop - ext + flen)
+    lo = [i * Fl * hop - ext for i in range(nt)]
+    hi = [lo[i] + (Fl - 1) * hop + flen for i in range(nt)]
+    H_left = max(ext, max(i * C - lo[i] for i in range(nt)))
+    H_right = max(ext, max(hi[i] - (i + 1) * C for i in range(nt)))
+    if H_left > C or H_right > C:
+        raise ValueError("halo exceeds shard size; too many time shards")
+    span = (Fl - 1) * hop + flen
+    for i in range(nt):
+        s0 = i * (Fl * hop - C) + H_left - ext
+        assert 0 <= s0 and s0 + span <= H_left + C + H_right, (i, s0)
+
+    g = np.gcd(hop, flen)
+    a, b = hop // g, flen // g
+    assert span % g == 0
+
+    def local(sig):  # (B_l, C) this device's sample block
+        i = jax.lax.axis_index(time_axis)
+        Bl = sig.shape[0]
+        # halos: left from device i-1's tail, right from device i+1's head
+        left = jax.lax.ppermute(
+            sig[:, C - H_left:], time_axis,
+            [(j, j + 1) for j in range(nt - 1)],
+        )
+        right = jax.lax.ppermute(
+            sig[:, :H_right], time_axis,
+            [(j + 1, j) for j in range(nt - 1)],
+        )
+        buf = jnp.concatenate([left, sig, right], axis=1)
+        # global reflect boundaries live on the edge devices only
+        refl_l = jnp.flip(sig[:, 1 : ext + 1], axis=1)
+        with_l = jax.lax.dynamic_update_slice(buf, refl_l, (0, H_left - ext))
+        buf = jnp.where(i == 0, with_l, buf)
+        refl_r = jnp.flip(sig[:, C - ext - 1 : C - 1], axis=1)
+        with_r = jax.lax.dynamic_update_slice(buf, refl_r, (0, H_left + C))
+        buf = jnp.where(i == nt - 1, with_r, buf)
+        # this device's frame window: start of frame i*Fl in buf coords
+        s0 = (i * (Fl * hop - C) + H_left - ext).astype(jnp.int32)
+        win = jax.lax.dynamic_slice(
+            buf, (jnp.zeros((), jnp.int32), s0), (Bl, span)
+        )
+        chunks = win.reshape(Bl, span // g, g)
+        return _strided_frames(chunks, Bl, Fl, a, b, g, flen)
+
+    specs = P(data_axis, time_axis)
+    return shard_map(
+        local, mesh=mesh, in_specs=(specs,),
+        out_specs=P(data_axis, time_axis, None),
+    )(jax.lax.with_sharding_constraint(
+        signals, NamedSharding(mesh, specs)
+    ))
+
+
 def frame_signal(
     signals: jax.Array,
     num_samples: jax.Array,
