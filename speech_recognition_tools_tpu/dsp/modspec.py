@@ -121,23 +121,25 @@ def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int):
         banded_supports_separable,
     )
 
-    if keepreal and banded_supports_separable(fbank, cfg.order + 2):
-        # real path: the shared-lag banded autocorrelation computes the
-        # signal lag products once per frame and contracts them against
-        # all bands on the MXU (ops/autocorr) — instead of a circular
-        # FFT per (frame x band) problem — then the fused Pallas kernel
-        # (or XLA scans off-TPU) runs the LPC+cepstrum recursions over
+    if banded_supports_separable(fbank, cfg.order + 2):
+        # shared-lag path (real AND complex): the banded autocorrelation
+        # computes the signal lag products once per frame and contracts
+        # them against all bands on the MXU (ops/autocorr; the complex
+        # case runs as two real einsums) — instead of a circular FFT per
+        # (frame x band) problem — then the fused Pallas kernel (real
+        # f32 on TPU) or XLA scans run the LPC+cepstrum recursions over
         # P0*NB lanes. Chunk the frame axis to bound the lag workspace.
         nlags = cfg.order + 2
+        isz = 8 if jnp.iscomplexobj(trans) else 4
         frame_chunk = max(
-            64, min(P0, (1 << 28) // (8 * ndct * 4))
+            64, min(P0, (1 << 28) // (isz * 2 * ndct * 4))
         )  # ~0.25 GB lag workspace
         npad0 = (-P0) % frame_chunk
         tpad = jnp.concatenate(
             [trans, jnp.zeros((npad0, ndct), trans.dtype)], axis=0
         ).reshape(-1, frame_chunk, ndct)
         r = jax.lax.map(
-            lambda t: banded_autocorr(t, fbank_d, nlags), tpad
+            lambda t: banded_autocorr(t, jnp.real(fbank_d), nlags), tpad
         )  # (nc, fc, NB, nlags)
         r = r.reshape(-1, NB, nlags)[:P0].reshape(P0 * NB, nlags)
         on_tpu = jax.default_backend() in ("tpu", "axon")
@@ -150,10 +152,23 @@ def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int):
                 r, cfg.order, lim, unity_gain=cfg.set_unity_gain
             )
         else:
-            xlpc, gg = lpc_from_autocorr(r, cfg.order)
-            if cfg.set_unity_gain:
-                gg = jnp.ones_like(gg)
-            cep = lpc_to_cepstrum(xlpc, gg, lim)
+            # lane-chunked scans (the complex Levinson carries
+            # (lanes, order) state; chunking bounds it)
+            lane_chunk = min(cfg.problem_chunk * 16, r.shape[0])
+            npadl = (-r.shape[0]) % lane_chunk
+            rp = jnp.concatenate(
+                [r, jnp.zeros((npadl, nlags), r.dtype)], axis=0
+            ).reshape(-1, lane_chunk, nlags)
+
+            def lpc_block(rb):
+                xlpc, gg = lpc_from_autocorr(rb, cfg.order)
+                if cfg.set_unity_gain:
+                    gg = jnp.ones_like(gg)
+                return lpc_to_cepstrum(xlpc, gg, lim)
+
+            cep = jax.lax.map(lpc_block, rp).reshape(-1, lim)[: r.shape[0]]
+        if keepreal:
+            cep = jnp.real(cep)
         ceps = cep.reshape(B, max_frames, NB, lim)
     else:
         # complex-modulation (or wrap-support) path: per-problem

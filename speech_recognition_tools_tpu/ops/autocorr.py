@@ -162,31 +162,45 @@ def banded_autocorr(
     the spectrum ends — check with `banded_supports_separable`; true for
     every mel/cochlear bank the reference constructs.
 
+    Complex signals are supported (the complex-modulation M-vector
+    path, keepreal=False): r_b[k] = sum_m conj(z[m]) z[m+k] with
+    z = fb_b * x factors the same way with u_k = conj(x) * shift_k(x);
+    the complex-x-real contraction runs as two real einsums (re/im) so
+    it stays on the MXU.
+
     Args:
-      x: (..., N) real signals (float32 or float64).
-      fbank: (nb, N) filterbank rows (same dtype).
+      x: (..., N) real or complex signals.
+      fbank: (nb, N) real filterbank rows.
       nlags: number of lags (order + 2 upstream).
       lag_block: lags per einsum block (memory knob; u block is
         (..., lag_block, N)).
 
-    Returns: (..., nb, nlags).
+    Returns: (..., nb, nlags), dtype matching x.
     """
     n = x.shape[-1]
     batch = x.shape[:-1]
     nb = fbank.shape[0]
+    iscomplex = jnp.iscomplexobj(x)
     zpad_x = jnp.zeros(batch + (nlags,), x.dtype)
     zpad_f = jnp.zeros((nb, nlags), fbank.dtype)
     xp = jnp.concatenate([x, zpad_x], axis=-1)  # (..., N + K)
     fp = jnp.concatenate([fbank, zpad_f], axis=-1)
     del lag_block  # kept for API compatibility; per-lag form is faster
+    xc = jnp.conj(x) if iscomplex else x
+
+    def dot(u, w):
+        return jnp.einsum(
+            "...n,bn->...b", u, w, precision=jax.lax.Precision.HIGHEST
+        )
+
     outs = []
     for k in range(nlags):
-        u = x * jax.lax.slice_in_dim(xp, k, k + n, axis=-1)
+        u = xc * jax.lax.slice_in_dim(xp, k, k + n, axis=-1)
         w = fbank * jax.lax.slice_in_dim(fp, k, k + n, axis=-1)
-        outs.append(
-            jnp.einsum(
-                "...n,bn->...b", u, w,
-                precision=jax.lax.Precision.HIGHEST,
+        if iscomplex:
+            outs.append(
+                jax.lax.complex(dot(jnp.real(u), w), dot(jnp.imag(u), w))
             )
-        )
+        else:
+            outs.append(dot(u, w))
     return jnp.stack(outs, axis=-1)
