@@ -53,6 +53,26 @@ def get_parser():
                         "the N-best (lattice-rescoring equivalent)")
     d.add_argument("--rescore_weight", type=float, default=1.0)
     d.add_argument("--ref_text", help="Kaldi text file for WER scoring")
+    d.add_argument("--lattice_dir",
+                   help="decode via lattices and write each utterance's "
+                        "word lattice to <dir>/<utt>.lat.gz (the "
+                        "latgen-faster-mapped lat.JOB.gz analogue); "
+                        "rescoring then runs exactly on the lattice and "
+                        "--ref_text also reports oracle WER")
+    d.add_argument("--lattice_beam", type=float, default=8.0)
+
+    c = sub.add_parser(
+        "combine",
+        help="posterior-fuse lattices of multiple systems "
+             "(lattice-combine + sausage decode analogue)",
+    )
+    c.add_argument("out", help="output hypothesis text file")
+    c.add_argument("--lattice_dirs", required=True,
+                   help="comma list of decode --lattice_dir outputs")
+    c.add_argument("--weights", help="comma per-system weights")
+    c.add_argument("--words", required=True,
+                   help="words.txt of the (shared) decode graph")
+    c.add_argument("--ref_text")
     return p
 
 
@@ -101,7 +121,9 @@ def _decode(args):
             id2w[int(i)] = w
 
     rescore = None
-    if args.nbest > 1 and args.rescore_arpa:
+    old_lm = None
+    lm_pair = None
+    if args.rescore_arpa and (args.nbest > 1 or args.lattice_dir):
         from speech_recognition_tools_tpu.decode.wfst import (
             rescore_nbest,
             rnnlm_sequence_scorer,
@@ -115,11 +137,11 @@ def _decode(args):
 
             from speech_recognition_tools_tpu.io.text import load_vocab
 
-            lm_model, lm_params = _load_lm(args.rescore_lm_dir)
+            lm_pair = _load_lm(args.rescore_lm_dir)
             lm_vocab = load_vocab(
                 os.path.join(args.rescore_lm_dir, "vocab.json")
             )
-            scorer = rnnlm_sequence_scorer(lm_model, lm_params, lm_vocab)
+            scorer = rnnlm_sequence_scorer(*lm_pair, lm_vocab)
 
         def rescore(hyps):
             return rescore_nbest(
@@ -127,10 +149,46 @@ def _decode(args):
                 new_weight=args.rescore_weight,
             )
 
+    lattices = {}
+    if args.lattice_dir:
+        os.makedirs(args.lattice_dir, exist_ok=True)
+
+        from speech_recognition_tools_tpu.decode.lattice import (
+            decode_lattice,
+            write_lattice,
+        )
+
+    def one_lattice(key, ll):
+        lat = decode_lattice(
+            dec, ll, acoustic_scale=args.acoustic_scale, beam=args.beam,
+            max_active=args.max_active, lattice_beam=args.lattice_beam,
+        )
+        wl = lat.word_lattice()
+        write_lattice(
+            wl, os.path.join(args.lattice_dir, f"{key}.lat.gz")
+        )
+        lattices[key] = wl
+        if old_lm is not None:
+            # exact lattice rescoring (every path, not an N-best cut)
+            new_scorer = None
+            if lm_pair is not None:
+                from speech_recognition_tools_tpu.decode.wfst import (
+                    rnnlm_conditional_scorer,
+                )
+
+                new_scorer = rnnlm_conditional_scorer(*lm_pair, lm_vocab)
+            return lat.rescore(
+                id2w, old_lm, new_scorer=new_scorer,
+                new_weight=args.rescore_weight,
+            )
+        return lat.best_path()
+
     def one(item):
         key, ll = item
         try:
-            if args.nbest > 1:
+            if args.lattice_dir:
+                ids, cost = one_lattice(key, ll)
+            elif args.nbest > 1:
                 hyps_n = dec.decode_nbest(
                     ll, nbest=args.nbest,
                     acoustic_scale=args.acoustic_scale,
@@ -185,12 +243,79 @@ def _decode(args):
             refs, {k: v.split() for k, v in hyps.items()}
         )
         print(f"WER: {wer:.2f}%")
+        if lattices:
+            w2i = {w: i for i, w in id2w.items()}
+            oerr = otot = 0
+            for k, lat in lattices.items():
+                if k not in refs:
+                    continue
+                ref_ids = [w2i[w] for w in refs[k] if w in w2i]
+                e, n, _ = lat.oracle_wer(ref_ids)
+                oerr += e
+                otot += n
+            if otot:
+                print(f"lattice oracle WER: {100.0 * oerr / otot:.2f}%")
+
+
+def _combine(args):
+    import glob
+
+    from speech_recognition_tools_tpu.decode.lattice import (
+        cn_combine,
+        read_lattice,
+    )
+
+    dirs = args.lattice_dirs.split(",")
+    weights = (
+        [float(x) for x in args.weights.split(",")]
+        if args.weights else [1.0] * len(dirs)
+    )
+    id2w = {}
+    with open(args.words) as f:
+        for line in f:
+            w, i = line.split()
+            id2w[int(i)] = w
+    keys = sorted(
+        os.path.basename(p)[: -len(".lat.gz")]
+        for p in glob.glob(os.path.join(dirs[0], "*.lat.gz"))
+    )
+    hyps = {}
+    with open(args.out, "w") as out:
+        for k in keys:
+            lats, wts = [], []
+            for d, w in zip(dirs, weights):
+                p = os.path.join(d, f"{k}.lat.gz")
+                if os.path.exists(p):
+                    lats.append(read_lattice(p))
+                    wts.append(w)
+            if not lats:
+                continue
+            ids = cn_combine(lats, wts)
+            hyps[k] = " ".join(id2w[i] for i in ids)
+            out.write(f"{k} {hyps[k]}\n")
+            print(f"{k}: {hyps[k]}")
+    if args.ref_text:
+        from speech_recognition_tools_tpu.eval.wer import score_hypotheses
+
+        refs = {}
+        with open(args.ref_text) as f:
+            for line in f:
+                parts = line.split(maxsplit=1)
+                refs[parts[0]] = (
+                    parts[1].split() if len(parts) > 1 else []
+                )
+        wer, _ = score_hypotheses(
+            refs, {k: v.split() for k, v in hyps.items()}
+        )
+        print(f"combined WER: {wer:.2f}%")
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
     if args.cmd == "build-graph":
         _build(args)
+    elif args.cmd == "combine":
+        _combine(args)
     else:
         _decode(args)
 

@@ -480,6 +480,68 @@ class Lattice:
         return words[::-1], float(best_total)
 
 
+def write_lattice(lat: Lattice, path):
+    """Text serialization (gzip if path ends .gz), Kaldi-text-lattice
+    shaped: arc lines 'from to olabel graph_cost,acoustic_cost', final
+    lines 'node cost', preceded by one '#frames f0 f1 ...' header."""
+    import gzip
+
+    op = gzip.open if str(path).endswith(".gz") else open
+    with op(path, "wt") as f:
+        f.write("#frames " + " ".join(str(int(x)) for x in lat.frames)
+                + "\n")
+        for i in range(lat.num_links):
+            f.write(
+                f"{int(lat.link_from[i])} {int(lat.link_to[i])} "
+                f"{int(lat.link_olabel[i])} "
+                f"{float(lat.link_graph[i]):.6f},"
+                f"{float(lat.link_ac[i]):.6f}\n"
+            )
+        for node, fc in sorted(lat.finals.items()):
+            f.write(f"{node} {fc:.6f}\n")
+    return path
+
+
+def read_lattice(path) -> Lattice:
+    import gzip
+
+    op = gzip.open if str(path).endswith(".gz") else open
+    frames = None
+    lf, lt, lo, lg, la = [], [], [], [], []
+    finals = {}
+    with op(path, "rt") as f:
+        for line in f:
+            if line.startswith("#frames"):
+                frames = np.asarray(
+                    [int(x) for x in line.split()[1:]], np.int32
+                )
+                continue
+            parts = line.split()
+            if len(parts) == 4:
+                gw, aw = parts[3].split(",")
+                lf.append(int(parts[0]))
+                lt.append(int(parts[1]))
+                lo.append(int(parts[2]))
+                lg.append(float(gw))
+                la.append(float(aw))
+            elif len(parts) == 2:
+                finals[int(parts[0])] = float(parts[1])
+    lat = Lattice(
+        frames=frames,
+        link_from=np.asarray(lf, np.int32),
+        link_to=np.asarray(lt, np.int32),
+        link_olabel=np.asarray(lo, np.int32),
+        link_graph=np.asarray(lg, np.float32),
+        link_ac=np.asarray(la, np.float32),
+        finals=finals,
+    )
+    try:
+        lat.best_cost = lat.best_path()[1]
+    except ValueError:
+        pass
+    return lat
+
+
 def decode_lattice(decoder, loglikes, acoustic_scale=0.1, beam=16.0,
                    max_active=7000, lattice_beam=8.0):
     """Lattice-generating decode over a WfstDecoder's graph.

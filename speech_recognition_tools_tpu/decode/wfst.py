@@ -212,6 +212,48 @@ def rescore_nbest(hyps, id2word, old_lm, new_scorer, lm_scale=1.0,
     return out
 
 
+def rnnlm_conditional_scorer(model, params, vocab):
+    """Conditional log10 P(word | history) for lattice rescoring
+    (decode.lattice.Lattice.rescore): defined as the prefix-score
+    difference of the char RNNLM, so summing over a sentence (+ the
+    word=None end-of-sentence call) telescopes to exactly the
+    sentence-level rnnlm_sequence_scorer — lattice and N-best rescoring
+    stay comparable. Prefix scores are memoized per utterance."""
+    import jax
+    import jax.numpy as jnp
+
+    from speech_recognition_tools_tpu.io.text import encode_text
+
+    sos = len(vocab) - 1
+    cache = {}
+
+    def prefix_logp(words, eos):
+        key = (words, eos)
+        if key in cache:
+            return cache[key]
+        ids = encode_text(" ".join(words), vocab)
+        toks = [sos] + ids + ([sos] if eos else [])
+        if len(toks) < 2:
+            cache[key] = 0.0
+            return 0.0
+        arr = jnp.asarray([toks], jnp.int32)
+        logits = model.apply(params, arr[:, :-1])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = arr[:, 1:]
+        ll = jnp.take_along_axis(logp, tgt[..., None], -1)[0, :, 0]
+        out = float(jnp.sum(ll)) / math.log(10.0)
+        cache[key] = out
+        return out
+
+    def cond(hist, word):
+        hist = tuple(hist)
+        if word is None:
+            return prefix_logp(hist, True) - prefix_logp(hist, False)
+        return prefix_logp(hist + (word,), False) - prefix_logp(hist, False)
+
+    return cond
+
+
 def rnnlm_sequence_scorer(model, params, vocab):
     """log10 P(word sequence) under a character RNNLM trained by
     cli/train_lm (ESPnet conventions: the ASR char vocab with <space>

@@ -353,3 +353,72 @@ class TestCombination:
         best_each = min(lat1.best_path()[1], lat2.best_path()[1])
         assert abs(cost - best_each) < 1e-2
         assert ids in (lat1.best_path()[0], lat2.best_path()[0])
+
+
+class TestLatticeCli:
+    def test_decode_with_lattices_and_combine(self, graph, tmp_path):
+        """decode --lattice_dir writes .lat.gz word lattices, reports
+        oracle WER, round-trips through read_lattice, and the combine
+        subcommand fuses two systems."""
+        import shutil
+
+        from speech_recognition_tools_tpu.cli import decode_wfst
+        from speech_recognition_tools_tpu.decode.lattice import read_lattice
+        from speech_recognition_tools_tpu.io.kaldi_ark import write_ark_scp
+
+        g, path, _ = graph
+        gdir = tmp_path / "graph"
+        gdir.mkdir()
+        shutil.copy(path, gdir / "HCLG.txt")
+        g.write_words(str(gdir / "words.txt"))
+
+        truth = {"u0": ["go", "stop"], "u1": ["left", "right"]}
+        for sysid, noise in (("A", 0.4), ("B", 0.6)):
+            arks = {
+                k: _loglikes_for(v, g, noise=noise,
+                                 rs=np.random.RandomState(hash(sysid) % 97))
+                for k, v in truth.items()
+            }
+            write_ark_scp(arks, str(tmp_path / f"ll{sysid}"))
+        ref = tmp_path / "ref"
+        ref.write_text(
+            "".join(f"{k} {' '.join(v)}\n" for k, v in truth.items())
+        )
+
+        for sysid in ("A", "B"):
+            decode_wfst.main([
+                "decode", str(gdir), str(tmp_path / f"ll{sysid}.ark"),
+                str(tmp_path / f"hyp{sysid}.txt"),
+                "--acoustic_scale", "1.0", "--beam", "100",
+                "--lattice_dir", str(tmp_path / f"lats{sysid}"),
+                "--lattice_beam", "10", "--ref_text", str(ref),
+            ])
+            for k in truth:
+                p = tmp_path / f"lats{sysid}" / f"{k}.lat.gz"
+                assert p.exists()
+                lat = read_lattice(str(p))
+                assert lat.num_links > 0 and lat.finals
+        # hypothesis from lattice best path matches plain decode
+        decode_wfst.main([
+            "decode", str(gdir), str(tmp_path / "llA.ark"),
+            str(tmp_path / "hyp_plain.txt"),
+            "--acoustic_scale", "1.0", "--beam", "100",
+        ])
+        assert (
+            sorted(open(tmp_path / "hypA.txt").read().splitlines())
+            == sorted(open(tmp_path / "hyp_plain.txt").read().splitlines())
+        )
+
+        decode_wfst.main([
+            "combine", str(tmp_path / "fused.txt"),
+            "--lattice_dirs",
+            f"{tmp_path}/latsA,{tmp_path}/latsB",
+            "--words", str(gdir / "words.txt"),
+            "--ref_text", str(ref),
+        ])
+        fused = dict(
+            line.split(maxsplit=1)
+            for line in open(tmp_path / "fused.txt").read().splitlines()
+        )
+        assert set(fused) == set(truth)
+        assert fused["u0"].strip() == "go stop"
