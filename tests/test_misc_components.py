@@ -348,3 +348,62 @@ def test_babysit_end_to_end(tmp_path):
     rc = babysit([_sys.executable, str(script)], max_restarts=3,
                  min_uptime=0.0, backoff=0.0)
     assert rc == 0
+
+
+class TestAliUtils:
+    """Native equivalents of the reference's Kaldi-glue scripts
+    (convert_ali.sh / combine_alidirs_blindly.sh /
+    simplify_dictionary.sh)."""
+
+    def test_cli_roundtrip(self, tmp_path):
+        import pickle
+
+        import numpy as np
+
+        from speech_recognition_tools_tpu.cli import ali_utils
+
+        a = {"u1": np.array([0, 0, 1, 2], np.int32)}
+        b = {"u1": np.array([2, 2], np.int32),
+             "u2": np.array([1], np.int32)}
+        pa, pb = tmp_path / "a" / "ali.pkl", tmp_path / "b" / "ali.pkl"
+        pa.parent.mkdir()
+        pb.parent.mkdir()
+        pa.write_bytes(pickle.dumps(a))
+        pb.write_bytes(pickle.dumps(b))
+
+        (tmp_path / "map.txt").write_text("0 5\n1 6\n2 7\n")
+        ali_utils.main(["convert", str(pa), str(tmp_path / "conv.pkl"),
+                        "--label_map", str(tmp_path / "map.txt")])
+        conv = pickle.loads((tmp_path / "conv.pkl").read_bytes())
+        assert conv["u1"].tolist() == [5, 5, 6, 7]
+
+        ali_utils.main(["combine", str(tmp_path / "comb.pkl"),
+                        str(pa), str(pb)])
+        comb = pickle.loads((tmp_path / "comb.pkl").read_bytes())
+        assert set(comb) == {"u1", "b_u1", "u2"}
+        assert comb["b_u1"].tolist() == [2, 2]
+
+        (tmp_path / "lex.txt").write_text(
+            "go g_1 ow\nstop s t_2 aa p\ngo g_2 ow\n"
+        )
+        (tmp_path / "pmap.txt").write_text("g g_1 g_2\nt t_2\n")
+        ali_utils.main(["simplify-lexicon", str(tmp_path / "lex.txt"),
+                        str(tmp_path / "out.txt"),
+                        str(tmp_path / "pmap.txt")])
+        lines = (tmp_path / "out.txt").read_text().splitlines()
+        assert lines == ["go g ow", "stop s t aa p"]
+
+    def test_convert_rejects_unmapped(self, tmp_path):
+        import pickle
+
+        import numpy as np
+        import pytest
+
+        from speech_recognition_tools_tpu.cli import ali_utils
+
+        p = tmp_path / "ali.pkl"
+        p.write_bytes(pickle.dumps({"u": np.array([0, 9], np.int32)}))
+        (tmp_path / "map.txt").write_text("0 1\n")
+        with pytest.raises(ValueError, match="not in map"):
+            ali_utils.main(["convert", str(p), str(tmp_path / "o.pkl"),
+                            "--label_map", str(tmp_path / "map.txt")])
