@@ -87,7 +87,9 @@ def frontend_argv(fe, scp, out, data_set_dir):
         "mfcc": ("srate", "nfilters", "fduration", "frate", "nfft",
                  "context"),
         "modspec": ("srate", "nfilters", "fduration", "frate", "order",
-                    "coeff_0", "coeff_n", "fbank_type"),
+                    "coeff_0", "coeff_n", "fbank_type", "keep_even",
+                    "complex_modulation", "compensate_noise",
+                    "absolute_value", "set_unity_gain", "no_window"),
     }[typ]
     for k in flag_names:
         if k in fe:

@@ -59,6 +59,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from speech_recognition_tools_tpu.dsp.filterbanks import parse_fbank_type
 from speech_recognition_tools_tpu.ops.autocorr import (
     banded_autocorr,
+    banded_autocorr_compact,
+    banded_support_plan,
     banded_supports_separable,
 )
 from speech_recognition_tools_tpu.ops.cepstrum import lpc_to_cepstrum
@@ -169,18 +171,26 @@ def _host_constants(cfg: FdlpConfig):
     )
 
 
-def _band_cepstra(cos_dct, fbank, order, coeff_num, backend="scan"):
+def _band_cepstra(cos_dct, fbank, order, coeff_num, backend="scan",
+                  ac_plan=None):
     """Per-band LPC cepstra for all (utt x frame) problems.
 
     cos_dct: (P, ndct); fbank: (nb, ndct) in the work dtype.
     Returns (P, nb, coeff_num). The banded autocorrelation shares the
     signal lag products across all bands (one MXU einsum per lag block;
-    see ops/autocorr.banded_autocorr); the two sequential recursions
-    (Levinson + cepstrum) then run over P*nb flattened lanes — either as
-    XLA scans or as the fused Pallas kernel (backend='fused') that keeps
-    all recursion state in VMEM for the whole chain.
+    see ops/autocorr.banded_autocorr); in f64 (mixed/high precision) the
+    dense einsum is software-emulated and dominates the whole pipeline
+    (~720 of 880 ms at the production config), so a static support plan
+    switches to the ~30x-less-work compacted form
+    (ops/autocorr.banded_autocorr_compact). The two sequential
+    recursions (Levinson + cepstrum) then run over P*nb flattened
+    lanes — either as XLA scans or as the fused Pallas kernel
+    (backend='fused') that keeps all recursion state in VMEM.
     """
-    r = banded_autocorr(cos_dct, fbank, order + 2)  # (P, nb, order+2)
+    if ac_plan is not None:
+        r = banded_autocorr_compact(cos_dct, fbank, order + 2, ac_plan)
+    else:
+        r = banded_autocorr(cos_dct, fbank, order + 2)  # (P, nb, order+2)
     if backend == "fused":
         from speech_recognition_tools_tpu.ops.pallas_lpc import (
             lpc_cepstra_pallas,
@@ -283,9 +293,16 @@ def _fdlp_impl(
             if (on_tpu and shard is None and lpc_dtype == jnp.float32)
             else "scan"
         )
+    # f64 lags: route through the support-compacted form (exact; ~30x
+    # less contraction work than the dense emulated-f64 einsum)
+    ac_plan = (
+        banded_support_plan(np.asarray(c["fbank"]), cfg.order + 2)
+        if lpc_dtype == jnp.float64
+        else None
+    )
     ceps = _band_cepstra(
         cos_dct.astype(lpc_dtype), fbank_arr.astype(lpc_dtype),
-        cfg.order, cfg.coeff_num, backend=lpc_backend,
+        cfg.order, cfg.coeff_num, backend=lpc_backend, ac_plan=ac_plan,
     )
     ceps = cstr(ceps, P(flat_ax or None))
 

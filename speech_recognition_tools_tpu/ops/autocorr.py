@@ -122,6 +122,123 @@ def circular_autocorr_f64(x: jax.Array, nlags: int, lag_block: int = 16) -> jax.
     return circular_autocorr_direct(x.astype(jnp.float64), nlags, lag_block)
 
 
+def banded_support_plan(fbank, nlags: int, n_classes: int = 4,
+                        align: int = 128):
+    """Host-side plan for `banded_autocorr_compact`: each band's support
+    window, bucketed into width classes.
+
+    Mel/cochlear band supports are compact (production 80-band/1.5 s
+    config: widths 133..1574 bins over N=24000, total 47k — 2xN), so
+    restricting each band's autocorrelation to its own support cuts the
+    contraction work ~20-40x vs the dense shared-lag einsum. Bands are
+    sorted by support width and partitioned into `n_classes` contiguous
+    classes by a DP minimizing sum(class_size * padded_class_width).
+
+    Returns a tuple of (W, ((band, start), ...)) per class, hashable for
+    use as a static jit argument; `start` is clipped so the extended
+    window [start, start + W + nlags) stays inside [0, N].
+    """
+    import numpy as np
+
+    fb = np.asarray(fbank)
+    nb, n = fb.shape
+    sup = []
+    for b in range(nb):
+        nz = np.nonzero(fb[b])[0]
+        if nz.size == 0:
+            sup.append((0, 1))
+        else:
+            sup.append((int(nz[0]), int(nz[-1]) + 1))
+    widths = [b - a for a, b in sup]
+    order = sorted(range(nb), key=lambda b: widths[b])
+
+    def padded(w):
+        return -(-max(w, 1) // align) * align
+
+    m = len(order)
+    INF = 1 << 62
+    # dp over the sorted-band prefix with at most n_classes classes
+    dp = [[INF] * (m + 1) for _ in range(n_classes + 1)]
+    back = [[0] * (m + 1) for _ in range(n_classes + 1)]
+    dp[0][0] = 0
+    for c in range(1, n_classes + 1):
+        for j in range(1, m + 1):
+            wmax = 0
+            for i in range(j - 1, -1, -1):
+                wmax = max(wmax, padded(widths[order[i]]))
+                cost = dp[c - 1][i] + (j - i) * wmax
+                if cost < dp[c][j]:
+                    dp[c][j] = cost
+                    back[c][j] = i
+    c = min(range(1, n_classes + 1), key=lambda cc: dp[cc][m])
+    bounds = []
+    j = m
+    while c > 0:
+        i = back[c][j]
+        bounds.append((i, j))
+        j, c = i, c - 1
+    bounds = bounds[::-1]
+    plan = []
+    for i, j in bounds:
+        cls = order[i:j]
+        W = min(max(padded(widths[b]) for b in cls), n)
+        entries = []
+        for b in cls:
+            # window [start, start+W) must cover the support; the
+            # +nlags extension reads into the zero-padded tail
+            start = min(sup[b][0], max(n - W, 0))
+            entries.append((b, start))
+        plan.append((W, tuple(entries)))
+    return tuple(plan)
+
+
+def banded_autocorr_compact(x: jax.Array, fbank: jax.Array, nlags: int,
+                            plan) -> jax.Array:
+    """Support-compacted banded autocorrelation: numerically the same
+    sums as `banded_autocorr` (each band's masked signal is zero outside
+    its support window, so truncating the contraction there is exact),
+    at ~1/20-1/40 the work. The f64 mixed-precision FDLP path's hot op.
+
+    Args:
+      x: (P, N) signals (the work/accumulation dtype — f64 on the
+        mixed/high paths; any float).
+      fbank: (nb, N) filterbank rows (same dtype).
+      nlags: lags (order + 2).
+      plan: static output of banded_support_plan(fbank, nlags).
+
+    Returns (P, nb, nlags).
+    """
+    nb = fbank.shape[0]
+    # zero-pad the spectrum tail so every window's +nlags lag extension
+    # is in bounds (the padded region is silent, so the sums are exact)
+    x = jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (nlags,), x.dtype)], axis=-1
+    )
+    fbank = jnp.concatenate(
+        [fbank, jnp.zeros((nb, nlags), fbank.dtype)], axis=-1
+    )
+    per_band = [None] * nb
+    for W, entries in plan:
+        zs = []
+        for b, s in entries:
+            zs.append(
+                jax.lax.slice_in_dim(fbank, b, b + 1, axis=0)[
+                    :, s : s + W + nlags
+                ]
+                * jax.lax.slice_in_dim(x, s, s + W + nlags, axis=-1)
+            )
+        Z = jnp.stack(zs, axis=0)  # (nbc, P, W + nlags)
+        head = Z[:, :, :W]
+        outs = [
+            jnp.sum(head * Z[:, :, k : k + W], axis=-1)
+            for k in range(nlags)
+        ]
+        rc = jnp.stack(outs, axis=-1)  # (nbc, P, nlags)
+        for i, (b, _s) in enumerate(entries):
+            per_band[b] = rc[i]
+    return jnp.stack(per_band, axis=1)  # (P, nb, nlags)
+
+
 def banded_supports_separable(fbank, nlags: int) -> bool:
     """True when no band's support touches both ends of the spectrum, i.e.
     the circular wrap-around terms of every band's autocorrelation are
