@@ -374,11 +374,17 @@ def main(argv=None):
                           "bridge, decode/export.py)")
                     continue
                 hyp = os.path.join(exp, f"hyp_{name}.txt")
-                decode_wfst.main([
+                argv = [
                     "decode", graph, ll + ".ark", hyp,
                     "--acoustic_scale", str(dec.get("acoustic_scale", 0.1)),
                     "--beam", str(dec.get("beam", 16.0)),
-                ])
+                ]
+                if dec.get("lattice_beam"):
+                    argv += [
+                        "--lattice_dir", os.path.join(exp, f"lats_{name}"),
+                        "--lattice_beam", str(dec["lattice_beam"]),
+                    ]
+                decode_wfst.main(argv)
                 refs = read_text_file(os.path.join(dset(name), "text"))
                 hyps = read_text_file(hyp)
                 wer, _ = score_hypotheses(
