@@ -27,9 +27,25 @@ batch; vs_baseline = value / 1000 (the BASELINE.json target).
 
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# hard ceiling so the driver always gets its JSON line even when the
+# tunnel's compile queue is slow: lower-priority workloads are skipped
+# once the budget is spent (their detail fields read "skipped")
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+T0 = time.time()
+
+
+def _left():
+    return BUDGET_S - (time.time() - T0)
+
+
+def _note(msg):
+    print(f"[bench +{time.time()-T0:5.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def _speech_batch(B, n, srate, seed=0):
@@ -46,6 +62,11 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)  # for the mixed/high modes
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".cache", "jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
 
@@ -96,23 +117,52 @@ def main():
     def fdlp_fn(cfg):
         return lambda xin: fdlp_spectrogram_batch(xin, lensd, cfg)[0]
 
+    def guarded(label, thunk, min_left=60.0):
+        """Run a measurement unless the time budget is spent; returns
+        None when skipped so the detail field reads "skipped"."""
+        if _left() < min_left:
+            _note(f"SKIP {label} (budget)")
+            return None
+        _note(f"measuring {label}")
+        dt = thunk()
+        _note(f"{label}: {dt * 1000:.1f} ms")
+        return dt
+
+    # priority order: headline first, then the parity modes and A/B
+    # partners, then the workload family — later entries are skipped
+    # (reported as "skipped") if the tunnel's compile queue eats the
+    # budget, so the driver always gets its JSON line.
     dt_prod = measure(fdlp_fn(FdlpConfig(**prod)))
-    dt_prod_mixed = measure(fdlp_fn(FdlpConfig(**prod, precision="mixed")),
-                            iters=3)
-    dt_prod_high = measure(fdlp_fn(FdlpConfig(**prod, precision="high")),
-                           iters=3)
-    dt_prod_scan = measure(
-        fdlp_fn(FdlpConfig(**prod, lpc_backend="scan"))
+    _note(f"prod fast: {dt_prod * 1000:.1f} ms")
+    dt_prod_mixed = guarded(
+        "prod mixed",
+        lambda: measure(fdlp_fn(FdlpConfig(**prod, precision="mixed")),
+                        iters=4),
+        min_left=240.0,
     )
-    dt_light = measure(fdlp_fn(FdlpConfig()))
+    dt_light = guarded("light", lambda: measure(fdlp_fn(FdlpConfig())))
+    dt_prod_scan = guarded(
+        "prod scan-backend",
+        lambda: measure(fdlp_fn(FdlpConfig(**prod, lpc_backend="scan"))),
+        min_left=120.0,
+    )
+    dt_prod_high = guarded(
+        "prod high",
+        lambda: measure(fdlp_fn(FdlpConfig(**prod, precision="high")),
+                        iters=3),
+        min_left=300.0,
+    )
 
     # ---- BASELINE.json workload family one-liners ----
-    mel_cfg = MelConfig(nfilters=80)
-    dt_mel = measure(lambda xin: mel_spectrum_batch(xin, lensd, mel_cfg)[0])
-
-    # noise-augmented FDLP (BASELINE "noise-mixing augmentation")
     from speech_recognition_tools_tpu.dsp.augment import add_noise_snr
 
+    mel_cfg = MelConfig(nfilters=80)
+    dt_mel = guarded(
+        "melspec",
+        lambda: measure(lambda xin: mel_spectrum_batch(xin, lensd, mel_cfg)[0]),
+    )
+
+    # noise-augmented FDLP (BASELINE "noise-mixing augmentation")
     noise = jnp.asarray(_speech_batch(1, n, srate, seed=1)[0])
     key = jax.random.PRNGKey(0)
     fast_cfg = FdlpConfig(**prod)
@@ -122,20 +172,25 @@ def main():
         mixed_sig = add_noise_snr(key, xin, noise, 10.0)
         return fdlp_spectrogram_batch(mixed_sig, lensd, fast_cfg)[0]
 
-    dt_noisy = measure(noisy_fdlp)
+    dt_noisy = guarded("noisy fdlp", lambda: measure(noisy_fdlp))
 
     # real + complex M-vectors (10 s x 8 utts; the complex path's
     # shared-lag treatment is VERDICT r2 #5)
     Bm = 8
-    xm = jnp.asarray(x[:Bm])
     lm = jnp.asarray(lens[:Bm])
 
     def mod_fn(cfg):
         return lambda xin: modulation_spectrum_batch(xin[:Bm], lm, cfg)[0]
 
-    dt_mod_real = measure(mod_fn(ModSpecConfig()), iters=3)
-    dt_mod_cplx = measure(
-        mod_fn(ModSpecConfig(complex_modulation=True)), iters=3
+    dt_mod_real = guarded(
+        "mvector real", lambda: measure(mod_fn(ModSpecConfig()), iters=3),
+        min_left=180.0,
+    )
+    dt_mod_cplx = guarded(
+        "mvector complex",
+        lambda: measure(mod_fn(ModSpecConfig(complex_modulation=True)),
+                        iters=3),
+        min_left=180.0,
     )
 
     # 8ch enhancement front-end: STFT -> quantile masks -> GEV (+BAN) ->
@@ -163,14 +218,23 @@ def main():
         y = istft(Y, num_samples=n8)
         return fdlp_spectrogram_batch(y[None], len8, FdlpConfig(**prod))[0]
 
-    t0 = time.time()
-    jax.block_until_ready(chain8(None))
-    t0 = time.time()
-    for _ in range(3):
+    def run_8ch():
         jax.block_until_ready(chain8(None))
-    dt_8ch = (time.time() - t0) / 3
+        t0 = time.time()
+        for _ in range(3):
+            jax.block_until_ready(chain8(None))
+        return (time.time() - t0) / 3
+
+    dt_8ch = guarded("8ch gev chain", run_8ch, min_left=120.0)
 
     rt = audio_seconds / dt_prod
+
+    def xrt(dt, seconds=audio_seconds):
+        return round(seconds / dt, 1) if dt else "skipped"
+
+    def ratio(dt):
+        return round(dt / dt_prod, 2) if dt else "skipped"
+
     result = {
         "metric": "fdlp_spectrogram_realtime_factor",
         "value": round(rt, 1),
@@ -184,33 +248,28 @@ def main():
                              "~±40% between-process variance (NOTES.md); "
                              "the ab_ratios are in-process and stable",
             "ms_per_batch_prod_fast": round(dt_prod * 1000, 1),
-            "prod_mixed_realtime_factor": round(
-                audio_seconds / dt_prod_mixed, 1
-            ),
-            "prod_high_precision_realtime_factor": round(
-                audio_seconds / dt_prod_high, 1
-            ),
-            "light_config_realtime_factor": round(
-                audio_seconds / dt_light, 1
-            ),
+            "prod_mixed_realtime_factor": xrt(dt_prod_mixed),
+            "prod_high_precision_realtime_factor": xrt(dt_prod_high),
+            "light_config_realtime_factor": xrt(dt_light),
             "parity": {
                 "fast": "~1.1e-4 max |dlog-feat| vs f64 ref (prod config)",
                 "mixed": "<1e-4 guaranteed by tests/test_dsp_parity.py::"
                          "test_mixed_precision_production_config "
-                         "(measured 8.6e-6 CPU / 1.5e-5 TPU)",
+                         "(8.6e-6 synthetic; worst real reference wav "
+                         "2.2e-5 with the f64 Stockham-Bluestein DCT)",
                 "high": "2.4e-7",
             },
             "ab_ratios": {
-                "fast_over_mixed": round(dt_prod_mixed / dt_prod, 2),
-                "fast_over_high": round(dt_prod_high / dt_prod, 2),
-                "fused_kernel_over_scan": round(dt_prod_scan / dt_prod, 2),
+                "mixed_over_fast": ratio(dt_prod_mixed),
+                "high_over_fast": ratio(dt_prod_high),
+                "scan_over_fused_kernel": ratio(dt_prod_scan),
             },
             "workloads_x_realtime": {
-                "melspec_80band": round(audio_seconds / dt_mel, 1),
-                "fdlp_noise_augmented": round(audio_seconds / dt_noisy, 1),
-                "mvector_real": round(Bm * secs / dt_mod_real, 1),
-                "mvector_complex": round(Bm * secs / dt_mod_cplx, 1),
-                "gev8ch_to_fdlp": round((n8 / srate) / dt_8ch, 1),
+                "melspec_80band": xrt(dt_mel),
+                "fdlp_noise_augmented": xrt(dt_noisy),
+                "mvector_real": xrt(dt_mod_real, Bm * secs),
+                "mvector_complex": xrt(dt_mod_cplx, Bm * secs),
+                "gev8ch_to_fdlp": xrt(dt_8ch, n8 / srate),
             },
         },
     }

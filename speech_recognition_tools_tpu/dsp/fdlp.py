@@ -27,25 +27,21 @@ einsum per lag block instead of per-band shifted stacks (ops/autocorr).
 Precision modes: the Levinson recursion amplifies *non-realizable*
 autocorrelation rounding — lag errors that are not the exact
 autocorrelation of any signal — by the Toeplitz condition number of
-narrowband mel channels. Errors that merely perturb the signal upstream
-(f32 quantization of the windowed frames or of the DCT output) pass
-through benignly, because the exact lags of a slightly-perturbed signal
-are still a valid PSD sequence. Measured error budget at the production
-config (80 bands / order 150 / 1.5 s), max |Δlog-feat| vs the f64 chain:
-all-f32 1.1e-4; f32 front-end + f64 from the autocorrelation on: 7.9e-6.
-  * precision="fast": float32 throughout — right for feature extraction
-    feeding a network.
-  * precision="mixed" (the ≥1000x-realtime <1e-4 mode): framing, window
-    and DCT stay f32 (their rounding is a realizable signal
-    perturbation); the autocorrelation accumulates the f32 DCT in true
-    f64 (an f32 input is exact in f64, so the lags are the *exact*
-    autocorrelation of the quantized signal), and Levinson, cepstrum,
-    envelope projection and the final log run f64.
-  * precision="high": everything from the window multiply on runs in f64
-    (software-emulated matmuls/elementwise on TPU; no FFT — the
-    autocorrelation uses blocked shifted einsums); the benign stages
-    (envelope exp, OLA, log) stay in the I/O dtype. Tightest parity
-    (~2e-7) for golden/debug use.
+narrowband mel channels; separately, any f32 *transform's* absolute
+error (~eps * ||frame||) lands on near-silent mel bands of real speech
+and costs up to ~5e-3. Round-3 kernel work made the full-f64 chain
+cheap (the O(N log N) mixed-radix Stockham f64 FFT/DCT in ops/fft64
+replaces the O(N^2) emulated matmul, and the f64 lag contraction is
+compacted to the mel band supports, ~30x less work), so there are two
+real modes:
+  * precision="fast": float32 throughout — ~1e-4 max deviation on
+    synthetic speech, up to ~1e-1 on silence-heavy real speech; right
+    for feature extraction feeding a network.
+  * precision="high" (alias "mixed" — the names merged in round 3):
+    the framing stays pure data movement; everything from the (cheap)
+    window multiply on runs f64. Meets the ≥1000x-realtime AND <1e-4
+    north star with max |Δlog-feat| ~2e-7 synthetic / ~5e-7 on the
+    worst real reference wav.
 """
 
 from dataclasses import dataclass
@@ -93,8 +89,8 @@ class FdlpConfig:
     gamma_weight: str = "None"  # 'scale,shape,pk'
     lifter_config: tuple | None = None
     window: str = "hamming"
-    # 'fast' (f32) | 'mixed' (f32 front-end, f64 autocorr->log: <1e-4
-    # parity at >=1000x realtime) | 'high' (f64 everywhere: ~2e-7)
+    # 'fast' (f32) | 'high' (f64 from the window multiply on: <1e-4
+    # parity at >=1000x realtime; 'mixed' is an equivalent alias)
     precision: str = "fast"
     # LPC+cepstrum recursion backend: 'scan' = two XLA lax.scans;
     # 'fused' = single Pallas kernel (ops/pallas_lpc, f32/TPU only);
@@ -222,14 +218,21 @@ def _fdlp_impl(
     fp = c["fp"]
     dtype = signals.dtype
     B = signals.shape[0]
-    high = cfg.precision == "high"
-    mixed = cfg.precision == "mixed"
-    # front_dtype: framing/window/DCT (realizable signal perturbation —
-    # f32 is fine in mixed mode); lpc_dtype: autocorrelation accumulation
-    # through Levinson/cepstrum/envelope/log (amplification-critical).
+    # Since round 3 'mixed' and 'high' are the same path: the framing is
+    # exact data movement, so the f64 chain starts at the (cheap) window
+    # multiply, the DCT is the O(N log N) Stockham f64 (ops/fft64), and
+    # the lag contraction is support-compacted — the whole f64 chain
+    # costs ~4.5x the f32 path instead of the old ~30x. 'mixed' is kept
+    # as an alias.
+    high = cfg.precision in ("high", "mixed")
     front_dtype = jnp.float64 if high else dtype
-    lpc_dtype = jnp.float64 if (high or mixed) else dtype
+    lpc_dtype = jnp.float64 if high else dtype
 
+    # An f32 DCT's absolute error (~eps * ||frame||) lands on
+    # near-silent mel bands and costs up to ~5e-3 on real speech (worst
+    # reference wav); the f64 DCT is the O(N log N) mixed-radix
+    # Stockham (ops/fft64), not the O(N^2) matmul.
+    dct_dtype = front_dtype
     # Sequence (time-axis) parallelism, SURVEY §5: every stage between
     # framing and the OLA is independent per analysis frame, so the frame
     # axis shards cleanly over the mesh's `time_axis`; the OLA's shifted
@@ -275,8 +278,8 @@ def _fdlp_impl(
     # DCT-II (scipy.fftpack scaling) / sqrt(2 * srate*fduration), as blocked
     # cosine matmuls (XLA FFT at non-pow2 lengths is pathologically slow on
     # TPU, and f64 FFT does not compile).
-    scale = jnp.asarray(1.0 / np.sqrt(2 * int(cfg.srate * cfg.fduration)), front_dtype)
-    cos_dct = dct2(frames, dtype=front_dtype, allow_fft=shard is None) * scale
+    scale = jnp.asarray(1.0 / np.sqrt(2 * int(cfg.srate * cfg.fduration)), dct_dtype)
+    cos_dct = dct2(frames, dtype=dct_dtype, allow_fft=shard is None) * scale
     cos_dct = cos_dct.reshape(B * max_frames, -1)
     cos_dct = cstr(cos_dct, P(flat_ax or None))
 

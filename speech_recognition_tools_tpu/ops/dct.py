@@ -147,4 +147,11 @@ def dct2(
     n = x.shape[-1]
     if allow_fft and dtype == jnp.float32 and n % 2 == 0 and n >= 64:
         return _dct2_bluestein(x.astype(jnp.float32))
+    if allow_fft and dtype == jnp.float64 and n % 2 == 0 and n >= 64:
+        # f64 Bluestein over the hand-rolled Stockham FFT (ops/fft64):
+        # ~1e-15 relative, and far cheaper than the O(N^2) f64 matmul
+        # (which stays the fallback for odd N / GSPMD-sharded inputs)
+        from speech_recognition_tools_tpu.ops.fft64 import dct2_f64
+
+        return dct2_f64(x.astype(jnp.float64))
     return _dct2_blocked(x, min(block, n), dtype.name)
