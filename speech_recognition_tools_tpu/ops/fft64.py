@@ -176,7 +176,12 @@ def dct2_f64(x):
     n = x.shape[-1]
     v = jnp.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], axis=-1)
     v = v.astype(jnp.float64)
-    if smooth_even(n):
+    # Mosaic/XLA-TPU: the mixed-radix stages' non-power-of-two
+    # intermediate shapes send the f64 layout search into the weeds
+    # (compiles hang for minutes even at toy sizes), so TPU always takes
+    # the pow2 Bluestein route; CPU gets the ~6x-cheaper direct form.
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if smooth_even(n) and not on_tpu:
         # DCT2[k] = 2 Re(e^{-i pi k/(2N)} V[k]), V = DFT_N(v)
         Vr, Vi = fft_f64(v, jnp.zeros_like(v))
         ang = -np.pi * np.arange(n) / (2.0 * n)
