@@ -163,3 +163,51 @@ class TestBluesteinFft:
         ref_i = np.fft.ifft(x, axis=-1)
         rel = np.max(np.abs(got_i - ref_i)) / np.max(np.abs(ref_i))
         assert rel < 1e-5, rel
+
+
+class TestFft64:
+    """Mixed-radix Stockham f64 FFT + DCT (ops/fft64) — the TPU-era f64
+    transform (XLA has no f64 FFT on TPU)."""
+
+    def test_fft_matches_numpy(self):
+        from speech_recognition_tools_tpu.ops.fft64 import fft_f64, smooth_even
+
+        rs = np.random.RandomState(3)
+        for n in (8, 60, 480, 1024, 4000, 24000):
+            assert smooth_even(n)
+            x = rs.randn(2, n) + 1j * rs.randn(2, n)
+            yr, yi = fft_f64(jnp.asarray(x.real), jnp.asarray(x.imag))
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            ref = np.fft.fft(x)
+            assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-13
+
+    def test_ifft_roundtrip(self):
+        from speech_recognition_tools_tpu.ops.fft64 import fft_f64
+
+        rs = np.random.RandomState(4)
+        x = rs.randn(3, 960) + 1j * rs.randn(3, 960)
+        yr, yi = fft_f64(jnp.asarray(x.real), jnp.asarray(x.imag))
+        zr, zi = fft_f64(yr, yi, inverse=True)
+        got = np.asarray(zr) + 1j * np.asarray(zi)
+        np.testing.assert_allclose(got, x, atol=1e-12)
+
+    def test_dct_matches_scipy(self):
+        import scipy.fftpack as fftpack
+
+        from speech_recognition_tools_tpu.ops.fft64 import dct2_f64
+
+        rs = np.random.RandomState(5)
+        # smooth lengths take the direct Makhoul path (on CPU); a
+        # non-smooth even length (1022 = 2*7*73) exercises Bluestein
+        for n in (4000, 8000, 24000, 1022):
+            x = rs.randn(2, n) * 1000
+            ours = np.asarray(dct2_f64(jnp.asarray(x)))
+            ref = fftpack.dct(x)
+            assert np.max(np.abs(ours - ref)) / np.max(np.abs(ref)) < 1e-13
+
+    def test_smoothness_detection(self):
+        from speech_recognition_tools_tpu.ops.fft64 import smooth_even
+
+        assert smooth_even(24000) and smooth_even(8000)
+        assert not smooth_even(1022)  # factor 7 * 73
+        assert not smooth_even(7)
