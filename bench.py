@@ -120,12 +120,17 @@ def main():
 
     def guarded(label, thunk, min_left=60.0):
         """Run a measurement unless the time budget is spent; returns
-        None when skipped so the detail field reads "skipped"."""
+        None when skipped/failed so the detail field reads "skipped"
+        and the driver still gets its JSON line."""
         if _left() < min_left:
             _note(f"SKIP {label} (budget)")
             return None
         _note(f"measuring {label}")
-        dt = thunk()
+        try:
+            dt = thunk()
+        except Exception as e:  # e.g. a backend-specific lowering gap
+            _note(f"FAILED {label}: {type(e).__name__}: {e}")
+            return None
         _note(f"{label}: {dt * 1000:.1f} ms")
         return dt
 
@@ -204,15 +209,23 @@ def main():
     len8 = jnp.asarray([n8], jnp.int32)
 
     def chain8(_xin):
-        X = stft(jnp.asarray(mc))  # (ch, T, F)
-        sp = quantile_mask(X)
-        nz = 1.0 - sp
-        Y = gev_beamform(
-            jnp.transpose(X, (1, 2, 0)), jnp.transpose(sp, (1, 2, 0)),
-            jnp.transpose(nz, (1, 2, 0)),
-        )
-        y = istft(Y, num_samples=n8)
-        return fdlp_spectrogram_batch(y[None], len8, FdlpConfig(**prod))[0]
+        # the enhancement half runs host-side (complex eigh does not
+        # lower to TPU, and complex arrays cannot leave the axon
+        # backend — NOTES.md); the featgen half runs on the chip. This
+        # mirrors the deployed split.
+        with jax.default_device(jax.devices("cpu")[0]):
+            X = stft(jnp.asarray(mc))  # (ch, T, F)
+            sp = quantile_mask(X)
+            nz = 1.0 - sp
+            Y = gev_beamform(
+                np.asarray(jnp.transpose(X, (1, 2, 0))),
+                np.asarray(jnp.transpose(sp, (1, 2, 0))),
+                np.asarray(jnp.transpose(nz, (1, 2, 0))),
+            )
+            y = np.asarray(istft(jnp.asarray(Y), num_samples=n8))
+        return fdlp_spectrogram_batch(
+            jnp.asarray(y)[None], len8, FdlpConfig(**prod)
+        )[0]
 
     def run_8ch():
         jax.block_until_ready(chain8(None))
