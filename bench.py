@@ -89,14 +89,15 @@ def main():
     lensd = jnp.asarray(lens)
     jax.block_until_ready((xd, lensd))
 
-    def measure(fn, iters=10, repeats=3):
+    def measure(fn, iters=10, repeats=3, arg=None):
         # The tunnel runtime (a) memoizes repeated calls on identical
         # resident buffers and (b) reports block_until_ready before
         # remote compute finishes; only a host fetch synchronises. So:
         # perturb the input each iteration with a device scalar derived
         # from the previous output (chained fresh executions, no host
         # transfer inside the loop) and fetch one scalar at the end.
-        out = fn(xd)  # compile
+        a = xd if arg is None else arg
+        out = fn(a)  # compile
         dep = jax.tree_util.tree_leaves(out)[0].ravel()[0] * 0.0
         float(dep)
         best = float("inf")
@@ -104,7 +105,7 @@ def main():
             t0 = time.time()
             d = dep
             for _ in range(iters):
-                out = fn(xd + d)
+                out = fn(a + d)
                 d = jax.tree_util.tree_leaves(out)[0].ravel()[0] * 0.0
             float(d)
             best = min(best, (time.time() - t0) / iters)
@@ -195,10 +196,13 @@ def main():
     )
 
     # 8ch enhancement front-end: STFT -> quantile masks -> GEV (+BAN) ->
-    # iSTFT -> FDLP (BASELINE "8ch beamformit/WPE front-end + FDLP")
-    from speech_recognition_tools_tpu.enhance.beamforming import gev_beamform
-    from speech_recognition_tools_tpu.enhance.masks import quantile_mask
-    from speech_recognition_tools_tpu.enhance.stft import istft, stft
+    # iSTFT -> FDLP (BASELINE "8ch beamformit/WPE front-end + FDLP").
+    # Primary path: the WHOLE chain as one on-device program — the GEV
+    # eigensolve lowers to TPU via ops/clinalg's real embedding and no
+    # complex array ever reaches the host (enhance/onchip.py). Fallback
+    # if that fails to lower on the current backend: host enhancement +
+    # on-chip featgen (the pre-round-3 deployed split).
+    from speech_recognition_tools_tpu.enhance.onchip import gev_enhance_chain
 
     rs = np.random.RandomState(2)
     n8 = 4 * srate
@@ -206,35 +210,51 @@ def main():
     delays = rs.randint(0, 8, size=8)
     mc = np.stack([np.roll(clean8, d) for d in delays]) + \
         rs.randn(8, n8).astype(np.float32) * 200.0
+    mcd = jnp.asarray(mc)
     len8 = jnp.asarray([n8], jnp.int32)
+    fdlp8_cfg = FdlpConfig(**prod)
 
-    def chain8(_xin):
-        # the enhancement half runs host-side (complex eigh does not
-        # lower to TPU, and complex arrays cannot leave the axon
-        # backend — NOTES.md); the featgen half runs on the chip. This
-        # mirrors the deployed split.
-        with jax.default_device(jax.devices("cpu")[0]):
-            X = stft(jnp.asarray(mc))  # (ch, T, F)
-            sp = quantile_mask(X)
-            nz = 1.0 - sp
-            Y = gev_beamform(
-                np.asarray(jnp.transpose(X, (1, 2, 0))),
-                np.asarray(jnp.transpose(sp, (1, 2, 0))),
-                np.asarray(jnp.transpose(nz, (1, 2, 0))),
-            )
-            y = np.asarray(istft(jnp.asarray(Y), num_samples=n8))
-        return fdlp_spectrogram_batch(
-            jnp.asarray(y)[None], len8, FdlpConfig(**prod)
-        )[0]
+    @jax.jit
+    def chain8_onchip(xin):
+        y = gev_enhance_chain(xin)
+        return fdlp_spectrogram_batch(y[None], len8, fdlp8_cfg)[0]
 
-    def run_8ch():
-        jax.block_until_ready(chain8(None))
-        t0 = time.time()
-        for _ in range(3):
-            jax.block_until_ready(chain8(None))
-        return (time.time() - t0) / 3
+    dt_8ch = guarded(
+        "8ch gev chain (on-chip)",
+        lambda: measure(chain8_onchip, iters=3, arg=mcd),
+        min_left=180.0,
+    )
+    if dt_8ch is None:
+        from speech_recognition_tools_tpu.enhance.beamforming import (
+            gev_beamform,
+        )
+        from speech_recognition_tools_tpu.enhance.masks import quantile_mask
+        from speech_recognition_tools_tpu.enhance.stft import istft, stft
 
-    dt_8ch = guarded("8ch gev chain", run_8ch, min_left=120.0)
+        def chain8_split(_xin):
+            with jax.default_device(jax.devices("cpu")[0]):
+                X = stft(jnp.asarray(mc))  # (ch, T, F)
+                sp = np.asarray(quantile_mask(np.asarray(X)))
+                spf = np.median(np.transpose(sp, (2, 0, 1)), axis=1)
+                Y = gev_beamform(
+                    np.asarray(jnp.transpose(X, (2, 0, 1))), spf, 1.0 - spf
+                )
+                y = np.asarray(istft(jnp.asarray(Y.T)))[:n8]
+            return fdlp_spectrogram_batch(
+                jnp.asarray(y)[None], len8, fdlp8_cfg
+            )[0]
+
+        def run_8ch_split():
+            jax.block_until_ready(chain8_split(None))
+            t0 = time.time()
+            for _ in range(3):
+                jax.block_until_ready(chain8_split(None))
+            return (time.time() - t0) / 3
+
+        dt_8ch = guarded(
+            "8ch gev chain (host/chip split fallback)", run_8ch_split,
+            min_left=120.0,
+        )
 
     rt = audio_seconds / dt_prod
 

@@ -23,6 +23,12 @@ from speech_recognition_tools_tpu.enhance.beamforming import (
     mvdr_beamform,
 )
 from speech_recognition_tools_tpu.enhance.wpe import wpe_dereverberate
+from speech_recognition_tools_tpu.enhance.onchip import (
+    gev_beamform_onchip,
+    mvdr_beamform_onchip,
+    wpe_onchip,
+    gev_enhance_chain,
+)
 from speech_recognition_tools_tpu.enhance.mask_model import (
     BLSTMMaskEstimator,
     SimpleFWMaskEstimator,
