@@ -92,9 +92,10 @@ class FdlpConfig:
     # 'fast' (f32) | 'high' (f64 from the window multiply on: <1e-4
     # parity at >=1000x realtime; 'mixed' is an equivalent alias)
     precision: str = "fast"
-    # LPC+cepstrum recursion backend: 'scan' = two XLA lax.scans;
-    # 'fused' = single Pallas kernel (ops/pallas_lpc, f32/TPU only);
-    # 'auto' = fused on the TPU fast path, scan elsewhere.
+    # LPC+cepstrum recursion backend: 'scan' = two XLA lax.scans
+    # ('scan:unroll=N' unrolls the scans N-fold); 'fused' = single
+    # Pallas kernel (ops/pallas_lpc, f32/TPU only); 'auto' = fused on
+    # the TPU fast path, unrolled scan on the f64 path, scan elsewhere.
     lpc_backend: str = "auto"
 
     @property
@@ -195,8 +196,11 @@ def _band_cepstra(cos_dct, fbank, order, coeff_num, backend="scan",
         P, nb, L = r.shape
         cep = lpc_cepstra_pallas(r.reshape(P * nb, L), order, coeff_num)
         return cep.reshape(P, nb, coeff_num)
-    xlpc, gg = lpc_from_autocorr(r, order)
-    return lpc_to_cepstrum(xlpc, gg, coeff_num)  # (P, nb, C)
+    unroll = 1
+    if backend.startswith("scan:unroll="):
+        unroll = int(backend.split("=", 1)[1])
+    xlpc, gg = lpc_from_autocorr(r, order, unroll=unroll)
+    return lpc_to_cepstrum(xlpc, gg, coeff_num, unroll=unroll)  # (P, nb, C)
 
 
 @partial(
@@ -291,11 +295,14 @@ def _fdlp_impl(
     lpc_backend = cfg.lpc_backend
     if lpc_backend == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        lpc_backend = (
-            "fused"
-            if (on_tpu and shard is None and lpc_dtype == jnp.float32)
-            else "scan"
-        )
+        if on_tpu and shard is None and lpc_dtype == jnp.float32:
+            lpc_backend = "fused"
+        elif lpc_dtype == jnp.float64:
+            # unroll=4 measured ~5% faster end-to-end on the f64 high
+            # path (bit-identical output); higher factors regress.
+            lpc_backend = "scan:unroll=4"
+        else:
+            lpc_backend = "scan"
     # f64 lags: route through the support-compacted form (exact; ~30x
     # less contraction work than the dense emulated-f64 einsum)
     ac_plan = (

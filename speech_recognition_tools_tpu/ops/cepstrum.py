@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 
 
-def lpc_to_cepstrum(xlpc: jax.Array, gg: jax.Array, lim: int) -> jax.Array:
+def lpc_to_cepstrum(
+    xlpc: jax.Array, gg: jax.Array, lim: int, unroll: int = 1
+) -> jax.Array:
     """Compute `lim` cepstral coefficients from LPC polynomial and gain.
 
     Args:
@@ -73,5 +75,7 @@ def lpc_to_cepstrum(xlpc: jax.Array, gg: jax.Array, lim: int) -> jax.Array:
         win = jnp.concatenate([b_n[..., None], win[..., :-1]], axis=-1)
         return (cep, win), None
 
-    (cep, _), _ = jax.lax.scan(step, (cep, win0), (ns, b_t[2:lim]))
+    (cep, _), _ = jax.lax.scan(
+        step, (cep, win0), (ns, b_t[2:lim]), unroll=unroll
+    )
     return cep

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 
 def levinson_durbin(
-    r: jax.Array, order: int, return_error: bool = False
+    r: jax.Array, order: int, return_error: bool = False, unroll: int = 1
 ):
     """Levinson-Durbin solve of the Yule-Walker system.
 
@@ -42,6 +42,9 @@ def levinson_durbin(
       order: LPC order p (static).
       return_error: also return the final prediction error E_p (normalised
         by r0; the unnormalised error is E_p * r0).
+      unroll: lax.scan unroll factor. The scan is HBM-bound on its three
+        (lanes, p) carry buffers; unrolling lets XLA fuse consecutive
+        steps so the carries stay in VMEM across the fused block.
 
     Returns:
       a: (..., order) predictor coefficients solving T a = -r[1:p+1]
@@ -111,13 +114,17 @@ def levinson_durbin(
         s_new = jnp.concatenate([r_i[..., None], s[..., :-1]], axis=-1)
         return (a_new, u_new, s_new, e_new), None
 
-    (a, _, _, e), _ = jax.lax.scan(step, (a0, u0, s0, e0), (rn_t, eye))
+    (a, _, _, e), _ = jax.lax.scan(
+        step, (a0, u0, s0, e0), (rn_t, eye), unroll=unroll
+    )
     if return_error:
         return a, e
     return a
 
 
-def lpc_from_autocorr(r: jax.Array, order: int) -> tuple[jax.Array, jax.Array]:
+def lpc_from_autocorr(
+    r: jax.Array, order: int, unroll: int = 1
+) -> tuple[jax.Array, jax.Array]:
     """LPC coefficients + gain with the reference's exact gain formula.
 
     Args:
@@ -134,7 +141,7 @@ def lpc_from_autocorr(r: jax.Array, order: int) -> tuple[jax.Array, jax.Array]:
     untouched on healthy bands) we fall back to the recursion's own
     prediction error E_p * r0, which is non-negative by construction.
     """
-    a, e = levinson_durbin(r, order, return_error=True)
+    a, e = levinson_durbin(r, order, return_error=True, unroll=unroll)
     one = jnp.ones(r.shape[:-1] + (1,), a.dtype)
     xlpc = jnp.concatenate([one, a], axis=-1)
     gg = r[..., 0] + jnp.sum(xlpc * r[..., 1 : order + 2], axis=-1)
