@@ -57,25 +57,30 @@ def lpc_to_cepstrum(
     rdt = cep.real.dtype
     m_vals = jnp.arange(1, lim, dtype=rdt)  # m = 1..lim-1 (window slots)
 
-    # shift-window register: at step n, win[slot m] = b[n-m] (index m-1).
-    # Init for n=2: [b1, b0, 0, ...]; after step n: win' = [b_n, win[:-1]].
-    win0 = jnp.zeros(batch + (lim - 1,), b.dtype)
-    win0 = win0.at[..., 0].set(b[..., 1]).at[..., 1].set(b[..., 0])
+    # The b[n-m] window is a sliding view of the *static* input b, so
+    # instead of carrying a shift register (a (batch, lim) write per step
+    # in an HBM-bound scan) each step takes one contiguous dynamic_slice
+    # of a precomputed reversed+padded copy:
+    #   brev[t] = b[lim-1-t] (t < lim), 0 (t >= lim)
+    #   => window[m-1] = b[n-m] = brev[(lim-n) + (m-1)], m = 1..lim-1.
+    brev = jnp.concatenate(
+        [b[..., :lim][..., ::-1], jnp.zeros(batch + (lim,), b.dtype)],
+        axis=-1,
+    )
 
     b_t = jnp.moveaxis(b, -1, 0)  # (lim+?, ...)
     ns = jnp.arange(2, lim)
 
-    def step(carry, xs):
-        cep, win = carry
+    def step(cep, xs):
         n, b_n = xs
+        win = jax.lax.dynamic_slice_in_dim(brev, lim - n, lim - 1, axis=-1)
         w = (m_vals / n.astype(rdt)) * (m_vals < n).astype(rdt)
         acc = jnp.sum(w * win * cep[..., 1:lim], axis=-1)
         c_n = acc + b_n
         cep = jax.lax.dynamic_update_index_in_dim(cep, c_n, n, axis=-1)
-        win = jnp.concatenate([b_n[..., None], win[..., :-1]], axis=-1)
-        return (cep, win), None
+        return cep, None
 
-    (cep, _), _ = jax.lax.scan(
-        step, (cep, win0), (ns, b_t[2:lim]), unroll=unroll
+    cep, _ = jax.lax.scan(
+        step, cep, (ns, b_t[2:lim]), unroll=unroll
     )
     return cep

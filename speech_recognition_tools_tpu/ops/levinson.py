@@ -58,10 +58,14 @@ def levinson_durbin(
     batch_shape = rn.shape[:-1]
     p = order
     a0 = jnp.zeros(batch_shape + (p,), rn.dtype)
-    # u window: u[m] = a_{i-m} (reversed predictor, anchored at current i);
-    # s window: s[m] = rn lag (i-m) for m=1..p, stored at index m-1.
+    # u window: u[m] = a_{i-m} (reversed predictor, anchored at current i).
+    # No lag window is carried: since u[m] = a_{i-m}, the Levinson inner
+    # product re-indexes onto the *static* lag vector,
+    #   sum_{j=1}^{i-1} a_j rn_{i-j} = sum_{m=1}^{i-1} u[m] rn_m,
+    # so the step dots u with the scan-invariant rn instead of carrying a
+    # shifted copy of it (one less (batch, p) carry to stream per step —
+    # the scan is HBM-bound on exactly that traffic).
     u0 = jnp.zeros(batch_shape + (p,), rn.dtype)
-    s0 = jnp.zeros(batch_shape + (p,), rn.dtype)
     e0 = jnp.ones(batch_shape, rn.dtype)
     eye = jnp.eye(p, dtype=rn.dtype)
 
@@ -69,13 +73,10 @@ def levinson_durbin(
     rn_t = jnp.moveaxis(rn, -1, 0)  # (p, ...)
 
     def step(carry, xs):
-        a, u, s, e = carry
+        a, u, e = carry
         r_i, onehot = xs  # r_i: (...,); onehot: (p,)
-        # shift the r window: s' = [r_{i-1}, s[:-1]]  (for use at step i the
-        # window must hold lags (i-1)..(i-p); we shift *before* use)
-        # acc = sum_{j=1}^{i-1} a_j rn_{i-j} = sum_m a[m] * s[m]  (a_j zero
-        # for j >= i keeps garbage out)
-        acc = jnp.sum(a * s, axis=-1)
+        # acc = sum_m u[m] * rn_m  (u[m] zero for m >= i keeps garbage out)
+        acc = jnp.sum(u * rn, axis=-1)
         tiny = jnp.finfo(e.real.dtype).tiny
         if iscomplex:
             e_safe = jnp.where(jnp.abs(e) < tiny, tiny, e)
@@ -111,11 +112,10 @@ def levinson_durbin(
             [jnp.zeros(batch_shape + (1,), a.dtype), a_c[..., :-1]], axis=-1
         )
         u_new = u_shift + k[..., None] * a_head
-        s_new = jnp.concatenate([r_i[..., None], s[..., :-1]], axis=-1)
-        return (a_new, u_new, s_new, e_new), None
+        return (a_new, u_new, e_new), None
 
-    (a, _, _, e), _ = jax.lax.scan(
-        step, (a0, u0, s0, e0), (rn_t, eye), unroll=unroll
+    (a, _, e), _ = jax.lax.scan(
+        step, (a0, u0, e0), (rn_t, eye), unroll=unroll
     )
     if return_error:
         return a, e
