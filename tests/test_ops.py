@@ -211,3 +211,65 @@ class TestFft64:
         assert smooth_even(24000) and smooth_even(8000)
         assert not smooth_even(1022)  # factor 7 * 73
         assert not smooth_even(7)
+
+
+    def test_packed_core_matches_scipy_at_tpu_lengths(self):
+        """_dct2_f64_packed is the path every length takes on TPU (the
+        mixed-radix stages hang the TPU compiler); exercise it directly
+        at the production window lengths the CPU dispatch would
+        otherwise route to the direct Makhoul form."""
+        import scipy.fftpack as fftpack
+
+        from speech_recognition_tools_tpu.ops.fft64 import _dct2_f64_packed
+
+        rs = np.random.RandomState(6)
+        for n in (4000, 8000, 24000):
+            x = rs.randn(2, n) * 1000
+            v = np.concatenate([x[..., ::2], x[..., 1::2][..., ::-1]], -1)
+            ours = np.asarray(_dct2_f64_packed(jnp.asarray(v)))
+            ref = fftpack.dct(x)
+            assert np.max(np.abs(ours - ref)) / np.max(np.abs(ref)) < 1e-13
+
+
+class TestScanUnroll:
+    """lpc_backend='scan:unroll=N' (the f64 'auto' path) must agree with
+    the plain scan — unrolling only changes XLA scheduling."""
+
+    def test_unrolled_scans_match_plain(self):
+        from speech_recognition_tools_tpu.ops.cepstrum import lpc_to_cepstrum
+        from speech_recognition_tools_tpu.ops.levinson import lpc_from_autocorr
+
+        rs = np.random.RandomState(7)
+        sig = rs.randn(6, 2048)
+        p, C = 150, 100
+        r = np.stack(
+            [np.correlate(s, s, "full")[2047 : 2047 + p + 2] for s in sig]
+        )
+        rj = jnp.asarray(r)
+        a1, g1 = lpc_from_autocorr(rj, p, unroll=1)
+        a4, g4 = lpc_from_autocorr(rj, p, unroll=4)
+        np.testing.assert_allclose(np.asarray(a4), np.asarray(a1), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(g4), np.asarray(g1), rtol=1e-12)
+        c1 = lpc_to_cepstrum(a1, g1, C, unroll=1)
+        c4 = lpc_to_cepstrum(a1, g1, C, unroll=4)
+        np.testing.assert_allclose(np.asarray(c4), np.asarray(c1), rtol=1e-12, atol=1e-12)
+
+    def test_fdlp_unroll_backend_string(self):
+        from speech_recognition_tools_tpu.dsp import (
+            FdlpConfig,
+            fdlp_spectrogram_batch,
+        )
+
+        rng = np.random.RandomState(8)
+        x = (rng.randn(2, 8000) * 1000).astype(np.float32)
+        lens = np.array([8000, 6000], np.int32)
+        ref, nref = fdlp_spectrogram_batch(
+            x, lens, FdlpConfig(nfilters=6, lpc_backend="scan")
+        )
+        got, ngot = fdlp_spectrogram_batch(
+            x, lens, FdlpConfig(nfilters=6, lpc_backend="scan:unroll=4")
+        )
+        np.testing.assert_array_equal(np.asarray(ngot), np.asarray(nref))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
