@@ -94,8 +94,11 @@ class FdlpConfig:
     precision: str = "fast"
     # LPC+cepstrum recursion backend: 'scan' = two XLA lax.scans
     # ('scan:unroll=N' unrolls the scans N-fold); 'fused' = single
-    # Pallas kernel (ops/pallas_lpc, f32/TPU only); 'auto' = fused on
-    # the TPU fast path, unrolled scan on the f64 path, scan elsewhere.
+    # Pallas kernel (ops/pallas_lpc, f32/TPU only); 'blocked[:B]' =
+    # blocked Schur/Szego Levinson (ops/levinson, real lags) + unrolled
+    # cepstrum scan; 'auto' = fused on the TPU fast path, blocked on the
+    # unsharded f64 path, unrolled scan on the sharded f64 path, scan
+    # elsewhere.
     lpc_backend: str = "auto"
 
     @property
@@ -197,9 +200,16 @@ def _band_cepstra(cos_dct, fbank, order, coeff_num, backend="scan",
         cep = lpc_cepstra_pallas(r.reshape(P * nb, L), order, coeff_num)
         return cep.reshape(P, nb, coeff_num)
     unroll = 1
+    block = None
     if backend.startswith("scan:unroll="):
         unroll = int(backend.split("=", 1)[1])
-    xlpc, gg = lpc_from_autocorr(r, order, unroll=unroll)
+    elif backend == "blocked" or backend.startswith("blocked:"):
+        # blocked Schur/Szego Levinson (ops/levinson): ~1.7x over the
+        # unrolled scan on the f64 high path; the cepstrum recursion
+        # keeps its best scan form (unroll=4).
+        block = int(backend.split(":", 1)[1]) if ":" in backend else 15
+        unroll = 4
+    xlpc, gg = lpc_from_autocorr(r, order, unroll=unroll, block=block)
     return lpc_to_cepstrum(xlpc, gg, coeff_num, unroll=unroll)  # (P, nb, C)
 
 
@@ -297,9 +307,15 @@ def _fdlp_impl(
         on_tpu = jax.default_backend() in ("tpu", "axon")
         if on_tpu and shard is None and lpc_dtype == jnp.float32:
             lpc_backend = "fused"
+        elif lpc_dtype == jnp.float64 and shard is None:
+            # blocked Schur/Szego Levinson: 86 -> 51 ms on the v5e at
+            # the production shape vs the unrolled scan, machine-eps
+            # agreement (ops/levinson.levinson_durbin_blocked).
+            lpc_backend = "blocked:15"
         elif lpc_dtype == jnp.float64:
-            # unroll=4 measured ~5% faster end-to-end on the f64 high
-            # path (bit-identical output); higher factors regress.
+            # sharded f64 path stays on the scan (unroll=4 ~5% faster
+            # end-to-end, bit-identical); the blocked solver's
+            # optimization_barrier is untested under GSPMD.
             lpc_backend = "scan:unroll=4"
         else:
             lpc_backend = "scan"

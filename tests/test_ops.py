@@ -273,3 +273,100 @@ class TestScanUnroll:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
         )
+
+class TestBlockedLevinson:
+    """levinson_durbin_blocked (blocked Schur/Szego) is a restructuring of
+    the scan recursion, not an approximation: machine-eps agreement at
+    every block size, including the degenerate-band guard paths."""
+
+    def _lags(self, sig, p):
+        return np.stack(
+            [
+                np.correlate(s, s, "full")[len(s) - 1 : len(s) + p + 1]
+                for s in sig
+            ]
+        )
+
+    @pytest.mark.parametrize("block", [1, 7, 15, 40, 200])
+    def test_matches_scan(self, block):
+        from speech_recognition_tools_tpu.ops.levinson import (
+            levinson_durbin,
+            levinson_durbin_blocked,
+        )
+
+        rs = np.random.RandomState(11)
+        p = 60
+        r = jnp.asarray(self._lags(rs.randn(5, 1024), p))
+        a0, e0 = levinson_durbin(r, p, return_error=True)
+        a1, e1 = levinson_durbin_blocked(r, p, block=block, return_error=True)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e0), atol=1e-13)
+
+    def test_degenerate_bands_stay_guarded(self):
+        """Silent (r=0) and pure-tone (|k|->1 clamp) lanes must stay
+        bounded under the same guards as the scan. Exact value agreement
+        is impossible there: e underflows towards 0 and k = -num/e
+        amplifies the rounding difference between the blocked numerator
+        (propagated phi) and the scan's (fresh predictor dot) — even the
+        scan's own output in that regime is rounding noise shaped by the
+        clamp. A healthy lane in the same batch must still match."""
+        from speech_recognition_tools_tpu.ops.levinson import (
+            levinson_durbin,
+            levinson_durbin_blocked,
+        )
+
+        p = 24
+        lags = np.arange(p + 1)
+        r = np.stack(
+            [
+                np.zeros(p + 1),                      # silence: r0 == 0
+                np.cos(2 * np.pi * 0.1 * lags),       # pure tone: e -> 0
+                self._lags(np.random.RandomState(3).randn(1, 512), p - 1)[0],
+            ]
+        )
+        a0, e0 = levinson_durbin(jnp.asarray(r), p, return_error=True)
+        a1, e1 = levinson_durbin_blocked(
+            jnp.asarray(r), p, block=7, return_error=True
+        )
+        a0, e0, a1, e1 = (np.asarray(v) for v in (a0, e0, a1, e1))
+        # silence lane: all-zero predictor, e stays 1 (identical to scan)
+        np.testing.assert_array_equal(a1[0], np.zeros(p))
+        np.testing.assert_array_equal(e1[0], 1.0)
+        # pure-tone lane: finite, same magnitude class as the guarded
+        # scan (no overflow into the downstream cepstrum), e >= 0
+        assert np.all(np.isfinite(a1[1])) and np.all(np.isfinite(e1))
+        assert np.abs(a1[1]).max() < 100 * max(np.abs(a0[1]).max(), 1.0)
+        assert e1[1] >= 0
+        # healthy lane: machine-eps agreement, degenerate lanes in the
+        # batch must not perturb it
+        np.testing.assert_allclose(a1[2], a0[2], atol=1e-12)
+        np.testing.assert_allclose(e1[2], e0[2], atol=1e-13)
+
+    def test_complex_raises(self):
+        from speech_recognition_tools_tpu.ops.levinson import (
+            levinson_durbin_blocked,
+        )
+
+        r = jnp.ones((2, 5), jnp.complex128)
+        with pytest.raises(NotImplementedError):
+            levinson_durbin_blocked(r, 4)
+
+    def test_fdlp_blocked_backend_string(self):
+        from speech_recognition_tools_tpu.dsp import (
+            FdlpConfig,
+            fdlp_spectrogram_batch,
+        )
+
+        rng = np.random.RandomState(9)
+        x = (rng.randn(2, 8000) * 1000).astype(np.float32)
+        lens = np.array([8000, 6000], np.int32)
+        ref, nref = fdlp_spectrogram_batch(
+            x, lens, FdlpConfig(nfilters=6, lpc_backend="scan")
+        )
+        got, ngot = fdlp_spectrogram_batch(
+            x, lens, FdlpConfig(nfilters=6, lpc_backend="blocked:5")
+        )
+        np.testing.assert_array_equal(np.asarray(ngot), np.asarray(nref))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
