@@ -307,16 +307,16 @@ def _fdlp_impl(
         on_tpu = jax.default_backend() in ("tpu", "axon")
         if on_tpu and shard is None and lpc_dtype == jnp.float32:
             lpc_backend = "fused"
-        elif lpc_dtype == jnp.float64 and shard is None:
+        elif lpc_dtype == jnp.float64:
             # blocked Schur/Szego Levinson: 86 -> 51 ms on the v5e at
             # the production shape vs the unrolled scan, machine-eps
-            # agreement (ops/levinson.levinson_durbin_blocked).
+            # agreement (ops/levinson.levinson_durbin_blocked). Under
+            # GSPMD the solver partitions trivially (the LPC stage is
+            # elementwise over fully-sharded lanes): bit-exact vs the
+            # scan on the virtual data x time mesh
+            # (tests/test_parallel_featgen.py), and the driver dryrun
+            # revalidates the sharded path every round.
             lpc_backend = "blocked:15"
-        elif lpc_dtype == jnp.float64:
-            # sharded f64 path stays on the scan (unroll=4 ~5% faster
-            # end-to-end, bit-identical); the blocked solver's
-            # optimization_barrier is untested under GSPMD.
-            lpc_backend = "scan:unroll=4"
         else:
             lpc_backend = "scan"
     # f64 lags: route through the support-compacted form (exact; ~30x

@@ -89,6 +89,37 @@ class TestSequenceParallel:
             )
 
 
+    def test_high_precision_blocked_under_gspmd(self):
+        """The f64 high path's default blocked Levinson (auto backend)
+        must partition under GSPMD and stay bit-exact with the unsharded
+        scan solve — the sharded-auto path selects 'blocked:15' too."""
+        from speech_recognition_tools_tpu.dsp import fdlp_spectrogram_sharded
+        from jax.sharding import Mesh
+
+        assert jax.device_count() >= 8
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "time"))
+        B, n = 2, 16000
+        rs = np.random.RandomState(7)
+        x = (rs.randn(B, n) * 1000).astype(np.float64)
+        lens = np.array([n, n - 5000], np.int32)
+
+        ref, nref = fdlp_spectrogram_batch(
+            x, lens, FdlpConfig(nfilters=6, precision="high",
+                                lpc_backend="scan:unroll=4")
+        )
+        out, nout = fdlp_spectrogram_sharded(
+            x, lens, FdlpConfig(nfilters=6, precision="high"),
+            mesh, data_axis="data", time_axis="time"
+        )
+        np.testing.assert_array_equal(np.asarray(nout), np.asarray(nref))
+        for b in range(B):
+            T = int(nref[b])
+            np.testing.assert_allclose(
+                np.asarray(out[b, :T]), np.asarray(ref[b, :T]),
+                rtol=1e-9, atol=1e-9,
+            )
+
+
 class TestInputSharded:
     def test_input_sharded_matches_single_device(self):
         """Sample-sharded featgen (waveform never replicated): parity vs
