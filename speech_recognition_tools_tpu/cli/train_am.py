@@ -61,7 +61,12 @@ def get_parser():
     p.add_argument("--time_shift", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data_parallel", action="store_true",
-                   help="shard the batch axis over all devices")
+                   help="shard the batch axis over the mesh's 'data' axis")
+    p.add_argument("--expert_parallel", type=int, default=1,
+                   help="(arch=curl) size of the mesh 'model' axis the "
+                        "CURL component/stream (expert) axis shards over; "
+                        "uses the vmapped CurlMultistreamClassifierEP "
+                        "layout (parallel/ep.py)")
     p.add_argument("--expand_from",
                    help="(arch=curl) checkpoint dir of a trained CURL model "
                         "to grow by one component before training — the "
@@ -119,7 +124,16 @@ def build_model(args, feat_dim, num_classes):
             hidden_size=args.hidden_dim, bn_size=args.bn_dim, dropout=args.dropout,
         )
     if args.arch == "curl":
-        return M.CurlMultistreamClassifier(
+        # expert-parallel runs use the vmapped component layout (leading
+        # expert axis shardable over the mesh 'model' axis); numerically
+        # identical to the loop layout (models/curl.py, tests).
+        ep_size = getattr(args, "expert_parallel", 1) or 1
+        cls = (
+            M.CurlMultistreamClassifierEP
+            if ep_size > 1
+            else M.CurlMultistreamClassifier
+        )
+        return cls(
             out_size=num_classes, num_layers_enc=args.num_layers,
             num_layers_dec=args.num_layers_dec, num_layers_class=args.num_layers_dec,
             hidden_size=args.hidden_dim, hidden_size_classifier=args.hidden_dim,
@@ -577,6 +591,46 @@ def main(argv=None):
         args.comp_num = model.comp_num
         print(f"expanded CURL model to {model.comp_num} components")
 
+    # mesh placement: DP shards batches over 'data', EP shards the CURL
+    # expert axis over 'model' (the two compose on one mesh)
+    mesh = None
+    shard_ep_params = None
+    if args.data_parallel or args.expert_parallel > 1:
+        from speech_recognition_tools_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=args.expert_parallel)
+    if args.expert_parallel > 1:
+        assert args.arch == "curl", "--expert_parallel requires --arch curl"
+        assert not args.expand_from, (
+            "--expert_parallel with --expand_from is unsupported; grow the "
+            "loop-layout model first, then convert with curl_params_to_ep"
+        )
+        from speech_recognition_tools_tpu.parallel.ep import (
+            expert_param_sharding,
+        )
+        from speech_recognition_tools_tpu.parallel.tp import shard_params
+
+        def shard_ep_params(p):
+            return shard_params(p, mesh, expert_param_sharding(mesh, "model"))
+
+        params = shard_ep_params(params)
+    if args.data_parallel and mesh is not None:
+        from speech_recognition_tools_tpu.parallel import shard_batch
+
+        dpar = mesh.shape["data"]
+
+        def _dp_wrap(make_it):
+            def wrapped():
+                for b in make_it():
+                    lead = jax.tree.leaves(b)[0].shape[0]
+                    # ragged tail batches stay on the default placement
+                    yield shard_batch(b, mesh) if lead % dpar == 0 else b
+
+            return wrapped
+
+        train_iter = _dp_wrap(train_iter)
+        dev_iter = _dp_wrap(dev_iter)
+
     trainer = Trainer(
         make_loss(args, model, encode_fn),
         TrainConfig(
@@ -595,6 +649,9 @@ def main(argv=None):
         )
         state.params = payload["params"]
         state.opt_state = payload["opt_state"]
+        if shard_ep_params is not None:
+            # checkpoints restore as host arrays; re-place the expert axis
+            state.params = shard_ep_params(state.params)
         state.best_params = state.params
         state.epoch = int(meta.get("extra", {}).get("epoch", 0))
         state.lr = float(meta.get("extra", {}).get("lr", args.learning_rate))
@@ -604,7 +661,11 @@ def main(argv=None):
     hyper.update(
         {
             "feature_dim": cfg_egs.feat_dim,
-            "model_class": ARCHS[args.arch],
+            "model_class": (
+                "CurlMultistreamClassifierEP"
+                if args.arch == "curl" and args.expert_parallel > 1
+                else ARCHS[args.arch]
+            ),
             "num_classes": num_classes,  # resolved, not the CLI default
         }
     )

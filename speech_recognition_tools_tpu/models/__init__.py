@@ -44,8 +44,10 @@ from speech_recognition_tools_tpu.models.curl import (
     sample_curl_latent,
     CurlSupervised,
     CurlMultistreamClassifier,
+    CurlMultistreamClassifierEP,
     CurlEncodedClassifier,
     compute_latent_features,
+    curl_params_to_ep,
     expand_component,
 )
 from speech_recognition_tools_tpu.models.modnet import (

@@ -190,6 +190,81 @@ class CurlMultistreamClassifier(nn.Module):
         return class_out, recon, (cat, means, logvars)
 
 
+class CurlMultistreamClassifierEP(nn.Module):
+    """Expert-parallel CurlMultistreamClassifier: the per-component
+    decoder/classifier streams are vmapped (params carry a leading
+    comp_num axis) instead of looped over named submodules, so the
+    expert axis shards over a device mesh axis
+    (parallel.ep.expert_param_sharding) — SURVEY.md §2.8's EP
+    equivalent of the reference's serial component loop
+    (nnet_models.py:616-629,722-736). Numerically identical to
+    CurlMultistreamClassifier; `curl_params_to_ep` converts a trained
+    loop-layout checkpoint (tests/test_expert_parallel.py pins parity).
+    """
+
+    out_size: int
+    num_layers_enc: int
+    num_layers_dec: int
+    num_layers_class: int
+    hidden_size: int
+    hidden_size_classifier: int
+    bn_size: int
+    comp_num: int
+    enc_scale: float = 0.2
+    input_size: int | None = None
+
+    @nn.compact
+    def __call__(self, inputs, lengths, *, rng=None):
+        from speech_recognition_tools_tpu.parallel.ep import vmap_experts
+
+        in_dim = self.input_size or inputs.shape[-1]
+        cat, means, logvars = CurlEncoder(
+            self.num_layers_enc, self.hidden_size, self.bn_size, self.comp_num,
+            name="curl_encoder",
+        )(inputs, lengths)
+        cat = scale_gradient(cat, self.enc_scale)
+        means = scale_gradient(means, self.enc_scale)
+        logvars = scale_gradient(logvars, self.enc_scale)
+        if rng is None:
+            rng = self.make_rng("sample")
+        sampled = sample_curl_latent(rng, means, logvars)
+        VDecoder = vmap_experts(DecoderRNN, self.comp_num)
+        class_out = VDecoder(
+            self.num_layers_class, self.hidden_size_classifier, self.out_size,
+            name="classifiers",
+        )(sampled, lengths)
+        recon = VDecoder(
+            self.num_layers_dec, self.hidden_size, in_dim, name="decoders",
+        )(sampled, lengths)
+        return class_out, recon, (cat, means, logvars)
+
+
+def curl_params_to_ep(params, comp_num: int):
+    """Convert a CurlMultistreamClassifier param tree (loop layout:
+    `classifier_i` + `curl_decoder/stream_i` subtrees) into the
+    CurlMultistreamClassifierEP layout (stacked `classifiers` /
+    `decoders` with a leading expert axis). Outputs are bit-identical
+    between the two layouts."""
+    import flax
+
+    from speech_recognition_tools_tpu.parallel.ep import stack_expert_params
+
+    p = flax.core.unfreeze(params)["params"]
+    new = {
+        "curl_encoder": p["curl_encoder"],
+        "classifiers": stack_expert_params(
+            [p[f"classifier_{i}"] for i in range(comp_num)]
+        ),
+        "decoders": stack_expert_params(
+            [p["curl_decoder"][f"stream_{i}"] for i in range(comp_num)]
+        ),
+    }
+    out = {"params": new}
+    if isinstance(params, flax.core.FrozenDict):
+        out = flax.core.freeze(out)
+    return out
+
+
 def curl_loss_supervised(x, recon, latent, mean_p, comp_idx, mask=None):
     """Supervised CURL ELBO for a known component (reference
     train_CURLclassifier_v2.py curl_loss_supervised :33-49): gaussian
