@@ -27,6 +27,8 @@ def get_parser():
     p.add_argument("--l2_source", type=float, default=0.0)
     p.add_argument("--contrastive", action="store_true")
     p.add_argument("--supervised_weight", type=float, default=0.0)
+    p.add_argument("--mm_weight", type=float, default=0.0,
+                   help="M-measure weight (AEPC variant: loss = recon - mm_weight * M-measure)")
     return p
 
 
@@ -85,6 +87,7 @@ def main(argv=None):
         time_shift=args.time_shift, time_shifts=shifts, loss=args.loss,
         l2_source=args.l2_source, contrastive=args.contrastive,
         supervised_weight=args.supervised_weight,
+        mm_weight=args.mm_weight,
     )
     adapted = adapt_model(
         am_apply, am_params, pm.apply, pm_params, pm_mean, batches, cfg,

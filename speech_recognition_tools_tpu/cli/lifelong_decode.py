@@ -22,7 +22,14 @@ def get_parser():
     p.add_argument("save_file", help="output ark base")
     p.add_argument("--prior_weight", type=float, default=0.8)
     p.add_argument("--fusion", default="powerset",
-                   choices=["powerset", "incremental", "perframe", "autoT"])
+                   choices=["powerset", "incremental", "perframe", "autoT",
+                            "postpm"])
+    p.add_argument("--pm_on", default="feats",
+                   choices=["feats", "posteriors"],
+                   help="input to the p(x) PM models: the features, or the "
+                        "classifier outputs (the reference's postpm "
+                        "variants build the VAE on num_classes inputs, "
+                        "compute_advanced_likelihood_postpm.py:93,145)")
     p.add_argument("--beta", type=float, default=300.0,
                    help="dp task-prior sharpening (reference: 300 powerset, "
                         "500 incremental)")
@@ -44,9 +51,14 @@ def _restore(model_dir, egs_dir, batch_size):
     model, path, cfg = load_model_from_checkpoint(model_dir)
     first = next(iter_egs_batches(egs_dir, batch_size, drop_labels=True))
     rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+    f0 = jnp.asarray(first["feats"])
+    if cfg.get("feature_dim") and cfg["feature_dim"] != f0.shape[-1]:
+        # e.g. postpm p(x) models are trained on classifier outputs, not
+        # on the egs features — shape the init template from the
+        # checkpoint's own input dim
+        f0 = jnp.zeros(f0.shape[:-1] + (cfg["feature_dim"],), f0.dtype)
     template = arch_init(
-        model, cfg, rngs, jnp.asarray(first["feats"]),
-        jnp.asarray(first["lengths"]),
+        model, cfg, rngs, f0, jnp.asarray(first["lengths"]),
     )
     payload, _ = load_checkpoint(path, template={"params": template})
     return model, payload["params"], cfg
@@ -90,12 +102,13 @@ def main(argv=None):
 
             logits, _ = arch_forward(cm, cp, ccfg, feats, lengths)
             pcx_all.append(np.asarray(jax.nn.softmax(logits, -1)))
+            pm_in = feats if args.pm_on == "feats" else logits
             recon, latent = vm.apply(
-                vp, feats, lengths, rngs={"sample": jax.random.key(0)}
+                vp, pm_in, lengths, rngs={"sample": jax.random.key(0)}
             )
             pxf_all.append(
                 framewise_vae_score(
-                    np.asarray(feats), np.asarray(recon),
+                    np.asarray(pm_in), np.asarray(recon),
                     np.asarray(latent[0]), np.asarray(latent[1]),
                 )
             )
@@ -107,9 +120,10 @@ def main(argv=None):
             mode = args.task_prior if fixed_tp is None else "fixed"
             tp = task_priors(mode, px_means, posteriors=pcx, fixed=fixed_tp,
                              beta=args.beta)
-            if args.fusion == "powerset":
+            if args.fusion in ("powerset", "postpm"):
                 out[key] = lifelong_fusion_powerset(
-                    pcx, log_priors, tp, args.prior_weight
+                    pcx, log_priors, tp, args.prior_weight,
+                    weighted_power=args.fusion == "postpm",
                 )
             elif args.fusion == "incremental":
                 out[key] = lifelong_fusion_incremental(

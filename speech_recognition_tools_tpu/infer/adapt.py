@@ -18,6 +18,10 @@ covers the script variants:
   l2_source weight  nnet_adapt_*_regularized.py (L2 pull to source params)
   contrastive       nnet_adapt_contrastive_*.py (pos/neg ratio loss)
   supervised_weight lightly-supervised variants (CE on provided labels)
+  mm_weight         nnet_adapt_feedforward_AEPC.py (:275-277: loss =
+                    AE recon - mm_weight * M-measure of the posteriors,
+                    del_list [5,25,45,65] — adaptation also *maximises*
+                    posterior self-dissimilarity across frame deltas)
 """
 
 from dataclasses import dataclass
@@ -42,6 +46,8 @@ class AdaptConfig:
     contrastive: bool = False
     neg_weight: float = 1.0
     supervised_weight: float = 0.0  # CE weight for lightly-supervised
+    mm_weight: float = 0.0  # M-measure weight (AEPC variant)
+    mm_deltas: tuple = (5, 25, 45, 65)
 
 
 def _recon_loss(kind, pred, target):
@@ -117,6 +123,27 @@ def make_adapt_step(
         else:
             loss = shifted_loss(0)
 
+        if cfg.mm_weight:
+            # AEPC variant: subtract the differentiable M-measure of the
+            # AM posteriors (masked to valid frames) so adaptation also
+            # pushes posteriors apart across time deltas
+            p = jnp.maximum(jax.nn.softmax(logits, axis=-1), 1e-8)
+            T = p.shape[1]
+            mm = 0.0
+            for d in cfg.mm_deltas:
+                if d >= T:
+                    continue
+                x, y = p[:, d:], p[:, :-d]
+                valid = (
+                    jnp.arange(T - d)[None, :] + d < lengths[:, None]
+                ).astype(p.dtype)
+                sym = jnp.sum(
+                    x * (jnp.log(x) - jnp.log(y))
+                    + y * (jnp.log(y) - jnp.log(x)),
+                    axis=-1,
+                )
+                mm += jnp.sum(sym * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+            loss = loss - cfg.mm_weight * mm / len(cfg.mm_deltas)
         if cfg.l2_source and source_params is not None:
             sq = jax.tree.map(lambda a, b: jnp.sum((a - b) ** 2), params, source_params)
             loss = loss + cfg.l2_source * sum(jax.tree.leaves(sq))

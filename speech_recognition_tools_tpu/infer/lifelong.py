@@ -84,13 +84,17 @@ def task_priors(mode, px_means, posteriors=None, fixed=None, beta=300.0):
     raise ValueError(mode)
 
 
-def lifelong_fusion_powerset(all_pcx, log_priors, tp, prior_weight=0.8):
+def lifelong_fusion_powerset(all_pcx, log_priors, tp, prior_weight=0.8,
+                             weighted_power=False):
     """Powerset fusion (reference compute_advanced_likelihood.py:163-183).
 
     Args:
       all_pcx: list of K (T, C) classifier posteriors.
       log_priors: list of K (C,) class log-priors.
       tp: (K,) task priors.
+      weighted_power: the postpm variant's geometric weighting
+        (compute_advanced_likelihood_postpm.py:169: num_prod *=
+        pcx^tp[b] instead of the plain product).
     Returns (T, C) log-likelihoods: log(num) - prior_weight*log(denom).
     """
     K = len(all_pcx)
@@ -102,7 +106,10 @@ def lifelong_fusion_powerset(all_pcx, log_priors, tp, prior_weight=0.8):
         denom_prod = np.ones(C)
         perf_mon = 1.0
         for b in subset:
-            num_prod = num_prod * all_pcx[b]
+            if weighted_power:
+                num_prod = num_prod * np.power(all_pcx[b], tp[b])
+            else:
+                num_prod = num_prod * all_pcx[b]
             perf_mon = perf_mon * tp[b]
             denom_prod = denom_prod * np.exp(log_priors[b])
         denom_prod = denom_prod / denom_prod.sum()

@@ -92,6 +92,37 @@ class TestLifelong:
         oracle = np.log(num) - 0.8 * np.log(denom)
         np.testing.assert_allclose(got, oracle, rtol=1e-10)
 
+    def test_postpm_weighted_power_fusion(self):
+        """postpm variant: num_prod *= pcx^tp[b]
+        (compute_advanced_likelihood_postpm.py:169); oracle replicates
+        the reference loop literally."""
+        K = 2
+        all_pcx = self._posteriors(K)
+        log_priors = [np.log(_softmax(RS.randn(C))) for _ in range(K)]
+        tp = np.asarray([0.6, 0.4])
+        got = lifelong_fusion_powerset(all_pcx, log_priors, tp, 0.8,
+                                       weighted_power=True)
+
+        num = np.zeros((T, C))
+        denom = np.zeros(C)
+        for st in powerset(range(K)):
+            num_prod = np.ones((T, C))
+            denom_prod = np.ones(C)
+            perf = 1
+            for b in st:
+                num_prod *= np.power(all_pcx[b], tp[b])
+                perf *= tp[b]
+                denom_prod *= np.exp(log_priors[b])
+            denom_prod /= denom_prod.sum()
+            num_prod = num_prod / num_prod.sum(1)[:, None]
+            num += num_prod * perf
+            denom += denom_prod
+        oracle = np.log(num) - 0.8 * np.log(denom)
+        np.testing.assert_allclose(got, oracle, rtol=1e-10)
+        # weighting must actually change the fusion
+        plain = lifelong_fusion_powerset(all_pcx, log_priors, tp, 0.8)
+        assert np.max(np.abs(plain - got)) > 1e-6
+
     def test_incremental_fusion(self):
         K = 3
         all_pcx = self._posteriors(K)
@@ -229,6 +260,7 @@ class TestAdaptation:
             AdaptConfig(contrastive=True, time_shifts=(3, 5)),
             AdaptConfig(supervised_weight=0.5),
             AdaptConfig(loss="l1"),
+            AdaptConfig(mm_weight=0.3, mm_deltas=(2, 5)),  # AEPC variant
         ):
             batch = dict(feats=x, lengths=lengths, labels=labels)
             adapted = adapt_model(
