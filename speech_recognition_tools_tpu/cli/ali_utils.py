@@ -11,6 +11,10 @@ Native equivalents of the reference's Kaldi-glue shell scripts
   * simplify-lexicon — simplify_dictionary.sh:14-28: map phones through
     a phone_map file ('base alt1 alt2 ...' lines) and deduplicate
     pronunciations.
+  * combine-lexicon — combine_dict.sh:16-30: merge several lexicon
+    files into one universal dictionary (optional uppercase
+    normalisation of later sources, first pronunciation set wins on
+    (word, phones) duplicates).
 
 The create_test_lang.sh (ARPA -> G.fst) stage is subsumed by
 `decode_wfst build-graph`, which expands the ARPA into the decoding
@@ -46,6 +50,14 @@ def get_parser():
     sl.add_argument("in_lexicon", help="word phone [phone ...] lines")
     sl.add_argument("out_lexicon")
     sl.add_argument("phone_map", help="'base alt1 alt2 ...' lines")
+
+    cl = sub.add_parser("combine-lexicon",
+                        help="merge lexicons into a universal dictionary")
+    cl.add_argument("out_lexicon")
+    cl.add_argument("in_lexicons", nargs="+")
+    cl.add_argument("--uppercase", action="store_true",
+                    help="uppercase the words of every input "
+                         "(combine_dict.sh uppercases the Fisher lexicon)")
     return p
 
 
@@ -95,6 +107,25 @@ def simplify_lexicon(lines, phone_map):
     return out
 
 
+def combine_lexicons(lexicon_lines, uppercase=False):
+    """lexicon_lines: list of line-lists, one per input lexicon, merged
+    in order; duplicates on (word, phones) are dropped (first wins)."""
+    seen = set()
+    out = []
+    for lines in lexicon_lines:
+        for line in lines:
+            parts = line.split()
+            if not parts:
+                continue
+            word = parts[0].upper() if uppercase else parts[0]
+            key = (word, tuple(parts[1:]))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(" ".join([word] + parts[1:]))
+    return out
+
+
 def main(argv=None):
     args = get_parser().parse_args(argv)
     if args.cmd == "convert":
@@ -110,6 +141,15 @@ def main(argv=None):
         with open(args.out_ali, "wb") as f:
             pickle.dump(out, f)
         print(f"converted {len(out)} alignments -> {args.out_ali}")
+    elif args.cmd == "combine-lexicon":
+        all_lines = []
+        for path in args.in_lexicons:
+            with open(path) as f:
+                all_lines.append(f.read().splitlines())
+        out = combine_lexicons(all_lines, uppercase=args.uppercase)
+        with open(args.out_lexicon, "w") as f:
+            f.write("\n".join(out) + "\n")
+        print(f"combined {sum(map(len, all_lines))} -> {len(out)} entries")
     elif args.cmd == "combine":
         named = []
         for path in args.in_alis:
