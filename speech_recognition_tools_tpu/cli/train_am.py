@@ -611,7 +611,10 @@ def main(argv=None):
         from speech_recognition_tools_tpu.parallel.tp import shard_params
 
         def shard_ep_params(p):
-            return shard_params(p, mesh, expert_param_sharding(mesh, "model"))
+            return shard_params(
+                p, mesh,
+                expert_param_sharding(mesh, "model", num_experts=args.comp_num),
+            )
 
         params = shard_ep_params(params)
     if args.data_parallel and mesh is not None:

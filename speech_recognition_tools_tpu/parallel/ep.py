@@ -64,14 +64,25 @@ def unstack_expert_params(stacked, num_experts: int):
     ]
 
 
-def expert_param_sharding(mesh: Mesh, axis: str = "model"):
+def expert_param_sharding(mesh: Mesh, axis: str = "model",
+                          num_experts: int | None = None):
     """(path, leaf) -> NamedSharding placing the leading expert axis on
-    `axis` (replicates leaves whose expert count doesn't divide the
-    axis size; use with `parallel.tp.shard_params`)."""
+    `axis` (use with `parallel.tp.shard_params`).
+
+    Pass `num_experts` to shard ONLY leaves whose leading dim equals it
+    (the vmapped expert collections); otherwise any leaf whose leading
+    dim divides the axis size is sharded, which in a mixed tree (e.g.
+    CurlMultistreamClassifierEP's non-expert encoder) could place a
+    feature axis on the mesh — correct under GSPMD but not the intended
+    layout. Leaves that don't match (or don't divide) are replicated."""
     size = mesh.shape.get(axis, 1)
 
     def spec(path, leaf):
-        if size > 1 and leaf.ndim >= 1 and leaf.shape[0] % size == 0:
+        if size <= 1 or leaf.ndim < 1:
+            return NamedSharding(mesh, P())
+        if num_experts is not None and leaf.shape[0] != num_experts:
+            return NamedSharding(mesh, P())
+        if leaf.shape[0] % size == 0:
             return NamedSharding(mesh, P(axis))
         return NamedSharding(mesh, P())
 

@@ -107,7 +107,7 @@ class TestCurlEP:
 
         from speech_recognition_tools_tpu.parallel.tp import shard_params
 
-        spec = expert_param_sharding(mesh, "model")
+        spec = expert_param_sharding(mesh, "model", num_experts=K)
         sharded = shard_params(params, mesh, spec)
         # leading expert axis really is distributed
         lead = sharded["params"]["classifiers"]["regression"]["kernel"]
