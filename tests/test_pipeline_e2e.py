@@ -158,3 +158,33 @@ def test_lifelong_decode_cli(pipeline):
     for k, v in fused.items():
         assert v.shape == (pipeline["feats"][k].shape[0], NUM_CLASSES)
         assert np.all(np.isfinite(v))
+
+    # postpm variant: p(x) VAEs trained on the classifiers' *outputs*
+    # (num_classes inputs) + tp-weighted geometric fusion — the
+    # compute_advanced_likelihood_postpm.py flow
+    post_vaes = []
+    for t in range(2):
+        post_base = str(root / f"postdump_t{t}")
+        dump_outputs.main([dirs[t][0], egs, post_base])
+        post_egs = str(root / f"egs_post_t{t}")
+        build_egs(read_mat_scp(post_base + ".scp"), post_egs)
+        vdir = str(root / f"vae_post_t{t}")
+        train_am.main(
+            [post_egs, vdir, "--arch", "vae", "--num_layers", "1",
+             "--num_layers_dec", "1", "--hidden_dim", "12", "--bn_dim", "4",
+             "--epochs", "1", "--batch_size", "3", "--loss", "vae_gauss",
+             "--seed", str(20 + t)]
+        )
+        post_vaes.append(vdir)
+    fused_pp = str(root / "fused_postpm")
+    lifelong_decode.main(
+        [f"{dirs[0][0]},{dirs[1][0]}", ",".join(post_vaes), egs,
+         f"{prior_file},{prior_file}", "dp", fused_pp, "--batch_size", "3",
+         "--fusion", "postpm", "--pm_on", "posteriors", "--beta", "500"]
+    )
+    fused2 = dict(read_mat_scp(fused_pp + ".scp"))
+    assert set(fused2) == set(pipeline["feats"])
+    for k, v in fused2.items():
+        assert np.all(np.isfinite(v))
+        # the weighted-power fusion must differ from the plain powerset
+        assert np.max(np.abs(v - fused[k])) > 1e-8
