@@ -218,6 +218,72 @@ class TransformerASR(nn.Module):
         )
 
 
+def encode_pipelined(model, params, feats, lengths, mesh, *,
+                     n_micro: int = 2, axis: str = "pipe"):
+    """`TransformerASR.encode` with the encoder blocks run as GPipe
+    pipeline stages (parallel/pp.py) — the long/deep-encoder scale path.
+
+    Takes an ordinary trained checkpoint (loop-layout params): the
+    elayers block parameter subtrees are stacked into S =
+    mesh.shape[axis] stages of elayers/S blocks each (elayers must
+    divide by S) and sharded P('pipe'), so encoder weights occupy 1/S of
+    each device's HBM while embed/after_norm/ctc_head stay replicated.
+    Output matches `model.apply(..., method=model.encode)` to numeric
+    precision (tests/test_pipeline_parallel.py::TestEncodePipelined).
+    """
+    import flax
+
+    from speech_recognition_tools_tpu.parallel.pp import (
+        microbatch,
+        pipeline_apply,
+        pipeline_param_sharding,
+        stack_pipeline_params,
+        unmicrobatch,
+    )
+    from speech_recognition_tools_tpu.parallel.tp import shard_params
+
+    c = model.cfg
+    S = mesh.shape[axis]
+    if c.elayers % S:
+        raise ValueError(f"elayers {c.elayers} not divisible by {S} stages")
+    per = c.elayers // S
+    enc_p = flax.core.unfreeze(params)["params"]["encoder"]
+
+    embed = Conv2dSubsampling(c.adim)
+    h, out_len = embed.apply({"params": enc_p["embed"]}, feats, lengths)
+    h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+    mask = (jnp.arange(h.shape[1])[None, :] < out_len[:, None]).astype(h.dtype)
+
+    block = _MHABlock(c, c.eunits)
+    chunks = [
+        stack_pipeline_params(
+            [{"params": enc_p[f"layer_{i * per + j}"]} for j in range(per)]
+        )
+        for i in range(S)
+    ]
+    stacked = stack_pipeline_params(chunks)  # (S, per, ...)
+    stacked = shard_params(stacked, mesh, pipeline_param_sharding(mesh, axis))
+
+    def stage(p, state):
+        x, m = state
+        for j in range(per):
+            x = block.apply(
+                jax.tree.map(lambda a: a[j], p), x, m > 0.5
+            )
+        return x, m
+
+    out_h, _ = pipeline_apply(
+        stage, stacked, (microbatch(h, n_micro), microbatch(mask, n_micro)),
+        mesh=mesh, axis=axis,
+    )
+    h = unmicrobatch(out_h)
+    h = nn.LayerNorm().apply({"params": enc_p["after_norm"]}, h)
+    ctc = nn.Dense(c.vocab_size).apply(
+        {"params": flax.core.unfreeze(params)["params"]["ctc_head"]}, h
+    )
+    return h, out_len, ctc
+
+
 def asr_loss(model, params, batch, rng, cfg: TransformerASRConfig,
              train=True):
     """Joint loss: mtlalpha * CTC + (1-mtlalpha) * label-smoothed attention

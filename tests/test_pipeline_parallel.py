@@ -146,6 +146,59 @@ class TestPipelineApply:
             microbatch(jnp.zeros((10, 3)), 4)
 
 
+class TestEncodePipelined:
+    def test_matches_model_encode(self):
+        """encode_pipelined on an ordinary checkpoint == model.encode
+        (memory, enc_len, ctc logits), with 2 blocks per stage."""
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            TransformerASR, TransformerASRConfig, encode_pipelined,
+        )
+
+        assert jax.device_count() >= 8
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("pipe",))
+        cfg = TransformerASRConfig(
+            vocab_size=13, adim=16, aheads=2, elayers=8, eunits=32,
+            dlayers=1, dunits=32, dropout=0.0,
+        )
+        model = TransformerASR(cfg)
+        B, T, D = 4, 20, 10
+        rs = np.random.RandomState(1)
+        feats = jnp.asarray(rs.randn(B, T, D), jnp.float32)
+        lengths = jnp.asarray([T, T - 4, T, T - 7], jnp.int32)
+        tokens = jnp.asarray(rs.randint(1, 12, (B, 5)), jnp.int32)
+        params = model.init(
+            {"params": jax.random.key(0)}, feats, lengths, tokens
+        )
+
+        ref_mem, ref_len, ref_ctc = model.apply(
+            params, feats, lengths, method=model.encode
+        )
+        got_mem, got_len, got_ctc = encode_pipelined(
+            model, params, feats, lengths, mesh, n_micro=2
+        )
+        np.testing.assert_array_equal(np.asarray(got_len), np.asarray(ref_len))
+        np.testing.assert_allclose(
+            np.asarray(got_mem), np.asarray(ref_mem), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_ctc), np.asarray(ref_ctc), rtol=1e-4, atol=1e-4
+        )
+
+    def test_rejects_indivisible_layers(self):
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            TransformerASR, TransformerASRConfig, encode_pipelined,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("pipe",))
+        cfg = TransformerASRConfig(
+            vocab_size=5, adim=8, aheads=2, elayers=3, eunits=16,
+            dlayers=1, dunits=16,
+        )
+        model = TransformerASR(cfg)
+        with pytest.raises(ValueError):
+            encode_pipelined(model, {}, None, None, mesh)
+
+
 class TestTransformerStagePP:
     def test_encoder_blocks_pipelined(self):
         """Real model stages: the transformer ASR encoder blocks run as
