@@ -45,6 +45,31 @@ def _left():
     return BUDGET_S - (time.time() - T0)
 
 
+def _arm_watchdog():
+    """The budget checks run *between* measurements; a wedged tunnel can
+    hang the very first device call forever (observed: a trivial 8x8
+    matmul blocking >30 min). This timer guarantees the driver still
+    gets one parseable JSON line, then hard-exits (the RPC can't be
+    cancelled from Python)."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "fdlp_spectrogram_realtime_factor",
+            "value": None,
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": None,
+            "detail": f"TPU tunnel stalled: no measurement completed "
+                      f"within BENCH_BUDGET_S+120={BUDGET_S + 120:.0f}s",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(BUDGET_S + 120.0, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def _note(msg):
     print(f"[bench +{time.time()-T0:5.0f}s] {msg}", file=sys.stderr, flush=True)
 
@@ -60,6 +85,7 @@ def _speech_batch(B, n, srate, seed=0):
 
 
 def main():
+    watchdog = _arm_watchdog()
     import jax
 
     jax.config.update("jax_enable_x64", True)  # for the high mode
@@ -300,6 +326,7 @@ def main():
             },
         },
     }
+    watchdog.cancel()
     print(json.dumps(result))
 
 
