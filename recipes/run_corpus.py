@@ -292,11 +292,15 @@ def main(argv=None):
                 "learning_rate": "learning_rate", "lrr": "lrr",
                 "lr_tol": "lr_tol", "clip_thresh": "clip_thresh",
                 "epochs": "epochs", "batch_size": "batch_size",
-                "dropout": "dropout",
+                "dropout": "dropout", "comp_num": "comp_num",
+                "bn_dim": "bn_dim", "num_layers_dec": "num_layers_dec",
+                "expert_parallel": "expert_parallel",
             }
             for ck, fk in flags.items():
                 if ck in am:
                     argv += [f"--{fk}", str(am[ck])]
+            if am.get("data_parallel"):
+                argv.append("--data_parallel")
             train_am.main(argv)
 
     results = []
