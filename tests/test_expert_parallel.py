@@ -6,6 +6,7 @@ EP row: the reference runs CURL components serially)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from speech_recognition_tools_tpu.models.curl import (
@@ -60,6 +61,7 @@ class TestVmapExperts:
 
 
 class TestCurlEP:
+    @pytest.mark.slow
     def test_ep_layout_matches_loop_layout(self):
         K, B, T, D = 4, 2, 8, 6
         rs = np.random.RandomState(1)
@@ -134,6 +136,7 @@ class TestCurlEP:
 
 
 class TestTrainAmEP:
+    @pytest.mark.slow
     def test_train_am_expert_parallel_cli(self, tmp_path):
         """train_am --arch curl --expert_parallel 4 --data_parallel: the
         EP layout trains end-to-end, checkpoints, and the checkpoint

@@ -147,6 +147,7 @@ class TestPipelineApply:
 
 
 class TestEncodePipelined:
+    @pytest.mark.slow
     def test_matches_model_encode(self):
         """encode_pipelined on an ordinary checkpoint == model.encode
         (memory, enc_len, ctc logits), with 2 blocks per stage."""
