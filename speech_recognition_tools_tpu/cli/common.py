@@ -108,24 +108,53 @@ def load_signals(args, srate):
     return out
 
 
-def run_batched(signals, batch_fn, batch_size=32, bucket_multiple=16000):
+def run_batched(signals, batch_fn, batch_size=32, bucket_multiple=16000,
+                data_parallel=False):
     """Bucket signals by length and run the jitted featgen per bucket batch.
 
     batch_fn(padded (B, Nmax), lens (B,)) -> (feats (B, T, D), nframes (B,)).
     Returns {utt: (T_i, D)}.
+
+    data_parallel=True is the queue.pl replacement at CLI level: each
+    bucket batch is padded to a multiple of the device count (repeating
+    the last utterance; the copies' outputs are discarded) and placed
+    sharded over the 'data' axis of an all-device mesh, so one program
+    extracts on every chip — the reference fans the same work out as N
+    grid jobs over scp shards (make_FDLPspectrum_feats.sh:89-116).
     """
+    mesh = None
+    if data_parallel:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from speech_recognition_tools_tpu.parallel import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
+            bsh = NamedSharding(mesh, P("data"))
+
     order = np.argsort([len(s) for _, s in signals], kind="stable")
     signals = [signals[i] for i in order]
     feats = {}
     for i in range(0, len(signals), batch_size):
         group = signals[i : i + batch_size]
+        rows = len(group)
+        if mesh is not None:
+            dpar = mesh.shape["data"]
+            rows = ((rows + dpar - 1) // dpar) * dpar
         nmax = max(len(s) for _, s in group)
         nmax = ((nmax + bucket_multiple - 1) // bucket_multiple) * bucket_multiple
-        batch = np.zeros((len(group), nmax), np.float32)
-        lens = np.zeros(len(group), np.int32)
-        for j, (_, s) in enumerate(group):
+        batch = np.zeros((rows, nmax), np.float32)
+        lens = np.zeros(rows, np.int32)
+        for j in range(rows):
+            _, s = group[min(j, len(group) - 1)]
             batch[j, : len(s)] = s
             lens[j] = len(s)
+        if mesh is not None:
+            import jax
+
+            batch = jax.device_put(batch, bsh)
+            lens = jax.device_put(lens, bsh)
         out, nframes = batch_fn(batch, lens)
         out = np.asarray(out)
         nframes = np.asarray(nframes)

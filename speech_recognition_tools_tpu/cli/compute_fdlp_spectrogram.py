@@ -31,6 +31,10 @@ def get_parser():
     parser.add_argument("--add_noise", help="'type,snr' | clean | diff")
     parser.add_argument("--srate", type=int, default=16000)
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard each batch over all devices (one "
+                             "program replaces the reference's queue.pl "
+                             "scp-shard fan-out)")
     parser.add_argument("--precision", default="fast",
                         choices=["fast", "mixed", "high"])
     parser.add_argument("--random_jitter", action="store_true",
@@ -83,7 +87,8 @@ def main(argv=None):
     def batch_fn(batch, lens):
         return fdlp_spectrogram_batch(batch, lens, cfg, jitter_key=key)
 
-    feats = run_batched(signals, batch_fn, batch_size=args.batch_size)
+    feats = run_batched(signals, batch_fn, batch_size=args.batch_size,
+                        data_parallel=args.data_parallel)
     finish(args, feats)
     print(f"Execution Time: {time.time() - start:.3f} seconds")
 

@@ -22,6 +22,10 @@ def get_parser():
     parser.add_argument("--add_noise")
     parser.add_argument("--srate", type=int, default=16000)
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard each batch over all devices (one "
+                             "program replaces the reference's queue.pl "
+                             "scp-shard fan-out)")
     return parser
 
 
@@ -49,6 +53,7 @@ def main(argv=None):
         signals,
         lambda b, l: mel_spectrum_batch(b, l, cfg),
         batch_size=args.batch_size,
+        data_parallel=args.data_parallel,
     )
     finish(args, feats)
     print(f"Execution Time: {time.time() - start:.3f} seconds")

@@ -19,6 +19,10 @@ def get_parser():
     parser.add_argument("--kaldi_cmd", help="ignored: arks written natively")
     parser.add_argument("--srate", type=int, default=16000)
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard each batch over all devices (one "
+                             "program replaces the reference's queue.pl "
+                             "scp-shard fan-out)")
     parser.add_argument("--write_utt2num_frames", action="store_true")
     return parser
 
@@ -45,7 +49,8 @@ def main(argv=None):
     )
     signals = load_signals(args, args.srate)
     feats = run_batched(
-        signals, lambda b, l: mfcc_batch(b, l, cfg), batch_size=args.batch_size
+        signals, lambda b, l: mfcc_batch(b, l, cfg),
+        batch_size=args.batch_size, data_parallel=args.data_parallel,
     )
     finish(args, feats)
     print(f"Execution Time: {time.time() - start:.3f} seconds")

@@ -53,6 +53,28 @@ class TestFdlpCli:
         assert int(lens["utt0"]) == got["utt0"].shape[0]
 
 
+class TestDataParallelCli:
+    def test_fdlp_data_parallel_matches_single(self, tmp_path):
+        """--data_parallel (the queue.pl replacement: one sharded program
+        over all devices) must produce byte-identical arks, including
+        the pad-to-device-multiple row handling (3 utts over 8 devs)."""
+        import jax
+
+        assert jax.device_count() >= 8
+        scp, sigs = _make_wavs(tmp_path)
+        out1 = str(tmp_path / "f1")
+        out2 = str(tmp_path / "f2")
+        compute_fdlp_spectrogram.main([scp, out1, "--nfilters", "6"])
+        compute_fdlp_spectrogram.main(
+            [scp, out2, "--nfilters", "6", "--data_parallel"]
+        )
+        a = dict(read_mat_scp(out1 + ".scp"))
+        b = dict(read_mat_scp(out2 + ".scp"))
+        assert set(a) == set(b) == set(sigs)
+        for k in a:
+            np.testing.assert_allclose(b[k], a[k], rtol=2e-5, atol=2e-5)
+
+
 class TestMelCli:
     def test_end_to_end_parity(self, tmp_path):
         scp, sigs = _make_wavs(tmp_path, n_utts=2)
