@@ -24,3 +24,4 @@ from speech_recognition_tools_tpu.parallel.ep import (
     unstack_expert_params,
     vmap_experts,
 )
+from speech_recognition_tools_tpu.parallel.ring import ring_attention

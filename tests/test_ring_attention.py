@@ -1,0 +1,83 @@
+"""Ring attention (parallel/ring.py): exact forward + gradient parity
+with single-device masked attention on the virtual mesh — the
+long-context extension point SURVEY.md §5 names (the reference truncates
+to 512 frames instead)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from speech_recognition_tools_tpu.parallel.ring import NEG, ring_attention
+
+
+def _full_attention(q, k, v, lengths, causal=False, scale=None):
+    """Plain masked attention with the same mask fill (the oracle)."""
+    B, T, H, Dh = q.shape
+    if scale is None:
+        scale = 1.0 / np.sqrt(Dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    kpos = jnp.arange(T)
+    mask = (kpos[None, :] < lengths[:, None])[:, None, None, :]
+    if causal:
+        mask = mask & (kpos[None, None, None, :] <= kpos[None, None, :, None])
+    s = jnp.where(mask, s, NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def _qkv(key, B, T, H, Dh):
+    ks = jax.random.split(key, 3)
+    shape = (B, T, H, Dh)
+    return tuple(jax.random.normal(k, shape, jnp.float32) for k in ks)
+
+
+class TestRingAttention:
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_full_attention(self, causal):
+        assert jax.device_count() >= 8
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
+        B, T, H, Dh = 2, 64, 4, 8
+        q, k, v = _qkv(jax.random.key(0), B, T, H, Dh)
+        lengths = jnp.asarray([T, T - 23], jnp.int32)
+
+        ref = _full_attention(q, k, v, lengths, causal=causal)
+        got = ring_attention(q, k, v, lengths, mesh=mesh, causal=causal)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_gradients_match(self):
+        assert jax.device_count() >= 8
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("time",))
+        B, T, H, Dh = 2, 32, 2, 4
+        q, k, v = _qkv(jax.random.key(1), B, T, H, Dh)
+        lengths = jnp.asarray([T, T - 9], jnp.int32)
+        tgt = jax.random.normal(jax.random.key(2), q.shape)
+        # only valid query rows contribute (padding rows carry the same
+        # uniform-weight garbage in both implementations, but keep the
+        # loss on real rows as a caller would)
+        qmask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None, None]
+
+        def loss_ring(args):
+            out = ring_attention(*args, lengths, mesh=mesh, causal=True)
+            return jnp.sum(((out - tgt) * qmask) ** 2)
+
+        def loss_full(args):
+            out = _full_attention(*args, lengths, causal=True)
+            return jnp.sum(((out - tgt) * qmask) ** 2)
+
+        g_ring = jax.grad(loss_ring)((q, k, v))
+        g_full = jax.grad(loss_full)((q, k, v))
+        for a, b in zip(g_ring, g_full):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+            assert np.all(np.isfinite(np.asarray(a)))
+
+    def test_rejects_indivisible_time(self):
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
+        q = jnp.zeros((1, 12, 2, 4))
+        with pytest.raises(ValueError):
+            ring_attention(q, q, q, mesh=mesh)
