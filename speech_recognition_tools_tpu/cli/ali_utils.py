@@ -12,9 +12,9 @@ Native equivalents of the reference's Kaldi-glue shell scripts
     a phone_map file ('base alt1 alt2 ...' lines) and deduplicate
     pronunciations.
   * combine-lexicon — combine_dict.sh:16-30: merge several lexicon
-    files into one universal dictionary (optional uppercase
-    normalisation of later sources, first pronunciation set wins on
-    (word, phones) duplicates).
+    files into one universal dictionary (per-source uppercase
+    normalisation — the reference uppercases only the Fisher lexicon —
+    first occurrence wins on (word, phones) duplicates).
 
 The create_test_lang.sh (ARPA -> G.fst) stage is subsumed by
 `decode_wfst build-graph`, which expands the ARPA into the decoding
@@ -55,9 +55,10 @@ def get_parser():
                         help="merge lexicons into a universal dictionary")
     cl.add_argument("out_lexicon")
     cl.add_argument("in_lexicons", nargs="+")
-    cl.add_argument("--uppercase", action="store_true",
-                    help="uppercase the words of every input "
-                         "(combine_dict.sh uppercases the Fisher lexicon)")
+    cl.add_argument("--uppercase", default="",
+                    help="comma-separated 0-based indices of inputs whose "
+                         "words to uppercase (combine_dict.sh uppercases "
+                         "only the Fisher lexicon); 'all' for every input")
     return p
 
 
@@ -107,17 +108,19 @@ def simplify_lexicon(lines, phone_map):
     return out
 
 
-def combine_lexicons(lexicon_lines, uppercase=False):
+def combine_lexicons(lexicon_lines, uppercase=()):
     """lexicon_lines: list of line-lists, one per input lexicon, merged
-    in order; duplicates on (word, phones) are dropped (first wins)."""
+    in order; duplicates on (word, phones) are dropped (first wins).
+    uppercase: indices of inputs whose words are uppercased first."""
+    uppercase = set(uppercase)
     seen = set()
     out = []
-    for lines in lexicon_lines:
+    for i, lines in enumerate(lexicon_lines):
         for line in lines:
             parts = line.split()
             if not parts:
                 continue
-            word = parts[0].upper() if uppercase else parts[0]
+            word = parts[0].upper() if i in uppercase else parts[0]
             key = (word, tuple(parts[1:]))
             if key in seen:
                 continue
@@ -146,7 +149,13 @@ def main(argv=None):
         for path in args.in_lexicons:
             with open(path) as f:
                 all_lines.append(f.read().splitlines())
-        out = combine_lexicons(all_lines, uppercase=args.uppercase)
+        if args.uppercase == "all":
+            up = range(len(all_lines))
+        elif args.uppercase:
+            up = [int(x) for x in args.uppercase.split(",")]
+        else:
+            up = ()
+        out = combine_lexicons(all_lines, uppercase=up)
         with open(args.out_lexicon, "w") as f:
             f.write("\n".join(out) + "\n")
         print(f"combined {sum(map(len, all_lines))} -> {len(out)} entries")

@@ -147,12 +147,13 @@ def run_batched(signals, batch_fn, batch_size=32, bucket_multiple=16000,
         batch = np.zeros((rows, nmax), np.float32)
         lens = np.zeros(rows, np.int32)
         for j in range(rows):
-            _, s = group[min(j, len(group) - 1)]
+            # pad rows (discarded below) copy the bucket's SHORTEST
+            # utterance — group is length-sorted, so group[0] minimises
+            # the wasted frames
+            _, s = group[j if j < len(group) else 0]
             batch[j, : len(s)] = s
             lens[j] = len(s)
         if mesh is not None:
-            import jax
-
             batch = jax.device_put(batch, bsh)
             lens = jax.device_put(lens, bsh)
         out, nframes = batch_fn(batch, lens)

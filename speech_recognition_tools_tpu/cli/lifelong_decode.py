@@ -30,9 +30,10 @@ def get_parser():
                         "classifier outputs (the reference's postpm "
                         "variants build the VAE on num_classes inputs, "
                         "compute_advanced_likelihood_postpm.py:93,145)")
-    p.add_argument("--beta", type=float, default=300.0,
-                   help="dp task-prior sharpening (reference: 300 powerset, "
-                        "500 incremental)")
+    p.add_argument("--beta", type=float, default=None,
+                   help="dp task-prior sharpening; defaults to the "
+                        "reference's per-mode constant (300 powerset / "
+                        "500 postpm and incremental)")
     p.add_argument("--batch_size", type=int, default=8)
     return p
 
@@ -91,6 +92,11 @@ def main(argv=None):
     fixed_tp = None
     if args.task_prior not in ("dp", "mm", "lowent"):
         fixed_tp = [float(x) for x in args.task_prior.split(",")]
+    if args.beta is None:
+        # the reference hardcodes exp(300*px) for powerset and
+        # exp(500*px) for postpm/incremental
+        # (compute_advanced_likelihood.py:161 vs _postpm.py:161)
+        args.beta = 500.0 if args.fusion in ("postpm", "incremental") else 300.0
 
     out = {}
     for batch in iter_egs_batches(args.egs_dir, args.batch_size, drop_labels=True):

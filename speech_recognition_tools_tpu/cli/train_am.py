@@ -653,8 +653,10 @@ def main(argv=None):
         state.params = payload["params"]
         state.opt_state = payload["opt_state"]
         if shard_ep_params is not None:
-            # checkpoints restore as host arrays; re-place the expert axis
+            # checkpoints restore as host arrays; re-place the expert
+            # axis on params AND the adam moments (which mirror them)
             state.params = shard_ep_params(state.params)
+            state.opt_state = shard_ep_params(state.opt_state)
         state.best_params = state.params
         state.epoch = int(meta.get("extra", {}).get("epoch", 0))
         state.lr = float(meta.get("extra", {}).get("lr", args.learning_rate))

@@ -96,8 +96,8 @@ class FdlpConfig:
     # ('scan:unroll=N' unrolls the scans N-fold); 'fused' = single
     # Pallas kernel (ops/pallas_lpc, f32/TPU only); 'blocked[:B]' =
     # blocked Schur/Szego Levinson (ops/levinson, real lags) + unrolled
-    # cepstrum scan; 'auto' = fused on the TPU fast path, blocked on the
-    # unsharded f64 path, unrolled scan on the sharded f64 path, scan
+    # cepstrum scan; 'auto' = fused on the TPU fast path, blocked on
+    # every f64 path (sharded too — bit-exact under GSPMD), scan
     # elsewhere.
     lpc_backend: str = "auto"
 

@@ -125,10 +125,19 @@ def make_adapt_step(
 
         if cfg.mm_weight:
             # AEPC variant: subtract the differentiable M-measure of the
-            # AM posteriors (masked to valid frames) so adaptation also
-            # pushes posteriors apart across time deltas
+            # AM posteriors so adaptation also pushes posteriors apart
+            # across time deltas. Formula per delta follows the
+            # reference's mmeasure_loss (nnet_adapt_feedforward_AEPC.py
+            # :39-56) exactly: frame-mean symmetric KL *plus* its
+            # element-mean KLDivLoss(X[:-d], X[d:]) term — torch's
+            # KLDivLoss(input, target) = mean(target*(log target -
+            # input)) with the reference (quirkily) passing raw probs as
+            # input. Deliberate deviation: deltas are taken per
+            # utterance under the length mask, where the reference
+            # concatenates batch frames and lets deltas cross utterance
+            # boundaries.
             p = jnp.maximum(jax.nn.softmax(logits, axis=-1), 1e-8)
-            T = p.shape[1]
+            T, C = p.shape[1], p.shape[2]
             mm = 0.0
             for d in cfg.mm_deltas:
                 if d >= T:
@@ -137,12 +146,15 @@ def make_adapt_step(
                 valid = (
                     jnp.arange(T - d)[None, :] + d < lengths[:, None]
                 ).astype(p.dtype)
+                nvalid = jnp.maximum(jnp.sum(valid), 1.0)
                 sym = jnp.sum(
                     x * (jnp.log(x) - jnp.log(y))
                     + y * (jnp.log(y) - jnp.log(x)),
                     axis=-1,
                 )
-                mm += jnp.sum(sym * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+                kld = jnp.sum(x * (jnp.log(x) - y), axis=-1)
+                mm += (jnp.sum(sym * valid) / nvalid
+                       + jnp.sum(kld * valid) / (nvalid * C))
             loss = loss - cfg.mm_weight * mm / len(cfg.mm_deltas)
         if cfg.l2_source and source_params is not None:
             sq = jax.tree.map(lambda a, b: jnp.sum((a - b) ** 2), params, source_params)

@@ -58,6 +58,10 @@ def ring_attention(
         scale = 1.0 / float(np.sqrt(Dh))
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
+    # dtype-safe finite fill: -1e30 cast to float16 would overflow to
+    # -inf and make fully-masked rows NaN; clamp into the dtype's range
+    neg = np.maximum(NEG, float(np.finfo(np.dtype(q.dtype)).min) * 0.5)
+    neg = jnp.asarray(neg, q.dtype)
 
     spec = P(None, axis, None, None)
 
@@ -65,7 +69,7 @@ def ring_attention(
         idx = jax.lax.axis_index(axis)
         Tl = q.shape[1]
         qpos = idx * Tl + jnp.arange(Tl)  # (Tl,)
-        m = jnp.full((B, H, Tl), NEG, q.dtype)
+        m = jnp.full((B, H, Tl), neg, q.dtype)
         denom = jnp.zeros((B, H, Tl), q.dtype)
         acc = jnp.zeros((B, H, Tl, Dh), q.dtype)
         perm = [(i, (i + 1) % S) for i in range(S)]
@@ -80,7 +84,7 @@ def ring_attention(
             if causal:
                 mask = mask & (kpos[None, None, None, :]
                                <= qpos[None, None, :, None])
-            s = jnp.where(mask, s, NEG)
+            s = jnp.where(mask, s, neg)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1))
             p = jnp.exp(s - m_new[..., None])
             corr = jnp.exp(m - m_new)

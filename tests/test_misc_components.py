@@ -394,19 +394,24 @@ class TestAliUtils:
         assert lines == ["go g ow", "stop s t aa p"]
 
     def test_combine_lexicon(self, tmp_path):
-        """combine_dict.sh analogue: merge lexicons, uppercase later
-        sources, dedup (word, phones) keeping the first occurrence."""
+        """combine_dict.sh analogue: merge lexicons, uppercasing only the
+        named sources (the reference uppercases the Fisher lexicon
+        alone), dedup (word, phones) keeping the first occurrence."""
         from speech_recognition_tools_tpu.cli import ali_utils
 
-        (tmp_path / "wsj.txt").write_text("GO g ow\nSTOP s t aa p\n")
+        # first source deliberately mixed-case: must pass through as-is
+        (tmp_path / "wsj.txt").write_text(
+            "GO g ow\nSTOP s t aa p\nMcDonald's m ax k\n"
+        )
         (tmp_path / "fish.txt").write_text("go g ow\nyes y eh s\n")
         ali_utils.main([
             "combine-lexicon", str(tmp_path / "uni.txt"),
             str(tmp_path / "wsj.txt"), str(tmp_path / "fish.txt"),
-            "--uppercase",
+            "--uppercase", "1",
         ])
         lines = (tmp_path / "uni.txt").read_text().splitlines()
-        assert lines == ["GO g ow", "STOP s t aa p", "YES y eh s"]
+        assert lines == ["GO g ow", "STOP s t aa p", "McDonald's m ax k",
+                         "YES y eh s"]
 
     def test_convert_rejects_unmapped(self, tmp_path):
         import pickle

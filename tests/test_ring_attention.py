@@ -76,6 +76,29 @@ class TestRingAttention:
             )
             assert np.all(np.isfinite(np.asarray(a)))
 
+    def test_float16_padding_rows_stay_finite(self):
+        """-1e30 overflows to -inf when cast to f16; the dtype-clamped
+        fill must keep fully-masked padding rows (and their grads)
+        finite."""
+        assert jax.device_count() >= 8
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("time",))
+        B, T, H, Dh = 1, 16, 2, 4
+        q, k, v = (t.astype(jnp.float16)
+                   for t in _qkv(jax.random.key(3), B, T, H, Dh))
+        lengths = jnp.asarray([4], jnp.int32)  # rows 4..15 fully masked
+
+        out = ring_attention(q, k, v, lengths, mesh=mesh)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+        def loss(args):
+            o = ring_attention(*args, lengths, mesh=mesh)
+            qmask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None, None]
+            return jnp.sum(((o.astype(jnp.float32)) * qmask) ** 2)
+
+        g = jax.grad(loss)((q, k, v))
+        for a in g:
+            assert np.all(np.isfinite(np.asarray(a)))
+
     def test_rejects_indivisible_time(self):
         mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
         q = jnp.zeros((1, 12, 2, 4))
