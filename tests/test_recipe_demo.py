@@ -13,6 +13,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.slow
 def test_demo_recipe_stages(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # a JAX_PLATFORMS=cpu child can still hang on the axon plugin's
+    # tunnel initialisation when the tunnel is wedged (observed
+    # 2026-08-17); drop the plugin env entirely like
+    # __graft_entry__._reexec_virtual does
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "recipes", "demo", "run.py"),
          "--expdir", str(tmp_path), "--stage", "0", "--stop_stage", "2",

@@ -122,6 +122,12 @@ def test_reverb_recipe_end_to_end(tmp_path):
     import json
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # a JAX_PLATFORMS=cpu child can still hang on the axon plugin's
+    # tunnel initialisation when the tunnel is wedged (observed
+    # 2026-08-17); drop the plugin env entirely like
+    # __graft_entry__._reexec_virtual does
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "recipes", "reverb_demo", "run.py"),
          "--expdir", str(tmp_path / "exp"), "--num_utts", "12",
