@@ -60,6 +60,11 @@ def get_parser():
                         "rescoring then runs exactly on the lattice and "
                         "--ref_text also reports oracle WER")
     d.add_argument("--lattice_beam", type=float, default=8.0)
+    d.add_argument("--consensus", action="store_true",
+                   help="with --lattice_dir: decode each utterance by "
+                        "confusion-network consensus over its own lattice "
+                        "(the single-system MBR/sausage decode) instead "
+                        "of the best path")
 
     c = sub.add_parser(
         "combine",
@@ -181,6 +186,14 @@ def _decode(args):
                 id2w, old_lm, new_scorer=new_scorer,
                 new_weight=args.rescore_weight,
             )
+        if args.consensus:
+            from speech_recognition_tools_tpu.decode.lattice import (
+                cn_combine,
+            )
+
+            # single-lattice confusion-network consensus = the MBR-style
+            # expected-WER decode lattices enable beyond Viterbi
+            return cn_combine([wl]), lat.best_path()[1]
         return lat.best_path()
 
     def one(item):

@@ -409,6 +409,21 @@ class TestLatticeCli:
             == sorted(open(tmp_path / "hyp_plain.txt").read().splitlines())
         )
 
+        # single-system MBR: --consensus decodes via the lattice's own
+        # confusion network; on this easy task it must match the truth
+        decode_wfst.main([
+            "decode", str(gdir), str(tmp_path / "llA.ark"),
+            str(tmp_path / "hyp_cons.txt"),
+            "--acoustic_scale", "1.0", "--beam", "100",
+            "--lattice_dir", str(tmp_path / "latsC"),
+            "--lattice_beam", "10", "--consensus",
+        ])
+        cons = dict(
+            line.split(maxsplit=1)
+            for line in open(tmp_path / "hyp_cons.txt").read().splitlines()
+        )
+        assert cons["u0"].strip() == "go stop"
+
         decode_wfst.main([
             "combine", str(tmp_path / "fused.txt"),
             "--lattice_dirs",
