@@ -243,6 +243,38 @@ class TestFdlpSpectrogram:
             )
             assert err < 1e-4, (precision, err)
 
+    @pytest.mark.slow
+    def test_high_precision_real_reference_wavs(self):
+        """Pin the README claim 'max 5.4e-7 across all 70 reference
+        wavs' on a sample of real speech: high mode vs the reference's
+        own oracle on P.862 conformance wavs (8 kHz), <1e-5 each."""
+        import glob
+
+        from scipy.io.wavfile import read as wav_read
+
+        wavs = sorted(
+            glob.glob(
+                "/root/reference/e2e/reverb/local/PESQ_sources/P862/"
+                "Software/Conform/u_a*.wav"
+            )
+        )[:4]
+        if not wavs:
+            pytest.skip("reference conformance wavs not mounted")
+        for path in wavs:
+            sr, sig = wav_read(path)
+            assert sr == 8000
+            sig = sig.astype(np.float64)
+            n = len(sig)
+            oracle = oracles.oracle_fdlp(sig, srate=8000)
+            feats, nout = fdlp_spectrogram_batch(
+                sig[None], np.asarray([n]),
+                FdlpConfig(srate=8000, precision="high"),
+                dtype=jnp.float32,
+            )
+            T = int(nout[0])
+            err = np.max(np.abs(np.asarray(feats[0, :T], np.float64) - oracle))
+            assert err < 1e-5, (path, err)
+
     def test_fast_f32_sanity(self):
         """Pure-f32 fast mode: loose bound (Levinson conditioning amplifies
         rounding on narrowband channels; fine for feeding a network)."""
