@@ -76,6 +76,8 @@ def _load(model_dir, ckpt):
         eunits=cfg_d["eunits"], dlayers=cfg_d["dlayers"],
         dunits=cfg_d["dunits"], dropout=0.0,
         mtlalpha=cfg_d["mtlalpha"], lsm_weight=cfg_d["lsm_weight"],
+        encoder_type=cfg_d.get("encoder_type", "transformer"),
+        conv_kernel=cfg_d.get("conv_kernel", 15),
     )
     model = TransformerASR(cfg)
     feats = jnp.zeros((1, 16, 8), jnp.float32)

@@ -26,6 +26,12 @@ def get_parser():
     p.add_argument("--mtlalpha", type=float, default=0.3)
     p.add_argument("--lsm_weight", type=float, default=0.1)
     p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--encoder_type", default="transformer",
+                   choices=["transformer", "conformer"],
+                   help="encoder block family (conformer = macaron FFNs "
+                        "+ MHSA + depthwise-conv module)")
+    p.add_argument("--conv_kernel", type=int, default=15,
+                   help="(conformer) depthwise conv width")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--warmup_steps", type=int, default=25000)
@@ -128,7 +134,8 @@ def main(argv=None):
         vocab_size=len(vocab), adim=args.adim, aheads=args.aheads,
         elayers=args.elayers, eunits=args.eunits, dlayers=args.dlayers,
         dunits=args.dunits, dropout=args.dropout, mtlalpha=args.mtlalpha,
-        lsm_weight=args.lsm_weight,
+        lsm_weight=args.lsm_weight, encoder_type=args.encoder_type,
+        conv_kernel=args.conv_kernel,
     )
     model = TransformerASR(cfg)
 

@@ -36,6 +36,12 @@ class TransformerASRConfig:
     dropout: float = 0.1
     mtlalpha: float = 0.3  # CTC weight in the joint loss
     lsm_weight: float = 0.1
+    # 'transformer' (the reference's ESPnet encoder) or 'conformer'
+    # (beyond-reference: macaron FFN halves + MHSA + depthwise-conv
+    # module; LayerNorm replaces BatchNorm in the conv module so the
+    # model stays stateless under jit)
+    encoder_type: str = "transformer"
+    conv_kernel: int = 15  # conformer depthwise conv width
 
     @property
     def blank_id(self):
@@ -101,6 +107,54 @@ class _MHABlock(nn.Module):
         return x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
 
 
+class _ConformerBlock(nn.Module):
+    """Conformer encoder block (Gulati et al. 2020): half-weighted
+    macaron FFNs around MHSA + a depthwise-conv module. Differences from
+    the paper, chosen for stateless jit on TPU: LayerNorm instead of
+    BatchNorm inside the conv module, and the encoder's absolute
+    sinusoidal positions instead of relative position encoding."""
+
+    cfg: TransformerASRConfig
+    ff_dim: int
+
+    def _ffn(self, x, deterministic, name):
+        c = self.cfg
+        h = nn.LayerNorm(name=f"{name}_norm")(x)
+        h = nn.Dense(self.ff_dim, name=f"{name}_in")(h)
+        h = nn.swish(h)
+        h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(c.adim, name=f"{name}_out")(h)
+        return nn.Dropout(c.dropout)(h, deterministic=deterministic)
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        c = self.cfg
+        x = x + 0.5 * self._ffn(x, deterministic, "ffn1")
+        h = nn.LayerNorm(name="mhsa_norm")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=c.aheads, qkv_features=c.adim,
+            dropout_rate=0.0, deterministic=deterministic,
+            name="mhsa",
+        )(h, h, mask=mask[:, None, None, :])
+        x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        # conv module; padded frames are zeroed first so the depthwise
+        # conv cannot leak them into valid positions
+        h = nn.LayerNorm(name="conv_norm")(x)
+        h = h * mask[..., None].astype(h.dtype)
+        h = nn.Dense(2 * c.adim, name="conv_pointwise_in")(h)
+        h = nn.glu(h, axis=-1)
+        h = nn.Conv(
+            c.adim, (c.conv_kernel,), feature_group_count=c.adim,
+            padding="SAME", name="conv_depthwise",
+        )(h)
+        h = nn.LayerNorm(name="conv_mid_norm")(h)
+        h = nn.swish(h)
+        h = nn.Dense(c.adim, name="conv_pointwise_out")(h)
+        x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        x = x + 0.5 * self._ffn(x, deterministic, "ffn2")
+        return nn.LayerNorm(name="final_norm")(x)
+
+
 class Conv2dSubsampling(nn.Module):
     """ESPnet-style conv2d input layer: two stride-2 convs (4x time
     reduction) + linear to adim + positional encoding."""
@@ -130,9 +184,14 @@ class TransformerEncoder(nn.Module):
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
         mask = jnp.arange(h.shape[1])[None, :] < out_len[:, None]
         for i in range(c.elayers):
-            h = _MHABlock(c, c.eunits, name=f"layer_{i}")(
-                h, mask, deterministic=deterministic
-            )
+            if c.encoder_type == "conformer":
+                h = _ConformerBlock(c, c.eunits, name=f"layer_{i}")(
+                    h, mask, deterministic=deterministic
+                )
+            else:
+                h = _MHABlock(c, c.eunits, name=f"layer_{i}")(
+                    h, mask, deterministic=deterministic
+                )
         return nn.LayerNorm(name="after_norm")(h), out_len
 
 
@@ -243,6 +302,11 @@ def encode_pipelined(model, params, feats, lengths, mesh, *,
     from speech_recognition_tools_tpu.parallel.tp import shard_params
 
     c = model.cfg
+    if c.encoder_type != "transformer":
+        raise ValueError(
+            "encode_pipelined stages are _MHABlock-shaped; "
+            f"encoder_type={c.encoder_type!r} is not supported yet"
+        )
     S = mesh.shape[axis]
     if c.elayers % S:
         raise ValueError(f"elayers {c.elayers} not divisible by {S} stages")

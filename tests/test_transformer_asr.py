@@ -322,3 +322,87 @@ class TestIncrementalDecode:
                 np.asarray(step[:, 0]), np.asarray(full[:, t]),
                 rtol=2e-4, atol=2e-4,
             )
+
+
+class TestConformer:
+    """encoder_type='conformer' (beyond-reference): macaron FFN halves +
+    MHSA + depthwise-conv module, LayerNorm-for-BatchNorm so the model
+    stays stateless (models/transformer_asr.py::_ConformerBlock)."""
+
+    CCFG = TransformerASRConfig(
+        vocab_size=12, adim=32, aheads=2, elayers=2, eunits=64,
+        dlayers=2, dunits=64, dropout=0.0, encoder_type="conformer",
+        conv_kernel=7,
+    )
+
+    @pytest.fixture(scope="class")
+    def conformer(self):
+        model = TransformerASR(self.CCFG)
+        b = _batch()
+        params = model.init(
+            {"params": jax.random.key(3)},
+            b["feats"], b["lengths"], b["tokens"],
+        )
+        return model, params
+
+    def test_loss_grads_and_learning(self, conformer):
+        model, params = conformer
+        batch = _batch()
+        loss0, _ = asr_loss(model, params, batch, jax.random.key(1),
+                            self.CCFG, train=False)
+        assert np.isfinite(float(loss0))
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt):
+            (l, _), g = jax.value_and_grad(
+                lambda p: asr_loss(model, p, batch, jax.random.key(0),
+                                   self.CCFG, train=False), has_aux=True
+            )(params)
+            u, opt = tx.update(g, opt)
+            return optax.apply_updates(params, u), opt, l
+
+        losses = []
+        for _ in range(40):
+            params, opt, l = step(params, opt)
+            losses.append(float(l))
+        assert losses[-1] < losses[0] * 0.8, (losses[0], losses[-1])
+
+    def test_padding_invariance(self, conformer):
+        """The conv module zeroes padded frames before the depthwise
+        conv: extending an utterance with (zero) padding — what
+        run_batched / iter_egs_batches produce — must not change the
+        valid encoder outputs. (Nonzero pad fill would leak through the
+        unmasked Conv2dSubsampling for the transformer encoder too.)"""
+        model, params = conformer
+        rs = np.random.RandomState(4)
+        n = 29
+        x = rs.randn(1, n, D).astype(np.float32)
+        xpad = np.concatenate(
+            [x, np.zeros((1, 16, D), np.float32)], axis=1
+        )
+        m1, l1, _ = model.apply(
+            params, jnp.asarray(x), jnp.asarray([n]),
+            method=model.encode,
+        )
+        m2, l2, _ = model.apply(
+            params, jnp.asarray(xpad), jnp.asarray([n]),
+            method=model.encode,
+        )
+        Tv = int(l1[0])
+        assert int(l2[0]) == Tv
+        np.testing.assert_allclose(
+            np.asarray(m2[0, :Tv]), np.asarray(m1[0, :Tv]),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_beam_search_decodes(self, conformer):
+        model, params = conformer
+        b = _batch()
+        seq = beam_search(
+            model, params, b["feats"][:1], b["lengths"][:1], self.CCFG,
+            beam_size=3, max_len=8,
+        )
+        assert isinstance(seq, list)
+        assert all(0 <= t < self.CCFG.vocab_size for t in seq)
