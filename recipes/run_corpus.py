@@ -271,7 +271,8 @@ def main(argv=None):
             for k in ("adim", "aheads", "elayers", "eunits", "dlayers",
                       "dunits", "mtlalpha", "lsm_weight", "dropout",
                       "warmup_steps", "transformer_lr", "grad_clip",
-                      "epochs", "batch_size", "average_last"):
+                      "epochs", "batch_size", "average_last",
+                      "encoder_type", "conv_kernel"):
                 if k in am:
                     argv += [f"--{k}", str(am[k])]
             if am.get("specaug"):
