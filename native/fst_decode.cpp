@@ -582,7 +582,13 @@ void* fst_decode_lattice(void* h, const float* loglikes, int32_t T,
   // were relaxed in creation order) until fixpoint.
   std::vector<float> bwd(n_tok, kInf);
   for (auto& p : finals) bwd[p.first] = p.second;
-  for (int sweep = 0; sweep < 100; ++sweep) {
+  bool converged = false;
+  // near-topological order converges in a few sweeps; deep misordered
+  // intra-frame epsilon chains (emit_eps_links iterates a hash map) can
+  // need more. Failing OPEN on non-convergence (silently over-pruned
+  // lattices) is worse than failing loudly, so bail to the caller's
+  // warn-and-continue path instead.
+  for (int sweep = 0; sweep < 1000; ++sweep) {
     bool changed = false;
     for (auto it = links.rbegin(); it != links.rend(); ++it) {
       if (bwd[it->to] == kInf) continue;
@@ -592,8 +598,9 @@ void* fst_decode_lattice(void* h, const float* loglikes, int32_t T,
         changed = true;
       }
     }
-    if (!changed) break;
+    if (!changed) { converged = true; break; }
   }
+  if (!converged) return nullptr;
 
   float best = kInf;
   for (int32_t i = 0; i < n_tok; ++i)

@@ -205,8 +205,17 @@ def main(argv=None):
         if egs_cfg.get("cmvn", "global") == "global":
             tr = dict(read_mat_scp(feats_scp(args.train_set)))
             allf = np.concatenate(list(tr.values()), axis=0)
-            cmvn = (np.mean(allf, axis=0), np.std(allf, axis=0))
-        context = egs_cfg.get("left_context") or egs_cfg.get("context")
+            std = np.std(allf, axis=0)
+            # constant dims (degenerate/tiny corpora) must not divide by 0
+            cmvn = (np.mean(allf, axis=0), np.where(std == 0, 1.0, std))
+        left = egs_cfg.get("left_context")
+        right = egs_cfg.get("right_context")
+        if left is not None and right is not None and left != right:
+            raise ValueError(
+                f"asymmetric splice context (left {left} / right {right}) "
+                "is not supported by build_egs; use equal values"
+            )
+        context = left if left is not None else egs_cfg.get("context")
         for name in sets:
             feats = dict(read_mat_scp(feats_scp(name)))
             if egs_cfg.get("cmvn") == "per_utt":

@@ -172,7 +172,10 @@ def _decode(args):
         write_lattice(
             wl, os.path.join(args.lattice_dir, f"{key}.lat.gz")
         )
-        lattices[key] = wl
+        if args.ref_text:
+            # only oracle-WER needs the lattice after it is on disk;
+            # keep decode memory flat otherwise
+            lattices[key] = wl
         if old_lm is not None:
             # exact lattice rescoring (every path, not an N-best cut)
             new_scorer = None
@@ -215,10 +218,12 @@ def _decode(args):
                     ll, acoustic_scale=args.acoustic_scale,
                     beam=args.beam, max_active=args.max_active,
                 )
-        except RuntimeError as e:
+        except (RuntimeError, ValueError) as e:
             # Kaldi's latgen warns and moves on when an utterance falls off
-            # the beam; aborting the whole run on one hard utterance would
-            # lose every other hypothesis.
+            # the beam (RuntimeError from the C++ core); lattice rescoring
+            # can also prune away every path (ValueError). Aborting the
+            # whole run on one hard utterance would lose every other
+            # hypothesis.
             print(f"WARNING: {key}: decode failed ({e}); "
                   "emitting empty hypothesis")
             return key, "", float("inf")
@@ -262,7 +267,10 @@ def _decode(args):
             for k, lat in lattices.items():
                 if k not in refs:
                     continue
-                ref_ids = [w2i[w] for w in refs[k] if w in w2i]
+                # OOV reference words map to -1: never matched by any
+                # lattice word, so they count as errors (Kaldi
+                # lattice-oracle semantics) instead of being dropped
+                ref_ids = [w2i.get(w, -1) for w in refs[k]]
                 e, n, _ = lat.oracle_wer(ref_ids)
                 oerr += e
                 otot += n
@@ -288,10 +296,11 @@ def _combine(args):
         for line in f:
             w, i = line.split()
             id2w[int(i)] = w
-    keys = sorted(
+    keys = sorted({
         os.path.basename(p)[: -len(".lat.gz")]
-        for p in glob.glob(os.path.join(dirs[0], "*.lat.gz"))
-    )
+        for d in dirs
+        for p in glob.glob(os.path.join(d, "*.lat.gz"))
+    })
     hyps = {}
     with open(args.out, "w") as out:
         for k in keys:

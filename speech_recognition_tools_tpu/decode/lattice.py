@@ -146,8 +146,16 @@ class Lattice:
             raise ValueError("no path to a final node")
 
         results = []
+        emitted = set()
         seen_end = {}
-        # heap entries: (est_total, cost_so_far, node, words)
+        # heap entries: (est_total, cost_so_far, node, words); node -1 is
+        # the virtual end state — stopping at a final is an explicit
+        # transition of cost final_cost, NOT an immediate emission.
+        # (Emitting on first completion is wrong: at a final node u,
+        # est = cost + bwd[u] can be SMALLER than cost + fc_u when the
+        # cheapest continuation runs through another final, so a later
+        # pop may complete the same word sequence cheaper. End entries
+        # have est == true total, so popping one is provably minimal.)
         heap = [(bwd[0], 0.0, 0, ())]
         best_map = {(0, ()): 0.0}
         limit = bwd[0] + beam_mult
@@ -155,19 +163,19 @@ class Lattice:
             est, cost, u, words = heapq.heappop(heap)
             if est > limit:
                 break
+            if u == -1:
+                if words not in emitted:
+                    emitted.add(words)
+                    results.append((list(words), cost))
+                continue
             if best_map.get((u, words), np.inf) < cost - 1e-9:
                 continue  # superseded
             fc = self.finals.get(u)
             if fc is not None:
                 total = cost + fc
-                if words not in seen_end or total < seen_end[words]:
-                    # final states are closed: the heap pops in est order,
-                    # so the first completion of a word sequence is best
-                    if words not in seen_end:
-                        results.append((list(words), total))
-                    seen_end[words] = min(
-                        seen_end.get(words, np.inf), total
-                    )
+                if total < seen_end.get(words, np.inf) - 1e-9:
+                    seen_end[words] = total
+                    heapq.heappush(heap, (total, total, -1, words))
             for li in out[u]:
                 v = int(self.link_to[li])
                 nw = words + ((int(self.link_olabel[li]),)

@@ -437,3 +437,45 @@ class TestLatticeCli:
         )
         assert set(fused) == set(truth)
         assert fused["u0"].strip() == "go stop"
+
+
+class TestNbestMinimalCompletion:
+    def test_cheaper_late_completion_wins(self):
+        """Regression: a word sequence completed first at an expensive
+        final (fc=5) and later, via an eps link (0.1), at a free final
+        must be returned with the cheaper total — emitting on first
+        completion recorded the stale 15.0 instead of 10.1."""
+        from speech_recognition_tools_tpu.decode.lattice import Lattice
+
+        # nodes: 0 start -> 1 (word 7, cost 10) = final A (fc 5)
+        #        1 -eps 0.1-> 2 = final B (fc 0)
+        lat = Lattice(
+            frames=np.array([0, 1, 1], np.int32),
+            link_from=np.array([0, 1], np.int32),
+            link_to=np.array([1, 2], np.int32),
+            link_olabel=np.array([7, 0], np.int32),
+            link_graph=np.array([10.0, 0.1], np.float32),
+            link_ac=np.array([0.0, 0.0], np.float32),
+            finals={1: 5.0, 2: 0.0},
+        )
+        res = lat.nbest(4)
+        assert res[0][0] == [7]
+        assert abs(res[0][1] - 10.1) < 1e-6
+        # one entry per distinct word sequence
+        assert len(res) == 1
+        # best_path agrees
+        ids, cost = lat.best_path()
+        assert ids == [7] and abs(cost - 10.1) < 1e-5
+
+    def test_costs_nondecreasing(self, graph):
+        """nbest results must come out best-first with true minimal
+        costs (pop order of end entries)."""
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        rs = np.random.RandomState(3)
+        ll = _loglikes_for(["go", "stop"], g, noise=2.0, rs=rs)
+        lat = decode_lattice(dec, ll, acoustic_scale=1.0, beam=1e9,
+                             lattice_beam=50.0).word_lattice()
+        res = lat.nbest(8)
+        costs = [c for _, c in res]
+        assert costs == sorted(costs)
