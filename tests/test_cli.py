@@ -54,6 +54,7 @@ class TestFdlpCli:
 
 
 class TestDataParallelCli:
+    @pytest.mark.slow
     def test_fdlp_data_parallel_matches_single(self, tmp_path):
         """--data_parallel (the queue.pl replacement: one sharded program
         over all devices) must produce byte-identical arks, including

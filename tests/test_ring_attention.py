@@ -34,7 +34,10 @@ def _qkv(key, B, T, H, Dh):
 
 
 class TestRingAttention:
-    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize(
+        "causal",
+        [False, pytest.param(True, marks=pytest.mark.slow)],
+    )
     def test_matches_full_attention(self, causal):
         assert jax.device_count() >= 8
         mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
@@ -48,6 +51,7 @@ class TestRingAttention:
             np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         assert jax.device_count() >= 8
         mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("time",))
@@ -76,6 +80,7 @@ class TestRingAttention:
             )
             assert np.all(np.isfinite(np.asarray(a)))
 
+    @pytest.mark.slow
     def test_float16_padding_rows_stay_finite(self):
         """-1e30 overflows to -inf when cast to f16; the dtype-clamped
         fill must keep fully-masked padding rows (and their grads)

@@ -345,6 +345,7 @@ class TestConformer:
         )
         return model, params
 
+    @pytest.mark.slow
     def test_loss_grads_and_learning(self, conformer):
         model, params = conformer
         batch = _batch()
@@ -397,6 +398,7 @@ class TestConformer:
             rtol=1e-4, atol=1e-4,
         )
 
+    @pytest.mark.slow
     def test_beam_search_decodes(self, conformer):
         model, params = conformer
         b = _batch()
