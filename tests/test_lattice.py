@@ -202,6 +202,22 @@ class TestOracle:
         assert oerr == 0
         assert ohyp == [w2i[w] for w in truth]
 
+    def test_oracle_counts_oov_as_error(self, graph):
+        """OOV reference words (mapped to -1, the decode CLI convention)
+        must count as guaranteed errors, not be dropped — Kaldi
+        lattice-oracle semantics."""
+        g, path, _ = graph
+        dec = WfstDecoder(path)
+        w2i = {w: i for i, w in g.id_to_word().items()}
+        truth = ["go", "stop"]
+        ll = _loglikes_for(truth, g, noise=0.2)
+        lat = decode_lattice(dec, ll, acoustic_scale=1.0, beam=1e9,
+                             lattice_beam=10.0)
+        ref = [w2i["go"], -1, w2i["stop"]]  # middle word is OOV
+        oerr, olen, _ = lat.oracle_wer(ref)
+        assert olen == 3
+        assert oerr == 1  # exactly the unmatched OOV
+
 
 class TestExactRescoring:
     def test_same_lm_is_identity(self, graph):
