@@ -11,9 +11,22 @@ mode. `detail` reports:
   * in-process A/B ratios (high/fast, scan/fused-kernel) — immune to
     the shared tunnel's between-process variance and therefore the
     numbers to watch for regressions across rounds,
+  * analytic roofline (`mfu`): FLOPs + HBM bytes per batch for the fast
+    and high modes, and the achieved fraction of chip peak,
   * one line per BASELINE.json workload family: melspec batch,
     noise-augmented FDLP, the 8ch mask->GEV->FDLP chain, and real +
     complex M-vectors.
+
+OUTAGE RESILIENCE (round 4; the round-3 capture was nulled by a >12 h
+tunnel wedge): before importing jax in-process, the tunnel is probed in
+a timeout-guarded subprocess and re-probed with backoff across the
+budget window. Every completed measurement is persisted immediately to
+.cache/bench_partial.json, and the watchdog emits the best partial
+result instead of a bare null. If the tunnel never answers, the output
+falls back to (a) a mid-round hardware capture persisted by
+.cache/tunnel_watch.sh to .cache/bench_last_good.json if one exists,
+else (b) a small CPU-mesh A/B chain (high/fast ratio evidence only),
+with the fallback clearly labelled in `detail.capture`.
 
 MEASUREMENT CAVEAT: the chip is reached through a shared tunnel whose
 between-process variance is ~±40% (NOTES.md); every absolute real-time
@@ -29,6 +42,7 @@ batch; vs_baseline = value / 1000 (the BASELINE.json target).
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -39,29 +53,89 @@ import numpy as np
 # once the budget is spent (their detail fields read "skipped")
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 T0 = time.time()
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_PARTIAL_PATH = os.path.join(_REPO, ".cache", "bench_partial.json")
+_LAST_GOOD_PATH = os.path.join(_REPO, ".cache", "bench_last_good.json")
+
+# measurements completed so far — the watchdog and the fallback path
+# both read this, so a mid-run wedge still yields every number captured
+# before it
+PARTIAL = {}
+
+
+def _persist_partial():
+    try:
+        os.makedirs(os.path.dirname(_PARTIAL_PATH), exist_ok=True)
+        with open(_PARTIAL_PATH, "w") as f:
+            json.dump({"t_rel_s": round(time.time() - T0, 1), **PARTIAL}, f)
+    except OSError:
+        pass
+
+
+def _load_last_good():
+    try:
+        with open(_LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 def _left():
     return BUDGET_S - (time.time() - T0)
 
 
+def _emit_best_available(reason):
+    """Build the most informative JSON line from whatever completed:
+    partial in-process measurements first, then a persisted mid-round
+    hardware capture, then null."""
+    dt = PARTIAL.get("ms_per_batch_prod_fast")
+    if dt:
+        rt = PARTIAL.get("audio_seconds", 320.0) / (dt / 1000.0)
+        return {
+            "metric": "fdlp_spectrogram_realtime_factor",
+            "value": round(rt, 1),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(rt / 1000.0, 3),
+            "detail": {
+                "capture": f"PARTIAL ({reason}); measurements completed "
+                           "before the stall are reported",
+                **PARTIAL,
+            },
+        }
+    lg = _load_last_good()
+    if lg and lg.get("result") and lg["result"].get("value"):
+        r = dict(lg["result"])
+        det = dict(r.get("detail") or {})
+        det["capture"] = (
+            f"mid-round hardware capture persisted by tunnel_watch.sh at "
+            f"{lg.get('captured_utc')} (tunnel down again at round-end "
+            f"capture: {reason})"
+        )
+        r["detail"] = det
+        return r
+    return {
+        "metric": "fdlp_spectrogram_realtime_factor",
+        "value": None,
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": None,
+        "detail": f"TPU tunnel unavailable and no mid-round capture "
+                  f"exists: {reason}",
+    }
+
+
 def _arm_watchdog():
     """The budget checks run *between* measurements; a wedged tunnel can
     hang the very first device call forever (observed: a trivial 8x8
-    matmul blocking >30 min). This timer guarantees the driver still
-    gets one parseable JSON line, then hard-exits (the RPC can't be
-    cancelled from Python)."""
+    matmul blocking >30 min, twice, rounds 3 and 4). This timer
+    guarantees the driver still gets one parseable JSON line — the best
+    partial available — then hard-exits (the RPC can't be cancelled from
+    Python)."""
     import threading
 
     def fire():
-        print(json.dumps({
-            "metric": "fdlp_spectrogram_realtime_factor",
-            "value": None,
-            "unit": "x_realtime_per_chip",
-            "vs_baseline": None,
-            "detail": f"TPU tunnel stalled: no measurement completed "
-                      f"within BENCH_BUDGET_S+120={BUDGET_S + 120:.0f}s",
-        }), flush=True)
+        print(json.dumps(_emit_best_available(
+            f"no further measurement completed within "
+            f"BENCH_BUDGET_S+120={BUDGET_S + 120:.0f}s")), flush=True)
         os._exit(2)
 
     t = threading.Timer(BUDGET_S + 120.0, fire)
@@ -74,6 +148,40 @@ def _note(msg):
     print(f"[bench +{time.time()-T0:5.0f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _probe_tunnel_once(timeout_s):
+    """One guarded tunnel probe: a subprocess runs a trivial device op so
+    a wedged RPC times out instead of blocking this process forever."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"],
+            capture_output=True, text=True, timeout=timeout_s, cwd=_REPO,
+        )
+        return proc.returncode == 0
+    except Exception:
+        return False
+
+
+def _probe_tunnel_with_backoff(reserve_s=420.0):
+    """Probe, then retry with backoff across the budget window, keeping
+    `reserve_s` for the fallback path. Returns True the moment the
+    tunnel answers."""
+    timeout = 150.0  # first compile through the tunnel can take ~40 s
+    while True:
+        _note(f"probing tunnel (timeout {timeout:.0f}s, "
+              f"{_left():.0f}s budget left)")
+        if _probe_tunnel_once(timeout):
+            _note("tunnel is UP")
+            return True
+        if _left() < reserve_s + timeout:
+            _note("tunnel still down; out of probe budget")
+            return False
+        _note("tunnel down; backing off 60s")
+        time.sleep(min(60.0, max(0.0, _left() - reserve_s - timeout)))
+        timeout = 120.0
+
+
 def _speech_batch(B, n, srate, seed=0):
     rs = np.random.RandomState(seed)
     x = rs.randn(B, n).astype(np.float32)
@@ -84,13 +192,168 @@ def _speech_batch(B, n, srate, seed=0):
     return (x / np.abs(x).max() * 8000.0).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Analytic roofline (VERDICT r3 weak #6): FLOPs + HBM bytes per batch for
+# the production config, per precision mode. Shapes are static, so the
+# counts are exact up to the noted approximations. Peak numbers are the
+# public v5e litepod chip specs.
+PEAK_BF16_TFLOPS = 197.0   # v5e MXU peak (bf16); f32-HIGHEST dots run as
+                           # multi-pass bf16 so this is the honest ceiling
+PEAK_HBM_GBPS = 819.0      # v5e HBM bandwidth
+
+
+def _roofline(cfg_kw, B, n):
+    """Per-stage analytic FLOPs/bytes for fdlp_spectrogram_batch at the
+    production config. Mirrors dsp/fdlp.py's stage structure:
+    framing -> DCT (FFT) -> banded autocorr (dense f32 einsum | compact
+    f64) -> Levinson -> cepstrum -> envelope matmul -> OLA -> log."""
+    srate = 16000
+    nf = cfg_kw["nfilters"]
+    order = cfg_kw["order"]
+    C = cfg_kw["coeff_num"]
+    fdur = cfg_kw["fduration"]
+    overlap_used = 0.75
+    flength = int(fdur * srate)            # 24000 analysis samples
+    hop = int(overlap_used * fdur * srate)  # 18000
+    frames = max(1, (n - flength) // hop + 1)
+    P = B * frames                          # flattened problems
+    L = order + 2                           # lags kept
+    lanes = P * nf                          # Levinson/cepstrum lanes
+    kk = int(round(fdur * 100))             # envelope length (frate=100)
+    nfft = 1 << int(np.ceil(np.log2(2 * flength)))  # pow2 FFT for DCT
+
+    fft_flops = P * 5.0 * nfft * np.log2(nfft)
+    # fast path: dense factored autocorr — per lag an (P,ndct)x(nf,ndct)
+    # contraction on the MXU
+    ac_dense = 2.0 * P * nf * flength * L
+    # high path: support-compacted — mel supports total ~2*ndct lanes
+    # across all bands, bucketed into 4 width classes (ops/autocorr)
+    ac_compact = 2.0 * P * (2.0 * flength) * L
+    lev = 4.0 * lanes * order * order / 2.0      # Levinson recursion
+    cep = 2.0 * lanes * C * C / 2.0              # cepstrum recursion
+    env = 2.0 * lanes * C * kk                   # envelope matmul
+    misc = P * flength * 10.0                    # window/OLA/log etc.
+
+    bytes_in = B * n * 4.0
+    # dominant HBM traffic: frames tensor (P, flength) read+written per
+    # major stage (frame, window+DCT in, DCT out, autocorr read)
+    work_bytes = P * flength * 4.0
+
+    def mode(ac, f64):
+        flops = fft_flops + ac + lev + cep + env + misc
+        # f64 is software-emulated on v5e: every op costs ~O(10) f32 ops
+        # and tensors are 8 B/elem
+        eff_flops = flops * (10.0 if f64 else 1.0)
+        byts = bytes_in + work_bytes * (8.0 if f64 else 4.0) * 4.0
+        return flops, eff_flops, byts
+
+    return {
+        "fast": mode(ac_dense, False),
+        "high": mode(ac_compact, True),
+    }
+
+
+def _mfu_detail(cfg_kw, B, n, dt_fast, dt_high):
+    rl = _roofline(cfg_kw, B, n)
+    out = {
+        "peak_assumed": f"v5e: {PEAK_BF16_TFLOPS:.0f} TFLOP/s bf16 MXU, "
+                        f"{PEAK_HBM_GBPS:.0f} GB/s HBM",
+        "note": "analytic stage counts (dsp/fdlp.py structure); "
+                "eff_flops scales f64 by the ~10x emulation cost",
+    }
+    for name, dt in (("fast", dt_fast), ("high", dt_high)):
+        flops, eff, byts = rl[name]
+        d = {
+            "alg_gflops_per_batch": round(flops / 1e9, 1),
+            "hbm_gbytes_per_batch": round(byts / 1e9, 2),
+        }
+        if dt:
+            d["achieved_tflops"] = round(flops / dt / 1e12, 2)
+            d["mxu_util_pct"] = round(100.0 * eff / dt / (PEAK_BF16_TFLOPS * 1e12), 1)
+            d["hbm_util_pct"] = round(100.0 * byts / dt / (PEAK_HBM_GBPS * 1e9), 1)
+        out[name] = d
+    return out
+
+
+def _cpu_ab_fallback():
+    """Tunnel-dead fallback evidence: a tiny-geometry high/fast A/B on
+    the CPU backend, run in a subprocess with the axon plugin dropped
+    (JAX_PLATFORMS=cpu alone still hangs on plugin init — NOTES.md).
+    Ratio evidence only; absolute CPU times say nothing about the TPU."""
+    code = r"""
+import json, time, sys
+sys.path.insert(0, %r)
+import numpy as np, jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from speech_recognition_tools_tpu.dsp import FdlpConfig, fdlp_spectrogram_batch
+B, n = 2, 32000
+rs = np.random.RandomState(0)
+x = jnp.asarray(rs.randn(B, n) * 2000, jnp.float32)
+lens = jnp.full((B,), n, jnp.int32)
+out = {}
+for name, cfg in [
+    ("fast", FdlpConfig(nfilters=80, order=150, fduration=1.5,
+                        coeff_num=100, coeff_range="1,100")),
+    ("high", FdlpConfig(nfilters=80, order=150, fduration=1.5,
+                        coeff_num=100, coeff_range="1,100",
+                        precision="high")),
+]:
+    f = jax.jit(lambda s: fdlp_spectrogram_batch(s, lens, cfg)[0])
+    jax.block_until_ready(f(x))
+    t0 = time.time()
+    for _ in range(3):
+        jax.block_until_ready(f(x + 1.0))
+    out[name] = (time.time() - t0) / 3
+print("CPUAB " + json.dumps(out))
+""" % (_REPO,)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=max(60.0, min(360.0, _left() - 30.0)), cwd=_REPO, env=env,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("CPUAB "):
+                d = json.loads(line[6:])
+                return {
+                    "cpu_ms_fast": round(d["fast"] * 1000, 1),
+                    "cpu_ms_high": round(d["high"] * 1000, 1),
+                    "cpu_high_over_fast": round(d["high"] / d["fast"], 2),
+                }
+    except Exception as e:
+        return {"error": f"{type(e).__name__}: {e}"}
+    return {"error": f"rc={proc.returncode}: {proc.stderr[-300:]}"}
+
+
 def main():
     watchdog = _arm_watchdog()
+
+    if not _probe_tunnel_with_backoff():
+        # tunnel never answered within the budget: emit the best
+        # persisted evidence + a CPU A/B chain, clearly labelled
+        _note("running CPU A/B fallback")
+        result = _emit_best_available("tunnel down for the whole bench "
+                                      "budget window despite backoff retries")
+        if isinstance(result.get("detail"), str):
+            result["detail"] = {"capture": result["detail"]}
+        result["detail"]["cpu_ab_fallback"] = _cpu_ab_fallback()
+        result["detail"]["parity_evidence"] = (
+            "the <1e-4 half of the joint clause is CPU-verified every "
+            "round: tests/test_dsp_parity.py::test_mixed_precision_"
+            "production_config (2e-7 synthetic; worst real wav 5.4e-7)"
+        )
+        watchdog.cancel()
+        print(json.dumps(result))
+        return
+
     import jax
 
     jax.config.update("jax_enable_x64", True)  # for the high mode
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".cache", "jax")
+    cache = os.path.join(_REPO, ".cache", "jax")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -109,6 +372,7 @@ def main():
     B, secs, srate = 32, 10, 16000
     n = secs * srate
     audio_seconds = B * secs
+    PARTIAL["audio_seconds"] = audio_seconds
     x = _speech_batch(B, n, srate)
     lens = np.full(B, n, np.int32)
     xd = jnp.asarray(x)
@@ -145,10 +409,12 @@ def main():
     def fdlp_fn(cfg):
         return lambda xin: fdlp_spectrogram_batch(xin, lensd, cfg)[0]
 
-    def guarded(label, thunk, min_left=60.0):
+    def guarded(label, thunk, min_left=60.0, partial_key=None):
         """Run a measurement unless the time budget is spent; returns
         None when skipped/failed so the detail field reads "skipped"
-        and the driver still gets its JSON line."""
+        and the driver still gets its JSON line. Completed values are
+        persisted immediately (PARTIAL + .cache/bench_partial.json) so
+        a later wedge can't erase them."""
         if _left() < min_left:
             _note(f"SKIP {label} (budget)")
             return None
@@ -159,6 +425,9 @@ def main():
             _note(f"FAILED {label}: {type(e).__name__}: {e}")
             return None
         _note(f"{label}: {dt * 1000:.1f} ms")
+        if partial_key:
+            PARTIAL[partial_key] = round(dt * 1000, 1)
+            _persist_partial()
         return dt
 
     # priority order: headline first, then the parity modes and A/B
@@ -167,17 +436,20 @@ def main():
     # budget, so the driver always gets its JSON line.
     dt_prod = measure(fdlp_fn(FdlpConfig(**prod)))
     _note(f"prod fast: {dt_prod * 1000:.1f} ms")
+    PARTIAL["ms_per_batch_prod_fast"] = round(dt_prod * 1000, 1)
+    _persist_partial()
     dt_prod_high = guarded(
         "prod high (north-star <1e-4 mode)",
         lambda: measure(fdlp_fn(FdlpConfig(**prod, precision="high")),
                         iters=4),
-        min_left=240.0,
+        min_left=240.0, partial_key="ms_per_batch_prod_high",
     )
-    dt_light = guarded("light", lambda: measure(fdlp_fn(FdlpConfig())))
+    dt_light = guarded("light", lambda: measure(fdlp_fn(FdlpConfig())),
+                       partial_key="ms_per_batch_light")
     dt_prod_scan = guarded(
         "prod scan-backend",
         lambda: measure(fdlp_fn(FdlpConfig(**prod, lpc_backend="scan"))),
-        min_left=120.0,
+        min_left=120.0, partial_key="ms_per_batch_prod_scan",
     )
 
 
@@ -188,6 +460,7 @@ def main():
     dt_mel = guarded(
         "melspec",
         lambda: measure(lambda xin: mel_spectrum_batch(xin, lensd, mel_cfg)[0]),
+        partial_key="ms_per_batch_melspec",
     )
 
     # noise-augmented FDLP (BASELINE "noise-mixing augmentation")
@@ -200,7 +473,8 @@ def main():
         mixed_sig = add_noise_snr(key, xin, noise, 10.0)
         return fdlp_spectrogram_batch(mixed_sig, lensd, fast_cfg)[0]
 
-    dt_noisy = guarded("noisy fdlp", lambda: measure(noisy_fdlp))
+    dt_noisy = guarded("noisy fdlp", lambda: measure(noisy_fdlp),
+                       partial_key="ms_per_batch_noisy_fdlp")
 
     # real + complex M-vectors (10 s x 8 utts; the complex path's
     # shared-lag treatment is VERDICT r2 #5)
@@ -212,13 +486,13 @@ def main():
 
     dt_mod_real = guarded(
         "mvector real", lambda: measure(mod_fn(ModSpecConfig()), iters=3),
-        min_left=180.0,
+        min_left=180.0, partial_key="ms_per_batch_mvector_real",
     )
     dt_mod_cplx = guarded(
         "mvector complex",
         lambda: measure(mod_fn(ModSpecConfig(complex_modulation=True)),
                         iters=3),
-        min_left=180.0,
+        min_left=180.0, partial_key="ms_per_batch_mvector_complex",
     )
 
     # 8ch enhancement front-end: STFT -> quantile masks -> GEV (+BAN) ->
@@ -248,7 +522,7 @@ def main():
     dt_8ch = guarded(
         "8ch gev chain (on-chip)",
         lambda: measure(chain8_onchip, iters=3, arg=mcd),
-        min_left=180.0,
+        min_left=180.0, partial_key="ms_per_batch_gev8ch",
     )
     if dt_8ch is None:
         from speech_recognition_tools_tpu.enhance.beamforming import (
@@ -279,7 +553,7 @@ def main():
 
         dt_8ch = guarded(
             "8ch gev chain (host/chip split fallback)", run_8ch_split,
-            min_left=120.0,
+            min_left=120.0, partial_key="ms_per_batch_gev8ch_split",
         )
 
     rt = audio_seconds / dt_prod
@@ -317,6 +591,7 @@ def main():
                 "high_over_fast": ratio(dt_prod_high),
                 "scan_over_fused_kernel": ratio(dt_prod_scan),
             },
+            "mfu": _mfu_detail(prod, B, n, dt_prod, dt_prod_high),
             "workloads_x_realtime": {
                 "melspec_80band": xrt(dt_mel),
                 "fdlp_noise_augmented": xrt(dt_noisy),
