@@ -507,16 +507,62 @@ void* fst_decode_lattice(void* h, const float* loglikes, int32_t T,
       it = (tok_fwd[it->second] > thresh) ? cur.erase(it) : std::next(it);
   };
 
-  // one link per (surviving src token, arc, surviving dst token)
+  // one link per (surviving src token, eps arc, surviving dst token).
+  // An epsilon CYCLE among surviving same-frame tokens (a degenerate
+  // lexicon/LM can carry zero-cost eps loops) would make the lattice
+  // cyclic and the Python topo_order() reject the whole utterance; a
+  // frame-local DFS (gray/black colouring) drops exactly the links that
+  // would close a cycle — every acyclic eps link is kept.
   auto emit_eps_links = [&]() {
+    struct Cand { int32_t src_tok, dst_tok, olabel; float w; };
+    std::vector<Cand> cands;
+    std::unordered_map<int32_t, std::vector<int32_t>> adj;  // tok -> cand ids
     for (auto& kv : cur) {
       int32_t s = kv.first, tid = kv.second;
       for (int32_t i = fst->offsets[s]; i < fst->offsets[s + 1]; ++i) {
         const Arc& a = fst->arcs[i];
         if (a.ilabel != 0) continue;
         auto it = cur.find(a.dst);
-        if (it != cur.end() && it->second != tid)
-          links.push_back({tid, it->second, a.olabel, a.w, 0.0f});
+        if (it != cur.end() && it->second != tid) {
+          adj[tid].push_back((int32_t)cands.size());
+          cands.push_back({tid, it->second, a.olabel, a.w});
+        }
+      }
+    }
+    if (cands.empty()) return;
+    // deterministic DFS roots: ascending forward cost, then token id,
+    // so the (rare) dropped back-edge is the costliest way around the
+    // cycle, not hash-map order
+    std::vector<int32_t> roots;
+    roots.reserve(cur.size());
+    for (auto& kv : cur) roots.push_back(kv.second);
+    std::sort(roots.begin(), roots.end(), [&](int32_t x, int32_t y) {
+      if (tok_fwd[x] != tok_fwd[y]) return tok_fwd[x] < tok_fwd[y];
+      return x < y;
+    });
+    std::unordered_map<int32_t, int8_t> color;  // absent=white 1=gray 2=black
+    std::vector<std::pair<int32_t, size_t>> stack;  // (tok, next child)
+    for (int32_t root : roots) {
+      if (color.count(root)) continue;
+      color[root] = 1;
+      stack.push_back({root, 0});
+      while (!stack.empty()) {
+        auto& top = stack.back();
+        auto ai = adj.find(top.first);
+        if (ai == adj.end() || top.second >= ai->second.size()) {
+          color[top.first] = 2;
+          stack.pop_back();
+          continue;
+        }
+        const Cand& c = cands[ai->second[top.second++]];
+        auto ci = color.find(c.dst_tok);
+        int8_t dc = (ci == color.end()) ? 0 : ci->second;
+        if (dc == 1) continue;  // back-edge: would close an eps cycle
+        links.push_back({c.src_tok, c.dst_tok, c.olabel, c.w, 0.0f});
+        if (dc == 0) {
+          color[c.dst_tok] = 1;
+          stack.push_back({c.dst_tok, 0});
+        }
       }
     }
   };

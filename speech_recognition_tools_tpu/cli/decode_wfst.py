@@ -128,6 +128,17 @@ def _decode(args):
     rescore = None
     old_lm = None
     lm_pair = None
+    if args.consensus and args.rescore_arpa and args.lattice_dir:
+        # one_lattice returns the rescored best path before reaching the
+        # consensus branch; make the precedence loud instead of silent
+        import sys
+
+        print(
+            "WARNING: --consensus is ignored when --rescore_arpa is given "
+            "(exact lattice rescoring takes precedence and returns its "
+            "best path); drop --rescore_arpa for the consensus decode",
+            file=sys.stderr,
+        )
     if args.rescore_arpa and (args.nbest > 1 or args.lattice_dir):
         from speech_recognition_tools_tpu.decode.wfst import (
             rescore_nbest,

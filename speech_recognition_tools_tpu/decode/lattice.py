@@ -120,13 +120,16 @@ class Lattice:
 
     # -- N-best -------------------------------------------------------------
 
-    def nbest(self, n, lm_scale=1.0, ac_scale=1.0, beam_mult=20):
+    def nbest(self, n, lm_scale=1.0, ac_scale=1.0, beam=20.0):
         """N best *distinct word sequences* through the lattice.
 
         A* over (node, word-history) with the exact backward Viterbi cost
         as heuristic; paths merging on the same (node, words-so-far) are
         recombined, so each returned hypothesis is the best-scoring
         alignment of its word sequence (matching decode_nbest semantics).
+        `beam` is an ABSOLUTE cost margin over the best path (same units
+        as lattice_beam elsewhere): hypotheses costing more than
+        best + beam are not expanded.
         Returns [(word_ids, cost)], best first.
         """
         import heapq
@@ -158,7 +161,7 @@ class Lattice:
         # have est == true total, so popping one is provably minimal.)
         heap = [(bwd[0], 0.0, 0, ())]
         best_map = {(0, ()): 0.0}
-        limit = bwd[0] + beam_mult
+        limit = bwd[0] + beam
         while heap and len(results) < n:
             est, cost, u, words = heapq.heappop(heap)
             if est > limit:
@@ -381,7 +384,9 @@ class Lattice:
             log10 P(word | history) (None = end of sentence). Defaults
             to old_lm's own conditional — then the result provably
             equals best_path() (the exactness check in tests).
-          history_limit: words of history kept in the search state.
+          history_limit: words of history kept in the search state; must
+            be >= old_lm.order - 1 (the old-LM removal needs that exact
+            context; smaller values raise ValueError).
             Default: old_lm.order - 1 when new_scorer is None (exact),
             unbounded otherwise (exact for any scorer; `beam` prunes).
           beam: cost beam over the plain-lattice backward bound.
@@ -394,6 +399,16 @@ class Lattice:
         from speech_recognition_tools_tpu.models.ngram_lm import BOS, EOS
 
         K = old_lm.order - 1
+        if history_limit is not None and history_limit < K:
+            # old_cond BOS-pads histories shorter than K; a history
+            # truncated below K would be scored as sentence-initial,
+            # making the old-LM removal systematically wrong (a bias,
+            # not a pruning) — so this is an error, not a knob setting
+            raise ValueError(
+                f"history_limit={history_limit} < old_lm.order-1={K}: "
+                "the old-LM score removal needs the exact K-word "
+                "context; use history_limit >= K (or None)"
+            )
 
         def old_cond(hist_ids, word):
             ctx = tuple(id2word[h] for h in hist_ids[-K:]) if K else ()
@@ -412,9 +427,10 @@ class Lattice:
                 history_limit = K
 
         def trunc(hist):
+            # histories are only ever truncated at >= K words (validated
+            # above), so old_cond always sees the exact K-word context;
+            # truncation only bounds the state space seen by new_scorer
             if history_limit is not None and len(hist) > history_limit:
-                # mark truncation so a short true history (BOS-padded)
-                # never collides with a truncated long one
                 return hist[-history_limit:]
             return hist
 
@@ -718,25 +734,52 @@ def cn_combine(lattices, weights=None, lm_scale=1.0, ac_scale=1.0,
     occ.sort()
     # slots: [start, end, {word: vote}] — weighted-interval clustering;
     # an occurrence joins the slot it overlaps most (relative to the
-    # shorter of the two intervals), else opens a new slot
+    # shorter of the two intervals), else opens a new slot. Slots are
+    # kept sorted by start and only the time-overlapping window
+    # [a - max_len, b) is scanned (any slot overlapping (a, b) has
+    # start < b and start > a - its_length >= a - max_len), so the
+    # clustering is near-linear on long/dense lattices instead of
+    # O(occurrences x slots).
+    import bisect
+
     slots = []
+    starts = []  # parallel sorted keys: starts[i] == slots[i][0]
+    max_len = 0.0
     for a, b, ol, v in occ:
-        best, best_ov = None, 0.0
-        for sl in slots:
+        lo = bisect.bisect_left(starts, a - max_len)
+        hi = bisect.bisect_right(starts, b)
+        best, best_ov, best_i = None, 0.0, -1
+        for i in range(lo, hi):
+            sl = slots[i]
             inter = min(b, sl[1]) - max(a, sl[0])
             denom = max(min(b - a, sl[1] - sl[0]), 1e-6)
             ov = inter / denom
             if ov > best_ov:
-                best, best_ov = sl, ov
+                best, best_ov, best_i = sl, ov, i
         if best is not None and best_ov >= min_overlap:
             w_old = sum(best[2].values())
             best[2][ol] = best[2].get(ol, 0.0) + v
             # vote-weighted interval update keeps slots tight
             best[0] = (best[0] * w_old + a * v) / (w_old + v)
             best[1] = (best[1] * w_old + b * v) / (w_old + v)
+            max_len = max(max_len, best[1] - best[0])
+            # the start moved by a bounded amount; restore sortedness
+            # locally (neighbour swaps)
+            starts[best_i] = best[0]
+            i = best_i
+            while i > 0 and starts[i - 1] > starts[i]:
+                starts[i - 1], starts[i] = starts[i], starts[i - 1]
+                slots[i - 1], slots[i] = slots[i], slots[i - 1]
+                i -= 1
+            while i + 1 < len(starts) and starts[i] > starts[i + 1]:
+                starts[i], starts[i + 1] = starts[i + 1], starts[i]
+                slots[i], slots[i + 1] = slots[i + 1], slots[i]
+                i += 1
         else:
-            slots.append([a, b, {ol: v}])
-    slots.sort(key=lambda sl: sl[0])
+            j = bisect.bisect_left(starts, a)
+            slots.insert(j, [a, b, {ol: v}])
+            starts.insert(j, a)
+            max_len = max(max_len, b - a)
     total_weight = sum(weights)
     out = []
     for _, _, votes in slots:

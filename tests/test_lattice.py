@@ -495,3 +495,50 @@ class TestNbestMinimalCompletion:
         res = lat.nbest(8)
         costs = [c for _, c in res]
         assert costs == sorted(costs)
+
+
+class TestAdviceR3Regressions:
+    """Round-4 fixes for the round-3 advisor findings."""
+
+    def test_eps_cycle_graph_yields_dag(self, tmp_path):
+        """A zero-cost epsilon cycle among surviving same-frame states
+        (degenerate lexicon/LM) must not make the lattice cyclic: the
+        cycle-closing eps link is dropped at emit time, every acyclic
+        link is kept, and the utterance still decodes."""
+        path = tmp_path / "cyc.txt"
+        # 0 -[pdf0:w1]-> 1 <-eps-> 2 (cycle), then pdf1:w2 -> final 3
+        path.write_text(
+            "0 1 1 1 0.0\n"
+            "1 2 0 0 0.0\n"
+            "2 1 0 0 0.0\n"
+            "2 3 2 2 0.0\n"
+            "1 3 2 2 0.5\n"
+            "3 0.0\n"
+        )
+        dec = WfstDecoder(str(path))
+        ll = np.full((2, 2), -5.0, np.float32)
+        ll[0, 0] = 0.0
+        ll[1, 1] = 0.0
+        lat = decode_lattice(dec, ll, acoustic_scale=1.0, beam=1e9,
+                             max_active=0, lattice_beam=100.0)
+        lat.topo_order()  # raises ValueError("not a DAG") if cyclic
+        ids, cost = lat.best_path()
+        assert ids == [1, 2]
+        # the cheap way around the eps detour (graph cost 0.0) must
+        # survive the cycle-breaking: best cost uses the 0.0 arc, not 0.5
+        assert abs(cost - 0.0) < 1e-4, cost
+
+    def test_rescore_rejects_small_history_limit(self, graph):
+        """history_limit < old_lm.order-1 would BOS-pad truncated
+        histories as if sentence-initial, biasing the old-LM removal —
+        must raise instead of silently mis-scoring."""
+        g, path, lm = graph
+        dec = WfstDecoder(path)
+        ll = _loglikes_for(["go", "stop"], g)
+        wl = decode_lattice(dec, ll, acoustic_scale=1.0, beam=1e9,
+                            lattice_beam=10.0).word_lattice()
+        with pytest.raises(ValueError, match="history_limit"):
+            wl.rescore(g.id_to_word(), lm, history_limit=0)
+        # at exactly K it is the documented exact setting
+        ids, _ = wl.rescore(g.id_to_word(), lm, history_limit=lm.order - 1)
+        assert ids == wl.best_path()[0]
