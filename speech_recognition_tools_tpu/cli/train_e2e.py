@@ -49,6 +49,15 @@ def get_parser():
     p.add_argument("--vocab", help="existing vocab.json (e.g. built at "
                                    "data-prep time and shared with the "
                                    "RNNLM); default: build from text")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each batch over the mesh 'data' axis "
+                        "(XLA inserts the gradient all-reduce over ICI; "
+                        "the queue.pl-fan-out replacement at train level)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Megatron-style TP degree: q/k/v heads, attention "
+                        "out, FFN column/row and ctc/vocab heads shard "
+                        "over a 'model' axis of this size "
+                        "(parallel/tp.py::transformer_tp_spec)")
     return p
 
 
@@ -95,6 +104,64 @@ def token_batches(egs_dir, texts, vocab, batch_size, min_io_ratio=1.0,
             tokens=tokens,
             token_lengths=tlen,
         )
+
+
+def shard_e2e_state(params, opt_state, mesh, cfg):
+    """Place the transformer params + mirrored optimizer moments on
+    `mesh` with Megatron-style TP shardings (everything replicated when
+    the mesh's 'model' axis is 1). Returns (params, opt_state,
+    param_shardings) — the shardings pytree anchors the gradients inside
+    the jitted step. Shared by the CLI and the driver's multichip dryrun
+    (stage 2) so the dryrun validates exactly what users run."""
+    from speech_recognition_tools_tpu.parallel.tp import (
+        param_shardings,
+        shard_like_params,
+        shard_params,
+        transformer_tp_spec,
+    )
+
+    spec = transformer_tp_spec(mesh, cfg.adim, (cfg.eunits, cfg.dunits))
+    params = shard_params(params, mesh, spec)
+    opt_state = shard_like_params(opt_state, mesh, spec)
+    return params, opt_state, param_shardings(params, mesh, spec)
+
+
+def make_train_step(model, cfg, tx, use_specaug=False, param_sh=None):
+    """The jitted CTC/attention train step. With `param_sh` (a
+    NamedSharding pytree from shard_e2e_state) the TP gradients are
+    constrained back onto their annotated shardings so the optimizer
+    update stays sharded; without it the step is the plain single-device
+    program."""
+    import jax
+    import optax
+
+    from speech_recognition_tools_tpu.dsp.specaug import (
+        SpecAugConfig,
+        spec_augment,
+    )
+    from speech_recognition_tools_tpu.models.transformer_asr import asr_loss
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        if use_specaug:
+            rng, sa = jax.random.split(rng)
+            batch_in = dict(
+                batch,
+                feats=spec_augment(
+                    sa, batch["feats"], batch["lengths"], SpecAugConfig()
+                ),
+            )
+        else:
+            batch_in = batch
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: asr_loss(model, p, batch_in, rng, cfg), has_aux=True
+        )(params)
+        if param_sh is not None:
+            grads = jax.lax.with_sharding_constraint(grads, param_sh)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, aux
+
+    return step
 
 
 def main(argv=None):
@@ -154,6 +221,22 @@ def main(argv=None):
     )
     opt_state = tx.init(params)
 
+    # mesh placement: DP shards batches over 'data', TP shards the
+    # transformer kernels over 'model' (the two compose on one mesh);
+    # the state itself is placed after the resume block so restored
+    # checkpoints land on the same shardings
+    mesh = None
+    param_sh = None
+    if args.data_parallel or args.tensor_parallel > 1:
+        from speech_recognition_tools_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=max(1, args.tensor_parallel))
+        if args.tensor_parallel > 1:
+            assert cfg.aheads % args.tensor_parallel == 0, (
+                "aheads must divide by --tensor_parallel "
+                f"({cfg.aheads} % {args.tensor_parallel})"
+            )
+
     # babysitter-style resume: newest epoch checkpoint wins (params,
     # optimizer state incl. the Noam step count, epoch counter, and the
     # recent-params window for final averaging)
@@ -181,28 +264,27 @@ def main(argv=None):
                 recent.append(pay["params"])
         print(f"resumed from {newest} at epoch {start_epoch}")
 
-    from speech_recognition_tools_tpu.dsp.specaug import (
-        SpecAugConfig,
-        spec_augment,
+    if mesh is not None:
+        params, opt_state, param_sh = shard_e2e_state(
+            params, opt_state, mesh, cfg
+        )
+
+    step = make_train_step(
+        model, cfg, tx, use_specaug=args.specaug, param_sh=param_sh
     )
 
-    use_specaug = args.specaug
+    if mesh is not None:
+        from speech_recognition_tools_tpu.parallel import shard_batch
 
-    @jax.jit
-    def step(params, opt_state, batch, rng):
-        if use_specaug:
-            rng, sa = jax.random.split(rng)
-            batch = dict(
-                batch,
-                feats=spec_augment(
-                    sa, batch["feats"], batch["lengths"], SpecAugConfig()
-                ),
-            )
-        (loss, aux), grads = jax.value_and_grad(
-            lambda p: asr_loss(model, p, batch, rng, cfg), has_aux=True
-        )(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, aux
+        dpar = mesh.shape["data"]
+
+        def place_batch(b):
+            lead = b["feats"].shape[0]
+            # ragged tail batches stay on the default placement
+            return shard_batch(b, mesh) if lead % dpar == 0 else b
+    else:
+        def place_batch(b):
+            return b
 
     hyper = dict(vars(args))
     hyper.update(model_class="TransformerASR", vocab_size=len(vocab))
@@ -211,7 +293,7 @@ def main(argv=None):
         losses = []
         for batch in token_batches(args.egs_dir, texts, vocab, args.batch_size,
                                args.min_io_ratio, args.min_io_delta):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = place_batch({k: jnp.asarray(v) for k, v in batch.items()})
             rng, sub = jax.random.split(rng)
             params, opt_state, loss, aux = step(params, opt_state, batch, sub)
             losses.append(float(loss))
