@@ -19,6 +19,15 @@ Data layout (Kaldi-style, like the reference's data dirs):
   [<data>/lexicon.txt]          hybrid WFST decode: word phone-id [...]
 
 Stages (reference numbering):
+  0  multichannel enhancement (config `enhancement` section): WPE ->
+     mask/GEV beamforming on device (enhance/pipeline.py; the
+     run_wpe.sh -> run_beamform.sh chain of run_fdlp_e1.sh:130-138),
+     then SE scoring vs <set>/clean_wav.scp when present
+     (compute_se_scores.sh analogue). wav.scp values may carry several
+     per-channel paths; single-channel utts pass through. A 'blstm'
+     mask model is loaded from <expdir>/mask_model or trained from the
+     train set's parallel clean_wav.scp/noise_wav.scp (nn-gev flow);
+     otherwise quantile masks are used.
   1  feature extraction for every set (frontend section)
   2  data prep: char dict (e2e) + egs dirs (+ CMVN per egs section)
   3  LM training: RNNLM (e2e `lm` section) / n-gram (hybrid)
@@ -32,9 +41,10 @@ Usage:
       [--set am.epochs=2] [--test_sets test_dev93,test_eval92]
 
 `--set key.path=value` overrides any config entry (the parse_options.sh
-duality). Multichannel configs (`enhancement` section) expect wav.scp to
-point at enhanced wavs — run the enhancement front-end first (see
-recipes/reverb_demo/run.py for the simulate -> WPE -> GEV chain).
+duality). Multichannel configs (`enhancement` section) run the WPE/GEV
+chain as stage 0 and feed the enhanced wavs into featgen automatically;
+segments-mode data cannot be combined with enhancement (enhance the
+recordings first).
 """
 
 import argparse
@@ -133,7 +143,7 @@ def main(argv=None):
     p.add_argument("--config", required=True)
     p.add_argument("--data", required=True, help="corpus root (see docstring)")
     p.add_argument("--expdir", required=True)
-    p.add_argument("--stage", type=int, default=1)
+    p.add_argument("--stage", type=int, default=0)
     p.add_argument("--stop_stage", type=int, default=99)
     p.add_argument("--train_set", default="train")
     p.add_argument("--dev_set", default="dev")
@@ -157,10 +167,6 @@ def main(argv=None):
     sets = [args.train_set, args.dev_set] + test_sets
     exp = args.expdir
     os.makedirs(exp, exist_ok=True)
-    if cfg.get("enhancement"):
-        print("NOTE: config has an `enhancement` section — wav.scp must "
-              "point at enhanced audio (recipes/reverb_demo/run.py runs "
-              "the WPE/GEV chain)")
 
     def in_range(s):
         return args.stage <= s <= args.stop_stage
@@ -174,14 +180,64 @@ def main(argv=None):
     def feats_scp(name):
         return os.path.join(exp, f"feats_{name}.scp")
 
+    def wav_scp(name):
+        """The scp featgen should read: the stage-0 enhanced one when
+        enhancement ran (now or in a previous --stage resume)."""
+        enhanced = os.path.join(exp, f"enhanced_{name}", "wav.scp")
+        if cfg.get("enhancement") and os.path.exists(enhanced):
+            return enhanced
+        return os.path.join(dset(name), "wav.scp")
+
     import numpy as np
+
+    enh = cfg.get("enhancement")
+    if enh and in_range(0):
+        print("=== stage 0: multichannel enhancement (WPE/GEV) + SE scores")
+        from speech_recognition_tools_tpu.enhance.pipeline import (
+            maybe_mask_model,
+            run_enhancement,
+            se_scores,
+        )
+
+        srate = int(cfg.get("frontend", {}).get("srate", 16000))
+        for name in sets:
+            if os.path.exists(os.path.join(dset(name), "segments")):
+                raise ValueError(
+                    f"{name}: segments-mode data cannot be combined with "
+                    "an enhancement section — enhance the recordings "
+                    "first, then point wav.scp at them"
+                )
+        mask_fn = maybe_mask_model(
+            enh, exp, train_dir=dset(args.train_set), srate=srate
+        )
+        for name in sets:
+            run_enhancement(
+                os.path.join(dset(name), "wav.scp"),
+                os.path.join(exp, f"enhanced_{name}"),
+                enh, srate, mask_fn=mask_fn,
+            )
+        metrics = enh.get("se_metrics") or []
+        if isinstance(metrics, str):  # --set enhancement.se_metrics=a,b
+            metrics = metrics.split(",")
+        for name in test_sets:
+            clean = os.path.join(dset(name), "clean_wav.scp")
+            if not (metrics and os.path.exists(clean)):
+                continue
+            scores = se_scores(
+                os.path.join(exp, f"enhanced_{name}", "wav.scp"),
+                clean, metrics, srate,
+            )
+            out = os.path.join(exp, f"se_scores_{name}.json")
+            with open(out, "w") as f:
+                json.dump(scores, f, indent=2)
+            print(f"SE scores [{name}]: {scores} -> {out}")
 
     if in_range(1):
         print(f"=== stage 1: {cfg['frontend'].get('type', 'fdlp')} featgen")
         for name in sets:
             d = dset(name)
             typ, argv = frontend_argv(
-                cfg["frontend"], os.path.join(d, "wav.scp"),
+                cfg["frontend"], wav_scp(name),
                 os.path.join(exp, f"feats_{name}"), d,
             )
             run_featgen(typ, argv)

