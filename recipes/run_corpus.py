@@ -14,8 +14,13 @@ Data layout (Kaldi-style, like the reference's data dirs):
   <data>/<set>/text             utt -> transcription
   [<data>/<set>/segments]       segment-style scp (utt rec start end)
   [<data>/<set>/ali.pkl]        hybrid only: {utt: (T,) int frame labels}
-                                (the Kaldi ali-to-pdf analogue; produce it
-                                with io.kaldi_ark readers or any aligner)
+                                (the Kaldi ali-to-pdf analogue). OPTIONAL:
+                                when absent, stage 2 produces alignments
+                                natively — flat-start + Viterbi
+                                realignment over the lexicon
+                                (align/forced.py; config `align` section:
+                                states_per_phone/silence_phone/iters/
+                                epochs/hidden_dim) -> <expdir>/ali_*.pkl
   [<data>/lexicon.txt]          hybrid WFST decode: word phone-id [...]
 
 Stages (reference numbering):
@@ -257,6 +262,67 @@ def main(argv=None):
         if branch == "e2e":
             texts = read_text_file(os.path.join(dset(args.train_set), "text"))
             save_vocab(build_char_vocab(texts.values()), vocab_path)
+        if branch == "hybrid" and not os.path.exists(
+            os.path.join(dset(args.train_set), "ali.pkl")
+        ):
+            # no external alignments: native flat-start + Viterbi
+            # realignment over the lexicon (align/forced.py) replaces the
+            # reference's external Kaldi GMM pipeline
+            # (run_get_hq_ali.sh -> ali-to-pdf)
+            lex_path = os.path.join(args.data, "lexicon.txt")
+            if not os.path.exists(lex_path):
+                raise FileNotFoundError(
+                    "hybrid branch without ali.pkl needs <data>/"
+                    "lexicon.txt for native forced alignment"
+                )
+            from speech_recognition_tools_tpu.align import realign_corpus
+
+            acfg = cfg.get("align", {})
+            spp = acfg.get(
+                "states_per_phone",
+                cfg.get("decode", {}).get("states_per_phone", 1),
+            )
+            lexicon = {}
+            with open(lex_path) as f:
+                for line in f:
+                    parts = line.split()
+                    if parts:
+                        lexicon[parts[0]] = [int(x) for x in parts[1:]]
+            ali_sets = [
+                n for n in (args.train_set, args.dev_set)
+                if not os.path.exists(os.path.join(exp, f"ali_{n}.pkl"))
+            ]
+            if ali_sets:
+                feats_all, texts_all, owner = {}, {}, {}
+                for name in ali_sets:
+                    fs = dict(read_mat_scp(feats_scp(name)))
+                    ts = read_text_file(os.path.join(dset(name), "text"))
+                    for k, v in fs.items():
+                        feats_all[k] = v
+                        owner[k] = name
+                    texts_all.update(
+                        {k: v for k, v in ts.items() if k in fs}
+                    )
+                print(f"native forced alignment over {len(feats_all)} "
+                      f"utts (states_per_phone={spp})")
+                labels, n_pdfs = realign_corpus(
+                    feats_all, texts_all, lexicon,
+                    states_per_phone=spp,
+                    silence_phone=acfg.get("silence_phone"),
+                    num_iters=acfg.get("iters", 2),
+                    am_epochs=acfg.get("epochs", 10),
+                    hidden_dim=acfg.get("hidden_dim", 96),
+                )
+                per_set = {n: {} for n in ali_sets}
+                for k, v in labels.items():
+                    per_set[owner[k]][k] = v
+                for name in ali_sets:
+                    with open(
+                        os.path.join(exp, f"ali_{name}.pkl"), "wb"
+                    ) as f:
+                        pickle.dump(per_set[name], f)
+                if am.get("num_classes") is None:
+                    am["num_classes"] = n_pdfs
         cmvn = None
         if egs_cfg.get("cmvn", "global") == "global":
             tr = dict(read_mat_scp(feats_scp(args.train_set)))
@@ -282,6 +348,8 @@ def main(argv=None):
             labels = None
             num_targets = am.get("num_classes")
             ali = os.path.join(dset(name), "ali.pkl")
+            if not os.path.exists(ali):
+                ali = os.path.join(exp, f"ali_{name}.pkl")
             if branch == "hybrid" and os.path.exists(ali):
                 labels = {
                     k: np.asarray(v, np.int32)

