@@ -32,6 +32,12 @@ def get_parser():
     p.add_argument("--lm_dir", help="train_lm checkpoint dir for RNNLM "
                                     "shallow fusion (decode.yaml lm-weight)")
     p.add_argument("--lm_weight", type=float, default=1.0)
+    p.add_argument("--ring_attention", type=int, default=0, metavar="S",
+                   help="encode via ring attention over an S-device "
+                        "'time' mesh (parallel/ring.py) — the "
+                        "long-utterance path: per-device attention "
+                        "memory O(T*T/S). Host beam decode only "
+                        "(not --jit_decode / --api cl)")
     return p
 
 
@@ -116,6 +122,31 @@ def main(argv=None):
         lm_apply_host = make_fusion_scorer(lm_model, lm_params)
         lm_apply_jit = make_jit_fusion_scorer(lm_model, lm_params)
 
+    encode_fn = None
+    if args.ring_attention > 1:
+        assert args.api != "cl" and not args.jit_decode, (
+            "--ring_attention works with the host beam decode path only"
+        )
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            encode_ring,
+        )
+
+        devices = jax.devices()
+        assert len(devices) >= args.ring_attention, (
+            f"{args.ring_attention} ring devices requested, "
+            f"{len(devices)} available"
+        )
+        ring_mesh = Mesh(
+            _np.asarray(devices[: args.ring_attention]), ("time",)
+        )
+
+        def encode_fn(feats, lengths):
+            return encode_ring(model, params, feats, lengths, ring_mesh)
+
     hyps = {}
     batch = args.batch_size if args.jit_decode else 1
     if args.api == "cl" and len(dirs) > 1 and batch > 1:
@@ -159,6 +190,7 @@ def main(argv=None):
                 beam_size=args.beam_size, max_len=args.max_len,
                 ctc_weight=args.ctc_weight, penalty=args.penalty,
                 lm_apply=lm_apply_host, lm_weight=args.lm_weight,
+                encode_fn=encode_fn,
             )
         hyps[key] = decode_tokens(seq, vocab)
         print(f"{key}: {hyps[key]}")

@@ -58,6 +58,16 @@ def get_parser():
                         "out, FFN column/row and ctc/vocab heads shard "
                         "over a 'model' axis of this size "
                         "(parallel/tp.py::transformer_tp_spec)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="GPipe stages for the ENCODER blocks "
+                        "(parallel/pp.py): stacked block params shard "
+                        "P('pipe'), microbatches hop the ring, exact "
+                        "backward through the scan. elayers must divide "
+                        "by it; deterministic (requires --dropout 0); "
+                        "exclusive with --tensor_parallel")
+    p.add_argument("--pp_microbatches", type=int, default=2,
+                   help="(pipeline) microbatches per step; batch_size "
+                        "must divide by it")
     return p
 
 
@@ -223,11 +233,31 @@ def main(argv=None):
 
     # mesh placement: DP shards batches over 'data', TP shards the
     # transformer kernels over 'model' (the two compose on one mesh);
-    # the state itself is placed after the resume block so restored
-    # checkpoints land on the same shardings
+    # PP shards stacked encoder blocks over 'pipe'. The state itself is
+    # placed after the resume block so restored checkpoints land on the
+    # same shardings
     mesh = None
     param_sh = None
-    if args.data_parallel or args.tensor_parallel > 1:
+    pp = args.pipeline_parallel > 1
+    if pp:
+        assert args.tensor_parallel == 1, (
+            "--pipeline_parallel and --tensor_parallel are exclusive"
+        )
+        assert args.dropout == 0.0, (
+            "pipelined training is deterministic; use --dropout 0"
+        )
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        pipe = args.pipeline_parallel
+        assert len(devices) % pipe == 0, (len(devices), pipe)
+        dp = len(devices) // pipe if args.data_parallel else 1
+        mesh = Mesh(
+            _np.asarray(devices[: dp * pipe]).reshape(dp, pipe),
+            ("data", "pipe"),
+        )
+    elif args.data_parallel or args.tensor_parallel > 1:
         from speech_recognition_tools_tpu.parallel import make_mesh
 
         mesh = make_mesh(model=max(1, args.tensor_parallel))
@@ -264,14 +294,65 @@ def main(argv=None):
                 recent.append(pay["params"])
         print(f"resumed from {newest} at epoch {start_epoch}")
 
-    if mesh is not None:
-        params, opt_state, param_sh = shard_e2e_state(
-            params, opt_state, mesh, cfg
+    if pp:
+        # split the loop-layout checkpoint into (rest, stacked-blocks);
+        # checkpoints stay loop-layout (merged back at save) so resume /
+        # recog work unchanged. Optimizer state re-inits on the split
+        # tree (a resumed Noam step count is NOT carried — warn).
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            asr_loss_pipelined,
+            merge_pipeline_params,
+            split_pipeline_params,
+        )
+        from speech_recognition_tools_tpu.parallel.pp import (
+            pipeline_param_sharding,
+        )
+        from speech_recognition_tools_tpu.parallel.tp import shard_params
+
+        if start_epoch:
+            print("NOTE: resuming with --pipeline_parallel restarts the "
+                  "optimizer state (Noam step resets)")
+        rest, stacked = split_pipeline_params(
+            params, args.pipeline_parallel
+        )
+        stacked = shard_params(
+            stacked, mesh, pipeline_param_sharding(mesh, "pipe")
+        )
+        params = {"rest": rest, "stacked": stacked}
+        opt_state = tx.init(params)
+        n_micro = args.pp_microbatches
+
+        @jax.jit
+        def step(params, opt_state, batch, rng):
+            def loss_fn(sp):
+                return asr_loss_pipelined(
+                    model, sp["rest"], sp["stacked"], batch, cfg, mesh,
+                    n_micro=n_micro,
+                )
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            import optax as _optax
+
+            return (_optax.apply_updates(params, updates), new_opt,
+                    loss, aux)
+
+        def to_loop_layout(p):
+            return merge_pipeline_params(p["rest"], p["stacked"])
+    else:
+        if mesh is not None:
+            params, opt_state, param_sh = shard_e2e_state(
+                params, opt_state, mesh, cfg
+            )
+
+        step = make_train_step(
+            model, cfg, tx, use_specaug=args.specaug, param_sh=param_sh
         )
 
-    step = make_train_step(
-        model, cfg, tx, use_specaug=args.specaug, param_sh=param_sh
-    )
+        def to_loop_layout(p):
+            return p
 
     if mesh is not None:
         from speech_recognition_tools_tpu.parallel import shard_batch
@@ -298,9 +379,14 @@ def main(argv=None):
             params, opt_state, loss, aux = step(params, opt_state, batch, sub)
             losses.append(float(loss))
         print(f"epoch {epoch + 1}: loss {sum(losses)/max(len(losses),1):.4f}")
-        save_checkpoint(args.store_path, f"epoch_{epoch + 1}", params, hyper,
-                        opt_state=opt_state, extra={"epoch": epoch + 1})
-        recent.append(jax.tree.map(lambda x: x, params))
+        # checkpoints are ALWAYS loop-layout (recog/resume-compatible);
+        # PP merges its stacked blocks back and skips the (split-layout)
+        # optimizer state
+        save_p = to_loop_layout(params)
+        save_checkpoint(args.store_path, f"epoch_{epoch + 1}", save_p, hyper,
+                        opt_state=None if pp else opt_state,
+                        extra={"epoch": epoch + 1})
+        recent.append(jax.tree.map(lambda x: x, save_p))
         if len(recent) > args.average_last:
             recent.pop(0)
     avg = average_checkpoints(recent)

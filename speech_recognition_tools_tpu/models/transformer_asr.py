@@ -15,6 +15,7 @@ TPU-first: static-shape decode loops via lax.scan over a max-length budget
 with finished-beam masking; all scoring is batched over (beams x models).
 """
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -348,6 +349,261 @@ def encode_pipelined(model, params, feats, lengths, mesh, *,
     return h, out_len, ctc
 
 
+class _RingSelfAttention(nn.Module):
+    """Drop-in for flax's MultiHeadDotProductAttention with the score
+    computation routed through parallel/ring.py (exact sequence-parallel
+    attention; K/V blocks hop the mesh's time ring). Submodule names
+    (query/key/value/out) and kernel shapes match flax's exactly, so an
+    ordinary trained checkpoint applies unchanged."""
+
+    cfg: TransformerASRConfig
+
+    @nn.compact
+    def __call__(self, x, lengths, mesh, time_axis):
+        from speech_recognition_tools_tpu.parallel.ring import (
+            ring_attention,
+        )
+
+        c = self.cfg
+        hd = c.adim // c.aheads
+        dense = functools.partial(
+            nn.DenseGeneral, features=(c.aheads, hd), axis=-1
+        )
+        q = dense(name="query")(x)
+        k = dense(name="key")(x)
+        v = dense(name="value")(x)
+        o = ring_attention(
+            q, k, v, lengths, mesh=mesh, axis=time_axis, causal=False
+        )
+        return nn.DenseGeneral(
+            features=c.adim, axis=(-2, -1), name="out"
+        )(o)
+
+
+class _RingMHABlock(nn.Module):
+    """_MHABlock's non-causal self-attention encoder form with ring
+    attention. Module names mirror _MHABlock's @nn.compact auto-names
+    (LayerNorm_0, MultiHeadDotProductAttention_0, LayerNorm_1, Dense_0,
+    Dense_1) so the SAME layer_i param subtrees apply. Deterministic
+    (inference path)."""
+
+    cfg: TransformerASRConfig
+    ff_dim: int
+
+    @nn.compact
+    def __call__(self, x, lengths, mesh, time_axis):
+        c = self.cfg
+        h = nn.LayerNorm(name="LayerNorm_0")(x)
+        h = _RingSelfAttention(
+            c, name="MultiHeadDotProductAttention_0"
+        )(h, lengths, mesh, time_axis)
+        x = x + h
+        h = nn.LayerNorm(name="LayerNorm_1")(x)
+        h = nn.Dense(self.ff_dim, name="Dense_0")(h)
+        h = nn.relu(h)
+        h = nn.Dense(c.adim, name="Dense_1")(h)
+        return x + h
+
+
+def encode_ring(model, params, feats, lengths, mesh, *,
+                time_axis: str = "time"):
+    """`TransformerASR.encode` with every encoder self-attention routed
+    through ring attention (parallel/ring.py) — the long-utterance scale
+    path (SURVEY §5): per-device attention memory is O(T * T/S) instead
+    of O(T^2) and K/V blocks ride the ICI ring.
+
+    Takes an ordinary trained checkpoint. The post-subsampling frame
+    axis is padded to a multiple of the ring size (padded keys are
+    masked by `lengths` exactly like the unsharded mask). Output matches
+    `model.apply(..., method=model.encode)` to numeric precision
+    (tests/test_ring_attention.py::TestEncodeRing).
+    """
+    import flax
+
+    c = model.cfg
+    if c.encoder_type != "transformer":
+        raise ValueError(
+            "encode_ring blocks are _MHABlock-shaped; "
+            f"encoder_type={c.encoder_type!r} is not supported yet"
+        )
+    S = mesh.shape[time_axis]
+    enc_p = flax.core.unfreeze(params)["params"]["encoder"]
+
+    h, out_len = Conv2dSubsampling(c.adim).apply(
+        {"params": enc_p["embed"]}, feats, lengths
+    )
+    h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+    T = h.shape[1]
+    Tp = -(-T // S) * S
+    h = jnp.pad(h, ((0, 0), (0, Tp - T), (0, 0)))
+    h = jax.lax.with_sharding_constraint(
+        h, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, time_axis, None)
+        ),
+    )
+    block = _RingMHABlock(c, c.eunits)
+    for i in range(c.elayers):
+        h = block.apply(
+            {"params": enc_p[f"layer_{i}"]}, h, out_len, mesh, time_axis
+        )
+    h = h[:, :T]
+    h = nn.LayerNorm().apply({"params": enc_p["after_norm"]}, h)
+    ctc = nn.Dense(c.vocab_size).apply(
+        {"params": flax.core.unfreeze(params)["params"]["ctc_head"]}, h
+    )
+    return h, out_len, ctc
+
+
+def split_pipeline_params(params, n_stages: int):
+    """Loop-layout checkpoint -> ({rest}, stacked) for PIPELINED
+    TRAINING: the elayers encoder block subtrees are stacked into
+    (n_stages, per, ...) leaves (shard P('pipe') over the mesh), and
+    `rest` is the checkpoint with those blocks removed (embed,
+    after_norm, decoder, ctc_head — replicated). Exact inverse:
+    `merge_pipeline_params`."""
+    import flax
+
+    from speech_recognition_tools_tpu.parallel.pp import (
+        stack_pipeline_params,
+    )
+
+    p = flax.core.unfreeze(params)
+    enc = p["params"]["encoder"]
+    layers = sorted(
+        (k for k in enc if k.startswith("layer_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    L = len(layers)
+    if L % n_stages:
+        raise ValueError(f"elayers {L} not divisible by {n_stages} stages")
+    per = L // n_stages
+    chunks = [
+        stack_pipeline_params(
+            [enc[layers[i * per + j]] for j in range(per)]
+        )
+        for i in range(n_stages)
+    ]
+    stacked = stack_pipeline_params(chunks)  # (S, per, ...)
+    rest = {k: v for k, v in enc.items() if not k.startswith("layer_")}
+    p["params"]["encoder"] = rest
+    return p, stacked
+
+
+def merge_pipeline_params(rest, stacked):
+    """Inverse of split_pipeline_params (bit-exact): rebuild the
+    loop-layout checkpoint so recog/resume work unchanged."""
+    import flax
+
+    import jax as _jax
+
+    p = flax.core.unfreeze(rest)
+    enc = dict(p["params"]["encoder"])
+    leaves = _jax.tree.leaves(stacked)
+    S, per = leaves[0].shape[0], leaves[0].shape[1]
+    for i in range(S):
+        for j in range(per):
+            enc[f"layer_{i * per + j}"] = _jax.tree.map(
+                lambda a: a[i, j], stacked
+            )
+    p["params"]["encoder"] = enc
+    return p
+
+
+def asr_loss_pipelined(model, rest, stacked, batch, cfg, mesh, *,
+                       n_micro: int = 2, axis: str = "pipe"):
+    """`asr_loss` with the encoder blocks trained as GPipe pipeline
+    stages (parallel/pp.py): stacked block params are sharded P('pipe'),
+    microbatches hop the ring, and jax.grad through the scan IS the
+    exact pipelined backward. Deterministic (dropout off — the stage
+    closure carries no per-block rng; use dropout=0 configs).
+
+    Returns (loss, aux) like asr_loss; grads flow to BOTH `rest` and
+    `stacked` when differentiated over them."""
+    import flax
+
+    from speech_recognition_tools_tpu.parallel.pp import (
+        microbatch,
+        pipeline_apply,
+        unmicrobatch,
+    )
+
+    c = cfg
+    feats, lengths = batch["feats"], batch["lengths"]
+    tokens, token_len = batch["tokens"], batch["token_lengths"]
+    enc_rest = flax.core.unfreeze(rest)["params"]["encoder"]
+    leaves = jax.tree.leaves(stacked)
+    per = leaves[0].shape[1]
+
+    h, enc_len = Conv2dSubsampling(c.adim).apply(
+        {"params": enc_rest["embed"]}, feats, lengths
+    )
+    h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+    mask = (jnp.arange(h.shape[1])[None, :] < enc_len[:, None]).astype(
+        h.dtype
+    )
+    block = _MHABlock(c, c.eunits)
+
+    def stage(p, state):
+        x, m = state
+        for j in range(per):
+            x = block.apply(
+                {"params": jax.tree.map(lambda a: a[j], p)}, x, m > 0.5
+            )
+        return x, m
+
+    out_h, _ = pipeline_apply(
+        stage, stacked,
+        (microbatch(h, n_micro), microbatch(mask, n_micro)),
+        mesh=mesh, axis=axis, data_axis=None,
+    )
+    memory = unmicrobatch(out_h)
+    memory = nn.LayerNorm().apply({"params": enc_rest["after_norm"]}, memory)
+
+    rest_p = flax.core.unfreeze(rest)["params"]
+    ctc_logits = nn.Dense(c.vocab_size).apply(
+        {"params": rest_p["ctc_head"]}, memory
+    )
+    B, U = tokens.shape
+    sos = jnp.full((B, 1), c.sos_id, tokens.dtype)
+    tokens_in = jnp.concatenate([sos, tokens[:, :-1]], axis=1)
+    tokens_in = jnp.where(
+        jnp.arange(U)[None, :] <= token_len[:, None], tokens_in, -1
+    )
+    dec_logits = TransformerDecoder(c).apply(
+        {"params": rest_p["decoder"]}, tokens_in, memory, enc_len, True
+    )
+    return _joint_loss(ctc_logits, dec_logits, enc_len, batch, c)
+
+
+def _joint_loss(ctc_logits, dec_logits, enc_len, batch, cfg):
+    """The CTC + label-smoothed attention joint objective shared by
+    asr_loss and asr_loss_pipelined."""
+    tokens, token_len = batch["tokens"], batch["token_lengths"]
+    _, U = tokens.shape
+    tok_padmask = (jnp.arange(U)[None, :] >= token_len[:, None]).astype(
+        jnp.float32
+    )
+    enc_padmask = (
+        jnp.arange(ctc_logits.shape[1])[None, :] >= enc_len[:, None]
+    ).astype(jnp.float32)
+    ctc = optax.ctc_loss(
+        ctc_logits, enc_padmask, jnp.maximum(tokens, 0), tok_padmask,
+        blank_id=cfg.blank_id,
+    )
+    ctc = jnp.mean(ctc / jnp.maximum(token_len, 1))
+    tgt = jnp.where(
+        jnp.arange(U)[None, :] == token_len[:, None], cfg.eos_id, tokens
+    )
+    valid = (jnp.arange(U)[None, :] <= token_len[:, None]).astype(jnp.float32)
+    logp = jax.nn.log_softmax(dec_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, jnp.maximum(tgt, 0)[..., None], -1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    ce = (1 - cfg.lsm_weight) * nll + cfg.lsm_weight * smooth
+    att = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
+    loss = cfg.mtlalpha * ctc + (1 - cfg.mtlalpha) * att
+    return loss, {"ctc": ctc, "att": att}
+
+
 def asr_loss(model, params, batch, rng, cfg: TransformerASRConfig,
              train=True):
     """Joint loss: mtlalpha * CTC + (1-mtlalpha) * label-smoothed attention
@@ -364,30 +620,7 @@ def asr_loss(model, params, batch, rng, cfg: TransformerASRConfig,
         params, feats, lengths, tokens_in,
         not train, rngs={"dropout": rng} if train else {},
     )
-    # CTC (optax: blank = 0 by default, labels padded with 0)
-    tok_padmask = (jnp.arange(U)[None, :] >= token_len[:, None]).astype(
-        jnp.float32
-    )
-    enc_padmask = (
-        jnp.arange(ctc_logits.shape[1])[None, :] >= enc_len[:, None]
-    ).astype(jnp.float32)
-    ctc = optax.ctc_loss(
-        ctc_logits, enc_padmask, jnp.maximum(tokens, 0), tok_padmask,
-        blank_id=cfg.blank_id,
-    )
-    ctc = jnp.mean(ctc / jnp.maximum(token_len, 1))
-    # attention CE with label smoothing; target = tokens + eos at token_len
-    tgt = jnp.where(
-        jnp.arange(U)[None, :] == token_len[:, None], cfg.eos_id, tokens
-    )
-    valid = (jnp.arange(U)[None, :] <= token_len[:, None]).astype(jnp.float32)
-    logp = jax.nn.log_softmax(dec_logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, jnp.maximum(tgt, 0)[..., None], -1)[..., 0]
-    smooth = -jnp.mean(logp, axis=-1)
-    ce = (1 - cfg.lsm_weight) * nll + cfg.lsm_weight * smooth
-    att = jnp.sum(ce * valid) / jnp.maximum(jnp.sum(valid), 1)
-    loss = cfg.mtlalpha * ctc + (1 - cfg.mtlalpha) * att
-    return loss, {"ctc": ctc, "att": att}
+    return _joint_loss(ctc_logits, dec_logits, enc_len, batch, cfg)
 
 
 def noam_schedule(adim, warmup=25000, factor=10.0):
@@ -432,6 +665,7 @@ def beam_search(
     penalty: float = 0.0,
     lm_apply=None,
     lm_weight: float = 1.0,
+    encode_fn=None,
 ):
     """Joint CTC/attention beam search with exact CTC prefix scoring
     (Watanabe-style hybrid decoding, as in the ESPnet asr_recog the
@@ -439,15 +673,23 @@ def beam_search(
     and optional RNNLM shallow fusion. Host-loop over steps; every step's
     attention, CTC-prefix and LM scoring is batched over (beams x vocab)
     on device. Returns the best token list (feats: one utterance (1,T,D)).
+
+    encode_fn: optional (feats, lengths) -> (memory, enc_len, ctc_logits)
+    replacement for the plain encoder — e.g. `encode_ring` for
+    long-utterance sequence-parallel encoding, or `encode_pipelined` for
+    deep encoders sharded over a pipe mesh.
     """
     from speech_recognition_tools_tpu.decode.ctc_prefix import (
         ctc_prefix_scores,
         init_prefix_state,
     )
 
-    memory, enc_len, ctc_logits = model.apply(
-        params, feats, lengths, method=TransformerASR.encode
-    )
+    if encode_fn is None:
+        memory, enc_len, ctc_logits = model.apply(
+            params, feats, lengths, method=TransformerASR.encode
+        )
+    else:
+        memory, enc_len, ctc_logits = encode_fn(feats, lengths)
     K = beam_size
     memory = jnp.repeat(memory, K, axis=0)
     enc_len_b = jnp.repeat(enc_len, K, axis=0)

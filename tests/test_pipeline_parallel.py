@@ -242,3 +242,128 @@ class TestTransformerStagePP:
             np.asarray(unmicrobatch(out_h)), np.asarray(ref),
             rtol=1e-5, atol=1e-5,
         )
+
+
+class TestPipelinedTraining:
+    """Training-side PP (VERDICT r3 weak #3a): stacked-layer param
+    layout + converters + asr_loss_pipelined + the train_e2e
+    --pipeline_parallel CLI path."""
+
+    def _model(self, elayers=4):
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            TransformerASR,
+            TransformerASRConfig,
+        )
+
+        cfg = TransformerASRConfig(
+            vocab_size=12, adim=16, aheads=2, elayers=elayers, eunits=24,
+            dlayers=1, dunits=24, dropout=0.0,
+        )
+        return TransformerASR(cfg), cfg
+
+    def _batch(self, rs, B=4, T=20, D=8, U=5):
+        return {
+            "feats": jnp.asarray(rs.randn(B, T, D), jnp.float32),
+            "lengths": jnp.asarray([T, T - 3, T - 5, T - 1], jnp.int32),
+            "tokens": jnp.asarray(rs.randint(1, 10, (B, U)), jnp.int32),
+            "token_lengths": jnp.asarray([U - 1] * B, jnp.int32),
+        }
+
+    def test_split_merge_roundtrip_bit_exact(self):
+        model, cfg = self._model()
+        rs = np.random.RandomState(0)
+        b = self._batch(rs)
+        params = model.init(
+            {"params": jax.random.key(0)},
+            b["feats"], b["lengths"], b["tokens"],
+        )
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            merge_pipeline_params,
+            split_pipeline_params,
+        )
+
+        rest, stacked = split_pipeline_params(params, 2)
+        merged = merge_pipeline_params(rest, stacked)
+        flat_a = jax.tree_util.tree_leaves_with_path(
+            jax.tree.map(np.asarray, params)
+        )
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(
+            jax.tree.map(np.asarray, merged)
+        ))
+        for path, leaf in flat_a:
+            assert np.array_equal(leaf, flat_b[path]), path
+
+    def test_pipelined_loss_matches_plain(self):
+        """asr_loss_pipelined == asr_loss (train=False) to numeric
+        precision: the GPipe schedule is a reordering, not an
+        approximation."""
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            asr_loss,
+            asr_loss_pipelined,
+            split_pipeline_params,
+        )
+
+        model, cfg = self._model()
+        rs = np.random.RandomState(1)
+        b = self._batch(rs)
+        params = model.init(
+            {"params": jax.random.key(1)},
+            b["feats"], b["lengths"], b["tokens"],
+        )
+        ref, aux_ref = asr_loss(
+            model, params, b, jax.random.key(2), cfg, train=False
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
+        rest, stacked = split_pipeline_params(params, 4)
+        got, aux = asr_loss_pipelined(
+            model, rest, stacked, b, cfg, mesh, n_micro=2
+        )
+        assert abs(float(got) - float(ref)) < 2e-4, (float(got), float(ref))
+        assert abs(float(aux["ctc"]) - float(aux_ref["ctc"])) < 2e-4
+
+    @pytest.mark.slow
+    def test_train_e2e_pipeline_cli_loss_parity(self, tmp_path, capsys):
+        """--pipeline_parallel 4 trains through the CLI with per-epoch
+        loss parity vs the single-device run, and the checkpoints stay
+        loop-layout (recog-compatible)."""
+        import re
+
+        from speech_recognition_tools_tpu.cli import train_e2e
+        from speech_recognition_tools_tpu.io import build_egs
+
+        def run(tag, extra):
+            rs = np.random.RandomState(9)
+            feats = {
+                f"u{i}": rs.randn(40, 8).astype(np.float32)
+                for i in range(8)
+            }
+            egs = str(tmp_path / f"egs_{tag}")
+            build_egs(iter(feats.items()), egs)
+            text = tmp_path / f"text_{tag}"
+            text.write_text("".join(f"u{i} ab cab\n" for i in range(8)))
+            out = str(tmp_path / f"e2e_{tag}")
+            train_e2e.main(
+                [egs, str(text), out, "--adim", "16", "--aheads", "2",
+                 "--elayers", "4", "--eunits", "24", "--dlayers", "1",
+                 "--dunits", "24", "--epochs", "2", "--batch_size", "8",
+                 "--warmup_steps", "10", "--average_last", "2",
+                 "--dropout", "0.0", "--seed", "5"] + extra
+            )
+            txt = capsys.readouterr().out
+            return [float(m) for m in re.findall(r"loss ([\d.]+)", txt)], out
+
+        base, _ = run("base", [])
+        pp, out = run("pp", ["--pipeline_parallel", "4",
+                             "--pp_microbatches", "2"])
+        assert len(base) == len(pp) and base
+        for a, b in zip(base, pp):
+            assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (base, pp)
+        # loop-layout checkpoint: recog loads it unchanged
+        import os
+
+        from speech_recognition_tools_tpu.cli import recog_e2e
+
+        hyp = str(tmp_path / "hyp_pp.txt")
+        recog_e2e.main([out, str(tmp_path / "egs_pp"), hyp,
+                        "--beam_size", "2", "--max_len", "6"])
+        assert os.path.exists(hyp)
