@@ -243,9 +243,6 @@ def main(argv=None):
         assert args.tensor_parallel == 1, (
             "--pipeline_parallel and --tensor_parallel are exclusive"
         )
-        assert args.dropout == 0.0, (
-            "pipelined training is deterministic; use --dropout 0"
-        )
         import numpy as _np
         from jax.sharding import Mesh
 
@@ -296,12 +293,13 @@ def main(argv=None):
 
     if pp:
         # split the loop-layout checkpoint into (rest, stacked-blocks);
-        # checkpoints stay loop-layout (merged back at save) so resume /
-        # recog work unchanged. Optimizer state re-inits on the split
-        # tree (a resumed Noam step count is NOT carried — warn).
+        # checkpoints stay loop-layout (merged back at save, optimizer
+        # moments included) so resume / recog work unchanged and the
+        # Noam step count survives a PP resume.
         from speech_recognition_tools_tpu.models.transformer_asr import (
             asr_loss_pipelined,
             merge_pipeline_params,
+            pp_opt_state_from_loop,
             split_pipeline_params,
         )
         from speech_recognition_tools_tpu.parallel.pp import (
@@ -309,25 +307,40 @@ def main(argv=None):
         )
         from speech_recognition_tools_tpu.parallel.tp import shard_params
 
-        if start_epoch:
-            print("NOTE: resuming with --pipeline_parallel restarts the "
-                  "optimizer state (Noam step resets)")
+        def place_stacked(t):
+            return shard_params(
+                t, mesh, pipeline_param_sharding(mesh, "pipe")
+            )
+
         rest, stacked = split_pipeline_params(
             params, args.pipeline_parallel
         )
-        stacked = shard_params(
-            stacked, mesh, pipeline_param_sharding(mesh, "pipe")
+        params = {"rest": rest, "stacked": place_stacked(stacked)}
+        # re-split the (loop-layout) optimizer state — freshly inited or
+        # restored from the checkpoint — and place its stacked moments
+        # like the stacked params
+        _is_split = (lambda n: isinstance(n, dict)
+                     and set(n.keys()) == {"rest", "stacked"})
+        opt_state = jax.tree.map(
+            lambda n: {"rest": n["rest"],
+                       "stacked": place_stacked(n["stacked"])}
+            if _is_split(n) else n,
+            pp_opt_state_from_loop(opt_state, args.pipeline_parallel),
+            is_leaf=_is_split,
         )
-        params = {"rest": rest, "stacked": stacked}
-        opt_state = tx.init(params)
         n_micro = args.pp_microbatches
+        use_dropout = args.dropout > 0
+        # DP x PP: microbatch examples shard over 'data' inside the
+        # pipeline instead of replicating onto every ring
+        pp_data_axis = "data" if mesh.shape["data"] > 1 else None
 
         @jax.jit
         def step(params, opt_state, batch, rng):
             def loss_fn(sp):
                 return asr_loss_pipelined(
                     model, sp["rest"], sp["stacked"], batch, cfg, mesh,
-                    n_micro=n_micro,
+                    n_micro=n_micro, rng=rng if use_dropout else None,
+                    data_axis=pp_data_axis,
                 )
 
             (loss, aux), grads = jax.value_and_grad(
@@ -380,11 +393,18 @@ def main(argv=None):
             losses.append(float(loss))
         print(f"epoch {epoch + 1}: loss {sum(losses)/max(len(losses),1):.4f}")
         # checkpoints are ALWAYS loop-layout (recog/resume-compatible);
-        # PP merges its stacked blocks back and skips the (split-layout)
-        # optimizer state
+        # PP merges its stacked blocks AND optimizer moments back
         save_p = to_loop_layout(params)
+        if pp:
+            from speech_recognition_tools_tpu.models.transformer_asr import (
+                pp_opt_state_to_loop,
+            )
+
+            save_opt = pp_opt_state_to_loop(opt_state)
+        else:
+            save_opt = opt_state
         save_checkpoint(args.store_path, f"epoch_{epoch + 1}", save_p, hyper,
-                        opt_state=None if pp else opt_state,
+                        opt_state=save_opt,
                         extra={"epoch": epoch + 1})
         recent.append(jax.tree.map(lambda x: x, save_p))
         if len(recent) > args.average_last:

@@ -278,6 +278,15 @@ class TransformerASR(nn.Module):
         )
 
 
+def _encoder_block(c: TransformerASRConfig):
+    """The encoder block module for c.encoder_type — both types share
+    the (x, mask) call signature, so the PP stage closures and the
+    loss below are encoder-agnostic."""
+    if c.encoder_type == "conformer":
+        return _ConformerBlock(c, c.eunits)
+    return _MHABlock(c, c.eunits)
+
+
 def encode_pipelined(model, params, feats, lengths, mesh, *,
                      n_micro: int = 2, axis: str = "pipe"):
     """`TransformerASR.encode` with the encoder blocks run as GPipe
@@ -303,11 +312,6 @@ def encode_pipelined(model, params, feats, lengths, mesh, *,
     from speech_recognition_tools_tpu.parallel.tp import shard_params
 
     c = model.cfg
-    if c.encoder_type != "transformer":
-        raise ValueError(
-            "encode_pipelined stages are _MHABlock-shaped; "
-            f"encoder_type={c.encoder_type!r} is not supported yet"
-        )
     S = mesh.shape[axis]
     if c.elayers % S:
         raise ValueError(f"elayers {c.elayers} not divisible by {S} stages")
@@ -319,7 +323,7 @@ def encode_pipelined(model, params, feats, lengths, mesh, *,
     h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
     mask = (jnp.arange(h.shape[1])[None, :] < out_len[:, None]).astype(h.dtype)
 
-    block = _MHABlock(c, c.eunits)
+    block = _encoder_block(c)
     chunks = [
         stack_pipeline_params(
             [{"params": enc_p[f"layer_{i * per + j}"]} for j in range(per)]
@@ -405,6 +409,51 @@ class _RingMHABlock(nn.Module):
         return x + h
 
 
+class _RingConformerBlock(nn.Module):
+    """_ConformerBlock with the MHSA routed through the time ring.
+    Module names mirror _ConformerBlock's explicit names (ffn1_*, mhsa,
+    conv_*, ffn2_*, final_norm) so the SAME layer_i param subtrees
+    apply; the Dropout layers are omitted (no params, identity at
+    inference). The depthwise conv runs on the time-sharded layout
+    under GSPMD (XLA inserts the halo exchange); its input is zeroed
+    past `lengths` exactly like the unsharded block, so ring-padded
+    frames cannot leak into valid positions. Deterministic (inference
+    path)."""
+
+    cfg: TransformerASRConfig
+    ff_dim: int
+
+    def _ffn(self, x, name):
+        c = self.cfg
+        h = nn.LayerNorm(name=f"{name}_norm")(x)
+        h = nn.Dense(self.ff_dim, name=f"{name}_in")(h)
+        h = nn.swish(h)
+        return nn.Dense(c.adim, name=f"{name}_out")(h)
+
+    @nn.compact
+    def __call__(self, x, lengths, mesh, time_axis):
+        c = self.cfg
+        mask = jnp.arange(x.shape[1])[None, :] < lengths[:, None]
+        x = x + 0.5 * self._ffn(x, "ffn1")
+        h = nn.LayerNorm(name="mhsa_norm")(x)
+        h = _RingSelfAttention(c, name="mhsa")(h, lengths, mesh, time_axis)
+        x = x + h
+        h = nn.LayerNorm(name="conv_norm")(x)
+        h = h * mask[..., None].astype(h.dtype)
+        h = nn.Dense(2 * c.adim, name="conv_pointwise_in")(h)
+        h = nn.glu(h, axis=-1)
+        h = nn.Conv(
+            c.adim, (c.conv_kernel,), feature_group_count=c.adim,
+            padding="SAME", name="conv_depthwise",
+        )(h)
+        h = nn.LayerNorm(name="conv_mid_norm")(h)
+        h = nn.swish(h)
+        h = nn.Dense(c.adim, name="conv_pointwise_out")(h)
+        x = x + h
+        x = x + 0.5 * self._ffn(x, "ffn2")
+        return nn.LayerNorm(name="final_norm")(x)
+
+
 def encode_ring(model, params, feats, lengths, mesh, *,
                 time_axis: str = "time"):
     """`TransformerASR.encode` with every encoder self-attention routed
@@ -421,11 +470,6 @@ def encode_ring(model, params, feats, lengths, mesh, *,
     import flax
 
     c = model.cfg
-    if c.encoder_type != "transformer":
-        raise ValueError(
-            "encode_ring blocks are _MHABlock-shaped; "
-            f"encoder_type={c.encoder_type!r} is not supported yet"
-        )
     S = mesh.shape[time_axis]
     enc_p = flax.core.unfreeze(params)["params"]["encoder"]
 
@@ -441,7 +485,9 @@ def encode_ring(model, params, feats, lengths, mesh, *,
             mesh, jax.sharding.PartitionSpec(None, time_axis, None)
         ),
     )
-    block = _RingMHABlock(c, c.eunits)
+    ring_cls = (_RingConformerBlock if c.encoder_type == "conformer"
+                else _RingMHABlock)
+    block = ring_cls(c, c.eunits)
     for i in range(c.elayers):
         h = block.apply(
             {"params": enc_p[f"layer_{i}"]}, h, out_len, mesh, time_axis
@@ -509,13 +555,61 @@ def merge_pipeline_params(rest, stacked):
     return p
 
 
+def pp_opt_state_to_loop(opt_state):
+    """Optimizer state built over split-layout params ({'rest':...,
+    'stacked':...}) -> the same state with every such moment subtree
+    merged back to loop layout, so it can be CHECKPOINTED next to the
+    loop-layout params and survive a resume (including Noam step
+    counts). Bit-exact inverse: `pp_opt_state_from_loop`."""
+
+    def is_split(n):
+        return isinstance(n, dict) and set(n.keys()) == {"rest", "stacked"}
+
+    return jax.tree.map(
+        lambda n: merge_pipeline_params(n["rest"], n["stacked"])
+        if is_split(n) else n,
+        opt_state, is_leaf=is_split,
+    )
+
+
+def pp_opt_state_from_loop(opt_state, n_stages: int):
+    """Inverse of pp_opt_state_to_loop: re-split every loop-layout
+    moment subtree for `n_stages` pipeline stages (the stage count may
+    differ from the one that wrote the checkpoint — the loop layout is
+    the canonical form)."""
+
+    def is_params(n):
+        return isinstance(n, dict) and set(n.keys()) == {"params"}
+
+    def f(n):
+        if is_params(n):
+            r, s = split_pipeline_params(n, n_stages)
+            return {"rest": r, "stacked": s}
+        return n
+
+    return jax.tree.map(f, opt_state, is_leaf=is_params)
+
+
 def asr_loss_pipelined(model, rest, stacked, batch, cfg, mesh, *,
-                       n_micro: int = 2, axis: str = "pipe"):
+                       n_micro: int = 2, axis: str = "pipe", rng=None,
+                       data_axis: str | None = None):
     """`asr_loss` with the encoder blocks trained as GPipe pipeline
     stages (parallel/pp.py): stacked block params are sharded P('pipe'),
     microbatches hop the ring, and jax.grad through the scan IS the
-    exact pipelined backward. Deterministic (dropout off — the stage
-    closure carries no per-block rng; use dropout=0 configs).
+    exact pipelined backward. Works for both encoder_types (the blocks
+    share the (x, mask) stage signature).
+
+    rng=None runs deterministic (== asr_loss train=False). With an rng,
+    dropout is ON everywhere: the posenc/decoder dropouts use folded
+    streams, and each microbatch carries its own key *through the
+    pipeline state* (key data rides the ppermute hops with the
+    activations), folded per (stage, block, data shard) inside the stage
+    closure — so every (microbatch, layer) pair gets an independent mask
+    without widening pipeline_apply's interface.
+
+    data_axis: optional mesh axis for DP x PP — the microbatch examples
+    shard over it inside the pipeline (per-device activation memory
+    scales 1/dp) instead of being replicated onto every pipe ring.
 
     Returns (loss, aux) like asr_loss; grads flow to BOTH `rest` and
     `stacked` when differentiated over them."""
@@ -528,6 +622,7 @@ def asr_loss_pipelined(model, rest, stacked, batch, cfg, mesh, *,
     )
 
     c = cfg
+    train = rng is not None
     feats, lengths = batch["feats"], batch["lengths"]
     tokens, token_len = batch["tokens"], batch["token_lengths"]
     enc_rest = flax.core.unfreeze(rest)["params"]["encoder"]
@@ -538,23 +633,54 @@ def asr_loss_pipelined(model, rest, stacked, batch, cfg, mesh, *,
         {"params": enc_rest["embed"]}, feats, lengths
     )
     h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+    if train:
+        h = nn.Dropout(c.dropout).apply(
+            {}, h, deterministic=False,
+            rngs={"dropout": jax.random.fold_in(rng, 0)},
+        )
     mask = (jnp.arange(h.shape[1])[None, :] < enc_len[:, None]).astype(
         h.dtype
     )
-    block = _MHABlock(c, c.eunits)
+    block = _encoder_block(c)
 
     def stage(p, state):
-        x, m = state
+        x, m, kd = state
+        if train:
+            sidx = jax.lax.axis_index(axis)
+            if data_axis is not None:
+                # distinct masks per data shard (the shards hold
+                # different examples)
+                sidx = sidx + mesh.shape[axis] * jax.lax.axis_index(
+                    data_axis
+                )
+            key = jax.random.wrap_key_data(kd[0])
         for j in range(per):
-            x = block.apply(
-                {"params": jax.tree.map(lambda a: a[j], p)}, x, m > 0.5
-            )
-        return x, m
+            bp = {"params": jax.tree.map(lambda a: a[j], p)}
+            if train:
+                kj = jax.random.fold_in(key, sidx * per + j)
+                x = block.apply(bp, x, m > 0.5, deterministic=False,
+                                rngs={"dropout": kj})
+            else:
+                x = block.apply(bp, x, m > 0.5)
+        return x, m, kd
 
-    out_h, _ = pipeline_apply(
+    # per-microbatch key data (uint32), broadcast over the example axis
+    # so it shards like the activations under data_axis — a normal state
+    # leaf, injected/hopped/collected exactly like them
+    mb_base = jax.random.fold_in(rng if train else jax.random.key(0), 2)
+    kd1 = jax.random.key_data(mb_base)
+    mb_keys = jax.vmap(
+        lambda i: jax.random.key_data(jax.random.fold_in(mb_base, i))
+    )(jnp.arange(n_micro))
+    mb_keys = jnp.broadcast_to(
+        mb_keys[:, None, :],
+        (n_micro, h.shape[0] // n_micro) + kd1.shape,
+    )
+
+    out_h, _, _ = pipeline_apply(
         stage, stacked,
-        (microbatch(h, n_micro), microbatch(mask, n_micro)),
-        mesh=mesh, axis=axis, data_axis=None,
+        (microbatch(h, n_micro), microbatch(mask, n_micro), mb_keys),
+        mesh=mesh, axis=axis, data_axis=data_axis,
     )
     memory = unmicrobatch(out_h)
     memory = nn.LayerNorm().apply({"params": enc_rest["after_norm"]}, memory)
@@ -570,7 +696,9 @@ def asr_loss_pipelined(model, rest, stacked, batch, cfg, mesh, *,
         jnp.arange(U)[None, :] <= token_len[:, None], tokens_in, -1
     )
     dec_logits = TransformerDecoder(c).apply(
-        {"params": rest_p["decoder"]}, tokens_in, memory, enc_len, True
+        {"params": rest_p["decoder"]}, tokens_in, memory, enc_len,
+        not train,
+        rngs={"dropout": jax.random.fold_in(rng, 1)} if train else {},
     )
     return _joint_loss(ctc_logits, dec_logits, enc_len, batch, c)
 

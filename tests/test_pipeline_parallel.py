@@ -249,7 +249,7 @@ class TestPipelinedTraining:
     layout + converters + asr_loss_pipelined + the train_e2e
     --pipeline_parallel CLI path."""
 
-    def _model(self, elayers=4):
+    def _model(self, elayers=4, encoder_type="transformer", dropout=0.0):
         from speech_recognition_tools_tpu.models.transformer_asr import (
             TransformerASR,
             TransformerASRConfig,
@@ -257,7 +257,8 @@ class TestPipelinedTraining:
 
         cfg = TransformerASRConfig(
             vocab_size=12, adim=16, aheads=2, elayers=elayers, eunits=24,
-            dlayers=1, dunits=24, dropout=0.0,
+            dlayers=1, dunits=24, dropout=dropout,
+            encoder_type=encoder_type,
         )
         return TransformerASR(cfg), cfg
 
@@ -293,17 +294,22 @@ class TestPipelinedTraining:
         for path, leaf in flat_a:
             assert np.array_equal(leaf, flat_b[path]), path
 
-    def test_pipelined_loss_matches_plain(self):
+    @pytest.mark.parametrize(
+        "encoder_type",
+        ["transformer", pytest.param("conformer", marks=pytest.mark.slow)],
+    )
+    def test_pipelined_loss_matches_plain(self, encoder_type):
         """asr_loss_pipelined == asr_loss (train=False) to numeric
         precision: the GPipe schedule is a reordering, not an
-        approximation."""
+        approximation. 2 stages x 2 blocks — the deeper 4-stage schedule
+        is covered by TestPipelineApply and the driver dryrun (stage 5)."""
         from speech_recognition_tools_tpu.models.transformer_asr import (
             asr_loss,
             asr_loss_pipelined,
             split_pipeline_params,
         )
 
-        model, cfg = self._model()
+        model, cfg = self._model(encoder_type=encoder_type)
         rs = np.random.RandomState(1)
         b = self._batch(rs)
         params = model.init(
@@ -313,13 +319,77 @@ class TestPipelinedTraining:
         ref, aux_ref = asr_loss(
             model, params, b, jax.random.key(2), cfg, train=False
         )
-        mesh = Mesh(np.asarray(jax.devices()[:4]), ("pipe",))
-        rest, stacked = split_pipeline_params(params, 4)
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+        rest, stacked = split_pipeline_params(params, 2)
         got, aux = asr_loss_pipelined(
             model, rest, stacked, b, cfg, mesh, n_micro=2
         )
         assert abs(float(got) - float(ref)) < 2e-4, (float(got), float(ref))
         assert abs(float(aux["ctc"]) - float(aux_ref["ctc"])) < 2e-4
+
+    def test_pp_opt_state_roundtrip_bit_exact(self):
+        """pp_opt_state_from_loop/to_loop invert each other over a real
+        optax chain (clip -> adam), so a PP resume carries the moments
+        and step count."""
+        import optax
+
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            pp_opt_state_from_loop,
+            pp_opt_state_to_loop,
+        )
+
+        model, cfg = self._model()
+        rs = np.random.RandomState(2)
+        b = self._batch(rs)
+        params = model.init(
+            {"params": jax.random.key(4)},
+            b["feats"], b["lengths"], b["tokens"],
+        )
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+        loop_opt = tx.init(params)
+        back = pp_opt_state_to_loop(pp_opt_state_from_loop(loop_opt, 2))
+        la = jax.tree_util.tree_leaves_with_path(loop_opt)
+        lb = dict(jax.tree_util.tree_leaves_with_path(back))
+        assert len(la) == len(lb)
+        for path, leaf in la:
+            assert np.array_equal(np.asarray(leaf), np.asarray(lb[path])), path
+
+    @pytest.mark.slow
+    def test_pipelined_dropout_streams(self):
+        """With an rng, the pipelined loss is reproducible per key,
+        differs across keys and from the deterministic path, and grads
+        still flow to the stacked stage params."""
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            asr_loss_pipelined,
+            split_pipeline_params,
+        )
+
+        model, cfg = self._model(dropout=0.1)
+        rs = np.random.RandomState(3)
+        b = self._batch(rs)
+        params = model.init(
+            {"params": jax.random.key(5), "dropout": jax.random.key(6)},
+            b["feats"], b["lengths"], b["tokens"],
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+        rest, stacked = split_pipeline_params(params, 2)
+
+        def loss(rng, s=stacked):
+            return asr_loss_pipelined(
+                model, rest, s, b, cfg, mesh, n_micro=2, rng=rng
+            )[0]
+
+        det = asr_loss_pipelined(
+            model, rest, stacked, b, cfg, mesh, n_micro=2
+        )[0]
+        l1, l1b = loss(jax.random.key(7)), loss(jax.random.key(7))
+        l2 = loss(jax.random.key(8))
+        assert float(l1) == float(l1b)
+        assert float(l1) != float(l2)
+        assert float(l1) != float(det)
+        g = jax.grad(lambda s: loss(jax.random.key(7), s))(stacked)
+        gn = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+        assert np.isfinite(gn) and gn > 0
 
     @pytest.mark.slow
     def test_train_e2e_pipeline_cli_loss_parity(self, tmp_path, capsys):
@@ -358,12 +428,40 @@ class TestPipelinedTraining:
         assert len(base) == len(pp) and base
         for a, b in zip(base, pp):
             assert abs(a - b) < 5e-3 * max(1.0, abs(a)), (base, pp)
-        # loop-layout checkpoint: recog loads it unchanged
+        # PP resume carries the optimizer state: epoch checkpoints store
+        # loop-layout opt_state, and a third epoch resumes from it
         import os
 
+        from speech_recognition_tools_tpu.train.checkpoint import (
+            load_checkpoint,
+        )
+
+        assert "opt_state" in load_checkpoint(
+            os.path.join(out, "epoch_2")
+        )[0]
+        import shutil
+
+        shutil.rmtree(os.path.join(out, "final_avg"))
+        train_e2e.main(
+            [str(tmp_path / "egs_pp"), str(tmp_path / "text_pp"), out,
+             "--adim", "16", "--aheads", "2", "--elayers", "4",
+             "--eunits", "24", "--dlayers", "1", "--dunits", "24",
+             "--epochs", "3", "--batch_size", "8", "--warmup_steps", "10",
+             "--average_last", "2", "--dropout", "0.0", "--seed", "5",
+             "--pipeline_parallel", "4", "--pp_microbatches", "2"]
+        )
+        txt = capsys.readouterr().out
+        assert "resumed from" in txt and "epoch 3:" in txt
+
+        # loop-layout checkpoint: recog loads it unchanged, and the
+        # --ring_attention path decodes the same hypotheses
         from speech_recognition_tools_tpu.cli import recog_e2e
 
         hyp = str(tmp_path / "hyp_pp.txt")
         recog_e2e.main([out, str(tmp_path / "egs_pp"), hyp,
                         "--beam_size", "2", "--max_len", "6"])
-        assert os.path.exists(hyp)
+        hyp_ring = str(tmp_path / "hyp_ring.txt")
+        recog_e2e.main([out, str(tmp_path / "egs_pp"), hyp_ring,
+                        "--beam_size", "2", "--max_len", "6",
+                        "--ring_attention", "4"])
+        assert open(hyp).read() == open(hyp_ring).read()

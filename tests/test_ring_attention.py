@@ -39,8 +39,12 @@ class TestRingAttention:
         [False, pytest.param(True, marks=pytest.mark.slow)],
     )
     def test_matches_full_attention(self, causal):
-        assert jax.device_count() >= 8
-        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("time",))
+        # 4-dev ring: the hop/masking logic is block-count-invariant and
+        # the 8-dev case is exercised by the driver dryrun (stage 7);
+        # halving the unrolled ring keeps the default-suite compile
+        # budget down
+        assert jax.device_count() >= 4
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("time",))
         B, T, H, Dh = 2, 64, 4, 8
         q, k, v = _qkv(jax.random.key(0), B, T, H, Dh)
         lengths = jnp.asarray([T, T - 23], jnp.int32)
@@ -117,7 +121,7 @@ class TestEncodeRing:
     model.encode on an ordinary checkpoint, including ragged lengths and
     frame counts that need padding to the ring size."""
 
-    def _setup(self):
+    def _setup(self, encoder_type="transformer"):
         from speech_recognition_tools_tpu.models.transformer_asr import (
             TransformerASR,
             TransformerASRConfig,
@@ -125,11 +129,11 @@ class TestEncodeRing:
 
         cfg = TransformerASRConfig(
             vocab_size=12, adim=16, aheads=2, elayers=2, eunits=24,
-            dlayers=1, dunits=24, dropout=0.0,
+            dlayers=1, dunits=24, dropout=0.0, encoder_type=encoder_type,
         )
         model = TransformerASR(cfg)
         rs = np.random.RandomState(4)
-        B, T, D, U = 2, 70, 8, 4  # subsampled T=17: pads to 24 on 8 devs
+        B, T, D, U = 2, 70, 8, 4  # subsampled T=17: pads to 20 on 4 devs
         batch = {
             "feats": jnp.asarray(rs.randn(B, T, D), jnp.float32),
             "lengths": jnp.asarray([T, T - 13], jnp.int32),
@@ -141,18 +145,22 @@ class TestEncodeRing:
         )
         return model, params, batch
 
-    def test_matches_plain_encode(self):
+    @pytest.mark.parametrize(
+        "encoder_type",
+        ["transformer", pytest.param("conformer", marks=pytest.mark.slow)],
+    )
+    def test_matches_plain_encode(self, encoder_type):
         from speech_recognition_tools_tpu.models.transformer_asr import (
             TransformerASR,
             encode_ring,
         )
 
-        model, params, batch = self._setup()
+        model, params, batch = self._setup(encoder_type)
         mem_ref, len_ref, ctc_ref = model.apply(
             params, batch["feats"], batch["lengths"],
             method=TransformerASR.encode,
         )
-        mesh = Mesh(np.asarray(jax.devices()), ("time",))
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("time",))
         mem, enc_len, ctc = encode_ring(
             model, params, batch["feats"], batch["lengths"], mesh
         )
@@ -165,9 +173,13 @@ class TestEncodeRing:
             assert err < 1e-4, (b, err)
             assert cerr < 1e-4, (b, cerr)
 
+    @pytest.mark.slow
     def test_beam_search_encode_fn_hook(self):
         """beam_search(encode_fn=encode_ring ...) decodes identical
-        tokens to the plain path on a real (trained-shape) checkpoint."""
+        tokens to the plain path on a real (trained-shape) checkpoint.
+        Slow: the host beam loop's per-step dispatch dominates; the
+        default suite covers encode parity above, and the --ring_attention
+        CLI flag is driven in test_pipeline_parallel's slow CLI test."""
         from speech_recognition_tools_tpu.models.transformer_asr import (
             beam_search,
             encode_ring,
@@ -175,7 +187,7 @@ class TestEncodeRing:
 
         model, params, batch = self._setup()
         cfg = model.cfg
-        mesh = Mesh(np.asarray(jax.devices()), ("time",))
+        mesh = Mesh(np.asarray(jax.devices()[:4]), ("time",))
         f1, l1 = batch["feats"][:1], batch["lengths"][:1]
         ref = beam_search(model, params, f1, l1, cfg, beam_size=2,
                           max_len=6)

@@ -286,9 +286,12 @@ class TestIncrementalDecode:
             np.asarray(sc_i), np.asarray(sc_f), rtol=1e-4, atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_decoder_step_logits_match(self, model_and_params):
         """decode_incremental logits == decode_step logits position by
-        position for a fixed token prefix."""
+        position for a fixed token prefix. Slow: eager per-position
+        applies; the default suite keeps the token/score-level KV-cache
+        parity test above."""
         model, params = model_and_params
         b = _batch()
         memory, enc_len, _ = model.apply(
