@@ -327,6 +327,43 @@ class TestPipelinedTraining:
         assert abs(float(got) - float(ref)) < 2e-4, (float(got), float(ref))
         assert abs(float(aux["ctc"]) - float(aux_ref["ctc"])) < 2e-4
 
+    @pytest.mark.slow
+    def test_pipelined_loss_dp_x_pp_matches_plain(self):
+        """asr_loss_pipelined(data_axis='data') on a 2x2 (data, pipe)
+        mesh == asr_loss: sharding microbatch examples over 'data'
+        inside the pipeline is a placement change, not a numeric one.
+        This is the loss train_e2e runs when --data_parallel and
+        --pipeline_parallel are both given (also driven by dryrun 5b)."""
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            asr_loss,
+            asr_loss_pipelined,
+            split_pipeline_params,
+        )
+
+        model, cfg = self._model()
+        rs = np.random.RandomState(6)
+        b = self._batch(rs)  # B=4 -> n_micro=2, 1 example per data shard
+        params = model.init(
+            {"params": jax.random.key(8)},
+            b["feats"], b["lengths"], b["tokens"],
+        )
+        ref, aux_ref = asr_loss(
+            model, params, b, jax.random.key(9), cfg, train=False
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                    ("data", "pipe"))
+        bsh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")
+        )
+        b = jax.tree.map(lambda x: jax.device_put(x, bsh), b)
+        rest, stacked = split_pipeline_params(params, 2)
+        got, aux = asr_loss_pipelined(
+            model, rest, stacked, b, cfg, mesh, n_micro=2,
+            data_axis="data",
+        )
+        assert abs(float(got) - float(ref)) < 2e-4, (float(got), float(ref))
+        assert abs(float(aux["ctc"]) - float(aux_ref["ctc"])) < 2e-4
+
     def test_pp_opt_state_roundtrip_bit_exact(self):
         """pp_opt_state_from_loop/to_loop invert each other over a real
         optax chain (clip -> adam), so a PP resume carries the moments
