@@ -95,6 +95,29 @@ def trailing_optional(pdfs, skip_to, silence_phone, states_per_phone):
     return s
 
 
+def min_align_frames(pdfs, skip_to, start_lo, fin_lo):
+    """Minimum frame count with a valid alignment path: the fewest
+    states on any entry->final walk (each visited state emits >= 1
+    frame). Moves are advance (s -> s+1) and skip (src -> skip_to[src]).
+    Utterances shorter than this are infeasible — viterbi_align_batch
+    returns (None, -inf) for them and realign_corpus drops them."""
+    S = len(pdfs)
+    m = np.full(S + 1, np.iinfo(np.int32).max, np.int64)
+    for ent in {0, int(start_lo)}:
+        if ent < S:
+            m[ent] = 1
+    for s in range(S):
+        if m[s] == np.iinfo(np.int32).max:
+            continue
+        if s + 1 <= S:
+            m[s + 1] = min(m[s + 1], m[s] + 1)
+        dst = int(skip_to[s])
+        if dst >= 0:
+            m[dst] = min(m[dst], m[s] + 1)
+    finals = m[max(fin_lo - 1, 0): S]
+    return int(finals.min()) if len(finals) else 1
+
+
 def equal_align(num_frames, pdfs):
     """Flat-start: distribute frames uniformly over the state chain."""
     S = len(pdfs)
@@ -165,7 +188,9 @@ def viterbi_align_batch(loglikes, lengths, chains, self_loop_prob=0.5):
         utterance — `utterance_states` outputs plus `trailing_optional`;
         final_lo is the earliest permitted final state +1 (ending inside
         a trailing optional silence is also allowed).
-    Returns [(labels (T_b,), score)] per utterance.
+    Returns [(labels (T_b,), score)] per utterance; an utterance with
+    no valid path (fewer frames than the shortest chain walk) yields
+    (None, -inf).
     """
     import jax
     import jax.numpy as jnp
@@ -207,6 +232,12 @@ def viterbi_align_batch(loglikes, lengths, chains, self_loop_prob=0.5):
         fin_states = np.arange(max(fin_lo - 1, 0), S)
         s = int(fin_states[int(np.argmax(alphaT[b, fin_states]))])
         score = float(alphaT[b, s])
+        # infeasible utterance (fewer frames than the shortest chain
+        # path, or emission floor saturated the DP): no valid traceback
+        # exists — report it instead of crashing on a bad backpointer
+        if T < min_align_frames(p, sk, st_lo, fin_lo) or score <= -1e29:
+            out.append((None, -np.inf))
+            continue
         labels = np.zeros(T, np.int32)
         for t in range(T - 1, -1, -1):
             labels[t] = p[s]
@@ -242,12 +273,19 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
 
     utts = [u for u in feats if u in texts]
     chains = {}
-    for u in utts:
+    for u in list(utts):
         p, sk, st = utterance_states(
             texts[u].split(), lexicon, states_per_phone, silence_phone
         )
         fin_lo = trailing_optional(p, sk, silence_phone, states_per_phone)
+        if feats[u].shape[0] < min_align_frames(p, sk, st, fin_lo):
+            log(f"WARNING: {u}: {feats[u].shape[0]} frames < shortest "
+                f"chain path — infeasible transcript, dropping")
+            utts.remove(u)
+            continue
         chains[u] = (p, sk, st, fin_lo)
+    if not utts:
+        raise ValueError("no alignable utterances (all infeasible)")
     num_pdfs = states_per_phone * (
         1 + max(
             max(ph for phs in lexicon.values() for ph in phs),
@@ -314,7 +352,14 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
             pseudo_ll, lens, [chains[u] for u in utts],
             self_loop_prob=self_loop_prob,
         )
-        labels = {u: a[0] for u, a in zip(utts, aligned)}
+        # a saturated DP (None labels) keeps the previous iteration's
+        # alignment rather than killing the whole corpus
+        for u, a in zip(utts, aligned):
+            if a[0] is None:
+                log(f"WARNING: {u}: Viterbi found no valid path this "
+                    f"iteration — keeping previous labels")
+            else:
+                labels[u] = a[0]
     return labels, num_pdfs
 
 

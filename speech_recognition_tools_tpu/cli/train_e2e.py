@@ -63,8 +63,9 @@ def get_parser():
                         "(parallel/pp.py): stacked block params shard "
                         "P('pipe'), microbatches hop the ring, exact "
                         "backward through the scan. elayers must divide "
-                        "by it; deterministic (requires --dropout 0); "
-                        "exclusive with --tensor_parallel")
+                        "by it; dropout is supported (per-microbatch rng "
+                        "keys ride the pipeline state); exclusive with "
+                        "--tensor_parallel")
     p.add_argument("--pp_microbatches", type=int, default=2,
                    help="(pipeline) microbatches per step; batch_size "
                         "must divide by it")
@@ -334,8 +335,22 @@ def main(argv=None):
         # pipeline instead of replicating onto every ring
         pp_data_axis = "data" if mesh.shape["data"] > 1 else None
 
+        from speech_recognition_tools_tpu.dsp.specaug import (
+            SpecAugConfig,
+            spec_augment,
+        )
+
         @jax.jit
         def step(params, opt_state, batch, rng):
+            if args.specaug:
+                rng, sa = jax.random.split(rng)
+                batch = dict(
+                    batch,
+                    feats=spec_augment(
+                        sa, batch["feats"], batch["lengths"], SpecAugConfig()
+                    ),
+                )
+
             def loss_fn(sp):
                 return asr_loss_pipelined(
                     model, sp["rest"], sp["stacked"], batch, cfg, mesh,
@@ -380,6 +395,32 @@ def main(argv=None):
         def place_batch(b):
             return b
 
+    if pp:
+        # the pipeline reshapes the batch into n_micro microbatches (and
+        # shards microbatch examples over 'data' under DP x PP), so the
+        # leading dim must divide by n_micro * dp; token_batches yields
+        # ragged tails (batching remainder + text/CTC-feasibility
+        # filtering) — trim them to the largest multiple, skip if empty
+        pp_divisor = n_micro * (mesh.shape["data"] if pp_data_axis else 1)
+        _trim_noted = [False]
+
+        def pp_trim(b):
+            lead = b["feats"].shape[0]
+            keep = (lead // pp_divisor) * pp_divisor
+            if keep == lead:
+                return b
+            if not _trim_noted[0]:
+                print(f"NOTE: trimming ragged batches to multiples of "
+                      f"{pp_divisor} (pp_microbatches x data shards); "
+                      f"e.g. {lead} -> {keep}")
+                _trim_noted[0] = True
+            if keep == 0:
+                return None
+            return {k: v[:keep] for k, v in b.items()}
+    else:
+        def pp_trim(b):
+            return b
+
     hyper = dict(vars(args))
     hyper.update(model_class="TransformerASR", vocab_size=len(vocab))
     rng = jax.random.key(args.seed + 2 + start_epoch)
@@ -387,7 +428,10 @@ def main(argv=None):
         losses = []
         for batch in token_batches(args.egs_dir, texts, vocab, args.batch_size,
                                args.min_io_ratio, args.min_io_delta):
-            batch = place_batch({k: jnp.asarray(v) for k, v in batch.items()})
+            batch = pp_trim({k: jnp.asarray(v) for k, v in batch.items()})
+            if batch is None:
+                continue
+            batch = place_batch(batch)
             rng, sub = jax.random.split(rng)
             params, opt_state, loss, aux = step(params, opt_state, batch, sub)
             losses.append(float(loss))

@@ -25,6 +25,7 @@ per-utterance Python loop mirrors the reference's own per-utterance
 enhancement scripts.
 """
 
+import functools
 import json
 import os
 
@@ -73,10 +74,17 @@ def load_channels(entries, srate=None):
     return np.concatenate([s[:, :n] for s in sigs], axis=0)
 
 
+@functools.lru_cache(maxsize=8)
 def _chain_fn(enh_key):
     """Build the jitted waveform->waveform enhancement program for a
     frozen (JSON) enhancement config. External (non-quantile) masks are
-    passed as real arrays; quantile masks are computed in-jit."""
+    passed as real arrays; quantile masks are computed in-jit.
+
+    Cached per config key so the per-utterance call in
+    enhance_utterance reuses ONE pair of jitted closures — jax caches
+    compilations by function identity, so rebuilding the closures would
+    recompile the whole STFT->WPE->masks->beamform->iSTFT program for
+    every utterance instead of once per (config, shape)."""
     import jax
     import jax.numpy as jnp
 

@@ -89,6 +89,53 @@ class TestViterbi:
         with pytest.raises(KeyError, match="lexicon"):
             utterance_states(["nope"], LEX)
 
+    def test_infeasible_utterance_reports_not_crashes(self):
+        """Fewer frames than the shortest chain walk has no valid path:
+        (None, -inf), while the rest of the batch still aligns."""
+        c_long = _chain(["left", "stop", "go"])  # needs >= 8 frames
+        c_ok = _chain(["go"])
+        t_ok = [0, 0, 1]
+        Tmax = 3
+        ll = np.full((2, Tmax, self.P), -8.0, np.float32)
+        ll[0] = _sharp_ll(t_ok, self.P)
+        ll[1, :2] = _sharp_ll([6, 7], self.P)
+        res = viterbi_align_batch(
+            ll, np.asarray([3, 2]), [c_ok, c_long]
+        )
+        assert res[0][0].tolist() == t_ok
+        assert res[1][0] is None and res[1][1] == -np.inf
+
+    def test_min_align_frames(self):
+        """Shortest walk counts skips over optional silence: 'go' with
+        2 states/phone is 2 emitting states regardless of the optional
+        silence blocks around it."""
+        from speech_recognition_tools_tpu.align.forced import (
+            min_align_frames,
+        )
+
+        p, sk, st, fin = _chain(["go"])
+        assert min_align_frames(p, sk, st, fin) == 2
+        p, sk, st, fin = _chain(["left", "stop", "go"])
+        assert min_align_frames(p, sk, st, fin) == 8
+
+
+class TestRealignRobustness:
+    def test_realign_drops_infeasible_utt(self, capsys):
+        """realign_corpus drops a too-short utterance with a warning and
+        aligns the rest (the crash mode was an IndexError in traceback)."""
+        rs = np.random.RandomState(0)
+        feats = {
+            "ok": rs.randn(12, 4).astype(np.float32),
+            "short": rs.randn(1, 4).astype(np.float32),  # < 2 states
+        }
+        texts = {"ok": "go stop", "short": "left stop go"}
+        labels, n_pdfs = realign_corpus(
+            feats, texts, LEX, states_per_phone=2, silence_phone=4,
+            num_iters=1, am_epochs=1,
+        )
+        assert "short" not in labels and "ok" in labels
+        assert len(labels["ok"]) == 12
+
 
 class TestEqualAlign:
     def test_uniform_split(self):

@@ -429,6 +429,38 @@ class TestPipelinedTraining:
         assert np.isfinite(gn) and gn > 0
 
     @pytest.mark.slow
+    def test_train_e2e_pipeline_ragged_batches_and_specaug(
+        self, tmp_path, capsys
+    ):
+        """--pipeline_parallel survives ragged tail batches (trimmed to
+        a multiple of pp_microbatches x data shards with a NOTE, not a
+        microbatch ValueError) and applies --specaug in the PP step."""
+        from speech_recognition_tools_tpu.cli import train_e2e
+        from speech_recognition_tools_tpu.io import build_egs
+
+        rs = np.random.RandomState(11)
+        feats = {
+            f"u{i}": rs.randn(40, 8).astype(np.float32) for i in range(7)
+        }
+        egs = str(tmp_path / "egs_rag")
+        build_egs(iter(feats.items()), egs)
+        text = tmp_path / "text_rag"
+        text.write_text("".join(f"u{i} ab cab\n" for i in range(7)))
+        out = str(tmp_path / "e2e_rag")
+        # batch_size 4 over 7 utts -> tail batch of 3: trimmed to 2
+        train_e2e.main(
+            [egs, str(text), out, "--adim", "16", "--aheads", "2",
+             "--elayers", "2", "--eunits", "24", "--dlayers", "1",
+             "--dunits", "24", "--epochs", "1", "--batch_size", "4",
+             "--warmup_steps", "10", "--average_last", "1",
+             "--dropout", "0.1", "--seed", "7", "--specaug",
+             "--pipeline_parallel", "2", "--pp_microbatches", "2"]
+        )
+        txt = capsys.readouterr().out
+        assert "trimming ragged batches" in txt
+        assert "epoch 1:" in txt
+
+    @pytest.mark.slow
     def test_train_e2e_pipeline_cli_loss_parity(self, tmp_path, capsys):
         """--pipeline_parallel 4 trains through the CLI with per-epoch
         loss parity vs the single-device run, and the checkpoints stay
