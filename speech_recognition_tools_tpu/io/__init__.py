@@ -17,6 +17,10 @@ from speech_recognition_tools_tpu.io.kaldi_ark import (
 )
 from speech_recognition_tools_tpu.io.scp import read_scp, write_scp, read_segments
 from speech_recognition_tools_tpu.io.wav import read_wav_scp_entry, load_wav_batch
+from speech_recognition_tools_tpu.io.torch_import import (
+    convert_state_dict,
+    import_torch_checkpoint,
+)
 from speech_recognition_tools_tpu.io.egs import (
     EgsConfig,
     build_egs,

@@ -1,0 +1,387 @@
+"""Golden parity: reference torch checkpoints -> native flax checkpoints.
+
+Builds the reference's own torch modules (/root/reference/src/nnet/
+nnet_models.py — the correct use of the read-only mount, as oracles),
+converts their state_dicts with io/torch_import.py and asserts forward
+parity on valid frames. This is the migration path for users with trained
+reference models (train_rnn_nnet_classifier.py:273-288 checkpoint dicts).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference/src/nnet")
+refm = pytest.importorskip("nnet_models")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from speech_recognition_tools_tpu.io.torch_import import (  # noqa: E402
+    convert_state_dict,
+    detect_family,
+    import_torch_checkpoint,
+)
+
+D, H, BN, C, B, T = 7, 10, 5, 6, 3, 12
+LENGTHS = [12, 9, 5]  # descending (torch pack_padded enforce_sorted)
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    return x, np.asarray(LENGTHS, np.int64)
+
+
+def _torch_fwd(module, x, lengths=None):
+    module.eval()
+    with torch.no_grad():
+        if lengths is None:
+            return module(torch.from_numpy(x))
+        return module(torch.from_numpy(x), torch.from_numpy(lengths))
+
+
+def _valid(arr, lengths):
+    """Concatenate valid frames of (B, T, ...)."""
+    arr = np.asarray(arr)
+    return np.concatenate([arr[b, : lengths[b]] for b in range(len(lengths))])
+
+
+def _apply_native(cfg, variables, x, lengths):
+    """Rebuild through the CLI config contract (the checkpoints' consumer
+    path) and apply."""
+    import argparse
+
+    from speech_recognition_tools_tpu.cli.train_am import build_model
+
+    args = argparse.Namespace(**cfg)
+    model = build_model(args, cfg["feature_dim"], cfg.get("num_classes"))
+    if cfg["arch"] == "feedforward":
+        return model.apply(variables, jnp.asarray(x))
+    return model.apply(variables, jnp.asarray(x), jnp.asarray(lengths))
+
+
+def _assert_close(a, b, tol=3e-5):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=tol, atol=tol)
+
+
+def test_rnn_classifier_parity():
+    x, lengths = _inputs(1)
+    tm = refm.nnetRNN(D, 2, H, C, dropout=0.0)
+    ref = _torch_fwd(tm, x, lengths).numpy()
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {"dropout": 0.0})
+    assert cfg["arch"] == "rnn" and cfg["num_classes"] == C
+    assert cfg["feature_dim"] == D and cfg["num_layers"] == 2
+    out = _apply_native(cfg, variables, x, lengths)
+    _assert_close(_valid(out, lengths), _valid(ref, lengths))
+
+
+def test_feedforward_parity():
+    x, lengths = _inputs(2)
+    tm = refm.nnetFeedforward(D, 3, H, C)
+    tm.eval()
+    with torch.no_grad():
+        ref_embeds, ref_logits = tm(torch.from_numpy(x))
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "feedforward" and cfg["num_layers"] == 3
+    embeds, logits = _apply_native(cfg, variables, x, lengths)
+    _assert_close(logits, ref_logits.numpy())
+    assert len(embeds) == len(ref_embeds) == 3
+    for ours, theirs in zip(embeds, ref_embeds):
+        _assert_close(ours, theirs.numpy())
+
+
+def test_linear_conv_parity():
+    x, lengths = _inputs(3)
+    tm = refm.nnetLinearWithConv(D, 2, H, C)
+    ref = _torch_fwd(tm, x, lengths).numpy()
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "linear" and cfg["num_layers"] == 2
+    out = _apply_native(cfg, variables, x, lengths)
+    _assert_close(out, ref)
+
+
+def test_multitask_ae_parity():
+    x, lengths = _inputs(4)
+    tm = refm.nnetAEClassifierMultitask(D, C, 2, 1, 1, H, BN, dropout=0.0)
+    tm.eval()
+    with torch.no_grad():
+        ref_logits, ref_recon = tm(
+            torch.from_numpy(x), torch.from_numpy(lengths)
+        )
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {"dropout": 0.0})
+    assert cfg["arch"] == "multitask_ae"
+    assert cfg["bn_dim"] == BN and cfg["num_layers_dec"] == 1
+    logits, recon = _apply_native(cfg, variables, x, lengths)
+    _assert_close(_valid(logits, lengths), _valid(ref_logits.numpy(), lengths))
+    _assert_close(_valid(recon, lengths), _valid(ref_recon.numpy(), lengths))
+
+
+def test_multitask_aear_parity():
+    # The reference nnetAEClassifierMultitaskAEAR cannot be *constructed*
+    # (it calls encoderRNN without the required dropout arg,
+    # nnet_models.py:250) — one of the survey's documented dead spots. The
+    # state_dict layout is still well-defined, so compose it from the
+    # submodules and check against the composed torch forward.
+    x, lengths = _inputs(5)
+    shift = 2
+    enc = refm.encoderRNN(D, 2, H, BN, dropout=0.0)
+    cls = refm.decoderRNN(BN, 1, H, C)
+    ae = refm.decoderRNN(BN, 1, H, D)
+    ar = refm.decoderRNN(BN, 1, H, D)
+    for m in (enc, cls, ae, ar):
+        m.eval()
+    with torch.no_grad():
+        tl = torch.from_numpy(lengths)
+        z = enc(torch.from_numpy(x), tl)
+        ref_logits = cls(z, tl).numpy()
+        ref_recon = ae(z, tl).numpy()
+        z_ar = enc(torch.from_numpy(x[:, :-shift]), tl - shift)
+        ref_ar = ar(z_ar, tl - shift).numpy()
+
+    sd = {}
+    for prefix, mod in (("encoder", enc), ("classifier", cls), ("ae", ae),
+                        ("ar", ar)):
+        for k, v in mod.state_dict().items():
+            sd[f"{prefix}.{k}"] = v
+    assert detect_family(sd) == "multitask_aear"
+    variables, cfg = convert_state_dict(sd, {"time_shift": shift})
+    assert cfg["time_shift"] == shift
+    logits, recon, recon_ar = _apply_native(cfg, variables, x, lengths)
+    _assert_close(_valid(logits, lengths), _valid(ref_logits, lengths))
+    _assert_close(_valid(recon, lengths), _valid(ref_recon, lengths))
+    ar_lengths = lengths - shift
+    _assert_close(_valid(recon_ar, ar_lengths), _valid(ref_ar, ar_lengths))
+
+
+def test_vae_only_ae_parity():
+    x, lengths = _inputs(6)
+    tm = refm.nnetVAE(D, 2, 1, H, BN, 0.0, use_gpu=False, only_AE=True)
+    tm.eval()
+    with torch.no_grad():
+        ref_recon, ref_latent = tm(
+            torch.from_numpy(x), torch.from_numpy(lengths)
+        )
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {"only_AE": True})
+    assert cfg["arch"] == "vae" and cfg["only_ae"] is True
+    recon, (means, logvars) = _apply_native(cfg, variables, x, lengths)
+    _assert_close(_valid(recon, lengths), _valid(ref_recon.numpy(), lengths))
+    _assert_close(_valid(means, lengths), _valid(ref_latent[0].numpy(), lengths))
+    _assert_close(
+        _valid(logvars, lengths), _valid(ref_latent[1].numpy(), lengths)
+    )
+
+
+def test_vae_classifier_parity():
+    # The sampler is stochastic, so check the deterministic pieces: encoder
+    # latents via the full model, classifier + decoder by driving the
+    # converted subtrees directly on a fixed z.
+    x, lengths = _inputs(7)
+    tm = refm.nnetVAEClassifier(D, C, 2, 1, 1, H, BN, 0.0, use_gpu=False)
+    tm.eval()
+    with torch.no_grad():
+        tl = torch.from_numpy(lengths)
+        latent = tm.vae_encoder(torch.from_numpy(x), tl)
+        rng = np.random.default_rng(8)
+        z_np = rng.standard_normal((B, T, BN)).astype(np.float32)
+        ref_logits = tm.classifier(torch.from_numpy(z_np), tl).numpy()
+        ref_recon = tm.vae_decoder(torch.from_numpy(z_np), tl).numpy()
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "vae_classifier" and cfg["num_classes"] == C
+
+    from speech_recognition_tools_tpu.models.recurrent import DecoderRNN
+    from speech_recognition_tools_tpu.models.vae import VAEDecoder, VAEEncoder
+
+    p = variables["params"]
+    means, logvars, _ = VAEEncoder(2, H, BN).apply(
+        {"params": p["vae_encoder"]}, jnp.asarray(x), jnp.asarray(lengths)
+    )
+    _assert_close(_valid(means, lengths), _valid(latent[0].numpy(), lengths))
+    _assert_close(_valid(logvars, lengths), _valid(latent[1].numpy(), lengths))
+
+    logits = DecoderRNN(1, H, C).apply(
+        {"params": p["classifier"]}, jnp.asarray(z_np), jnp.asarray(lengths)
+    )
+    _assert_close(_valid(logits, lengths), _valid(ref_logits, lengths))
+    recon = VAEDecoder(1, H, D).apply(
+        {"params": p["vae_decoder"]}, jnp.asarray(z_np), jnp.asarray(lengths)
+    )
+    _assert_close(_valid(recon, lengths), _valid(ref_recon, lengths))
+
+
+def test_arvae_parity():
+    x, lengths = _inputs(9)
+    num_outs = 2
+    tm = refm.nnetARVAE(D, 2, 1, H, BN, 0.0, num_outs, use_gpu=False)
+    tm.eval()
+    with torch.no_grad():
+        tl = torch.from_numpy(lengths)
+        latent = tm.vae_encoder(torch.from_numpy(x), tl)
+        rng = np.random.default_rng(10)
+        z_np = rng.standard_normal((B, T, BN)).astype(np.float32)
+        ref_decs = [
+            tm.vae_decoder[i](torch.from_numpy(z_np), tl).numpy()
+            for i in range(num_outs)
+        ]
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "arvae" and cfg["time_shift"] == num_outs
+
+    from speech_recognition_tools_tpu.models.vae import VAEDecoder, VAEEncoder
+
+    p = variables["params"]
+    means, logvars, _ = VAEEncoder(2, H, BN).apply(
+        {"params": p["vae_encoder"]}, jnp.asarray(x), jnp.asarray(lengths)
+    )
+    _assert_close(_valid(means, lengths), _valid(latent[0].numpy(), lengths))
+    _assert_close(_valid(logvars, lengths), _valid(latent[1].numpy(), lengths))
+    for i in range(num_outs):
+        out = VAEDecoder(1, H, D).apply(
+            {"params": p[f"decoder_{i}"]}, jnp.asarray(z_np),
+            jnp.asarray(lengths),
+        )
+        _assert_close(_valid(out, lengths), _valid(ref_decs[i], lengths))
+
+
+def test_curl_multistream_parity():
+    x, lengths = _inputs(12)
+    K = 2
+    tm = refm.nnetCurlMultistreamClassifier(
+        D, 1, 1, 1, H, H, BN, K, C, use_gpu=False
+    )
+    tm.eval()
+    with torch.no_grad():
+        tl = torch.from_numpy(lengths)
+        cat_ref, means_ref, vars_ref = tm.curl_encoder(torch.from_numpy(x), tl)
+        rng = np.random.default_rng(13)
+        z_np = rng.standard_normal((K, B, T, BN)).astype(np.float32)
+        z_t = torch.from_numpy(z_np)
+        ref_cls = [tm.classifier[k](z_t[k], tl).numpy() for k in range(K)]
+        ref_rec = tm.curl_decoder(z_t, tl).numpy()
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "curl" and cfg["comp_num"] == K
+    assert cfg["num_classes"] == C and cfg["bn_dim"] == BN
+
+    from speech_recognition_tools_tpu.models.curl import (
+        CurlDecoderMultistream,
+        CurlEncoder,
+    )
+    from speech_recognition_tools_tpu.models.recurrent import DecoderRNN
+
+    p = variables["params"]
+    cat, means, logvars = CurlEncoder(1, H, BN, K).apply(
+        {"params": p["curl_encoder"]}, jnp.asarray(x), jnp.asarray(lengths)
+    )
+    _assert_close(_valid(cat, lengths), _valid(cat_ref.numpy(), lengths))
+    for k in range(K):
+        _assert_close(
+            _valid(means[k], lengths), _valid(means_ref[k].numpy(), lengths)
+        )
+        _assert_close(
+            _valid(logvars[k], lengths), _valid(vars_ref[k].numpy(), lengths)
+        )
+        cls = DecoderRNN(1, H, C).apply(
+            {"params": p[f"classifier_{k}"]}, jnp.asarray(z_np[k]),
+            jnp.asarray(lengths),
+        )
+        _assert_close(_valid(cls, lengths), _valid(ref_cls[k], lengths))
+    rec = CurlDecoderMultistream(K, 1, H, D).apply(
+        {"params": p["curl_decoder"]}, jnp.asarray(z_np), jnp.asarray(lengths)
+    )
+    for k in range(K):
+        _assert_close(_valid(rec[k], lengths), _valid(ref_rec[k], lengths))
+
+
+def test_curl_supervised_parity():
+    x, lengths = _inputs(14)
+    K = 3
+    tm = refm.nnetCurlSupervised(D, 1, 1, H, BN, K, use_gpu=False)
+    tm.eval()
+    with torch.no_grad():
+        tl = torch.from_numpy(lengths)
+        cat_ref, means_ref, vars_ref = tm.curl_encoder(torch.from_numpy(x), tl)
+        rng = np.random.default_rng(15)
+        z_np = rng.standard_normal((K, B, T, BN)).astype(np.float32)
+        ref_rec = tm.curl_decoder(torch.from_numpy(z_np), tl).numpy()
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "curl_unsup" and cfg["comp_num"] == K
+
+    from speech_recognition_tools_tpu.models.curl import CurlDecoder, CurlEncoder
+
+    p = variables["params"]
+    cat, means, logvars = CurlEncoder(1, H, BN, K).apply(
+        {"params": p["curl_encoder"]}, jnp.asarray(x), jnp.asarray(lengths)
+    )
+    _assert_close(_valid(cat, lengths), _valid(cat_ref.numpy(), lengths))
+    _assert_close(
+        np.stack([_valid(means[k], lengths) for k in range(K)]),
+        np.stack([_valid(means_ref[k].numpy(), lengths) for k in range(K)]),
+    )
+    rec = CurlDecoder(1, H, D).apply(
+        {"params": p["curl_decoder"]}, jnp.asarray(z_np), jnp.asarray(lengths)
+    )
+    for k in range(K):
+        _assert_close(_valid(rec[k], lengths), _valid(ref_rec[k], lengths))
+
+
+def test_import_checkpoint_roundtrip(tmp_path):
+    """Full flow: torch.save trainer dict -> import CLI path -> native
+    checkpoint consumed by dump_outputs' rebuild contract."""
+    x, lengths = _inputs(11)
+    tm = refm.nnetRNN(D, 2, H, C, dropout=0.1)
+    ref = _torch_fwd(tm, x, lengths).numpy()
+
+    src = os.path.join(tmp_path, "ref__epoch_5.model")
+    torch.save(
+        {
+            "epoch": 5,
+            "feature_dim": D,
+            "num_classes": C,
+            "num_layers": 2,
+            "hidden_dim": H,
+            "dropout": 0.1,
+            "lr": 1e-3,
+            "ep_loss_tr": [1.0],
+            "ep_loss_dev": [1.2],
+            "err_p": 1.2,
+            "model_state_dict": tm.state_dict(),
+            "optimizer_state_dict": {},
+        },
+        src,
+    )
+
+    dest = os.path.join(tmp_path, "imported")
+    from speech_recognition_tools_tpu.cli.import_torch_ckpt import main as cli_main
+
+    cli_main([src, dest, "--tag", "final"])
+    ckpt_path = os.path.join(dest, "final")
+    assert os.path.isdir(ckpt_path)
+    assert import_torch_checkpoint is not None  # library API re-exported
+
+    from speech_recognition_tools_tpu.cli.dump_outputs import (
+        arch_init,
+        load_model_from_checkpoint,
+    )
+    from speech_recognition_tools_tpu.train import load_checkpoint
+
+    model, path, cfg = load_model_from_checkpoint(dest)
+    assert cfg["dropout"] == 0.1 and cfg["torch_epoch"] == 5
+    template = arch_init(
+        model, cfg, {"params": jax.random.key(0)}, jnp.asarray(x),
+        jnp.asarray(lengths),
+    )
+    payload, _ = load_checkpoint(path, template={"params": template})
+    out = model.apply(payload["params"], jnp.asarray(x), jnp.asarray(lengths))
+    _assert_close(_valid(out, lengths), _valid(ref, lengths))
