@@ -183,6 +183,10 @@ def _vae_decoder(sd: dict, prefix: str) -> tuple[dict, dict]:
 def detect_family(sd: dict) -> str:
     keys = set(sd)
     tops = {k.split(".", 1)[0] for k in keys}
+    if "vae_model" in tops:
+        return "vae_encoded"
+    if "curl_model" in tops:
+        return "curl_encoded"
     if {"curl_encoder", "classifier"} <= tops:
         return "curl"
     if {"curl_encoder", "curl_decoder"} <= tops:
@@ -497,6 +501,56 @@ _CONVERTERS = {
 }
 
 
+def convert_encoded_classifier(
+    sd: dict, hyper: dict | None = None
+) -> tuple[dict, dict, dict, dict]:
+    """reference {VAE,curl}EncodedClassifier -> (head_vars, head_cfg,
+    base_vars, base_cfg).
+
+    The reference embeds the frozen generative model inside the classifier
+    checkpoint (nnet_models.py:488-534 `self.vae_model` / `self.curl_model`);
+    the native design keeps them as two checkpoints wired by the head
+    config's `base_model` path (cli/train_am.py --base_model,
+    cli/dump_outputs.py load_frozen_encoder). import_torch_checkpoint
+    writes both and fills `base_model` in.
+    """
+    hyper = dict(hyper or {})
+    family = detect_family(sd)
+    if family not in ("vae_encoded", "curl_encoded"):
+        raise UnsupportedTorchModel(f"not an encoded classifier: {family}")
+    base_prefix = "vae_model." if family == "vae_encoded" else "curl_model."
+    base_sd = {
+        k[len(base_prefix):]: v for k, v in sd.items()
+        if k.startswith(base_prefix)
+    }
+    head_sd = {k: v for k, v in sd.items() if not k.startswith(base_prefix)}
+    base_vars, base_cfg = convert_state_dict(base_sd, hyper)
+    if family == "curl_encoded" and base_cfg["arch"] != "curl_unsup":
+        raise UnsupportedTorchModel(
+            "curlEncodedClassifier expects an nnetCurlSupervised base "
+            f"(forward unpacks a 2-tuple); found {base_cfg['arch']}"
+        )
+    lin_params, lin_cfg = _convert_linear(head_sd, hyper)
+    head_vars = {"params": {"head": lin_params}}
+    head_cfg = _finalize_cfg(
+        {
+            "arch": family,
+            "model_class": (
+                "VAEEncodedClassifier" if family == "vae_encoded"
+                else "CurlEncodedClassifier"
+            ),
+            "num_layers": lin_cfg["num_layers"],
+            "hidden_dim": lin_cfg["hidden_dim"],
+            "num_classes": lin_cfg["num_classes"],
+            # the pipeline feature dim is the *base* model's input dim (the
+            # head sees latents; build_model takes no feat dim for these)
+            "feature_dim": base_cfg["feature_dim"],
+        },
+        hyper,
+    )
+    return head_vars, head_cfg, base_vars, base_cfg
+
+
 def convert_state_dict(sd: dict, hyper: dict | None = None) -> tuple[dict, dict]:
     """Map a reference state_dict -> (variables, config) where `variables`
     is the flax `{'params': tree}` dict `model.apply` takes (and the exact
@@ -508,8 +562,19 @@ def convert_state_dict(sd: dict, hyper: dict | None = None) -> tuple[dict, dict]
     """
     hyper = dict(hyper or {})
     family = detect_family(sd)
+    if family in ("vae_encoded", "curl_encoded"):
+        raise UnsupportedTorchModel(
+            f"{family} embeds a frozen generative model; use "
+            "convert_encoded_classifier / import_torch_checkpoint (which "
+            "writes base + head checkpoints)"
+        )
     params, cfg = _CONVERTERS[family](sd, hyper)
-    # defaults every native CLI expects to find in a checkpoint config
+    _finalize_cfg(cfg, hyper)
+    return {"params": params}, cfg
+
+
+def _finalize_cfg(cfg: dict, hyper: dict) -> dict:
+    """Defaults every native CLI expects to find in a checkpoint config."""
     cfg.setdefault("num_layers_dec", 1)
     cfg.setdefault("bn_dim", 0)
     cfg.setdefault("dropout", float(hyper.get("dropout", 0.0)))
@@ -522,7 +587,7 @@ def convert_state_dict(sd: dict, hyper: dict | None = None) -> tuple[dict, dict]
     for key in ("epoch", "lr", "err_p", "num_frames"):
         if key in hyper:
             cfg[f"torch_{key}"] = _scalar(hyper[key])
-    return {"params": params}, cfg
+    return cfg
 
 
 def _scalar(v):
@@ -554,9 +619,26 @@ def import_torch_checkpoint(src: str, dest_dir: str, tag: str = "final") -> str:
     The result is loadable by every native CLI that rebuilds models from
     checkpoints (cli/dump_outputs.py load_model_from_checkpoint).
     """
+    import os
+
     from speech_recognition_tools_tpu.train.checkpoint import save_checkpoint
 
     sd, hyper = load_torch_checkpoint(src)
+    family = detect_family(sd)
+    if family in ("vae_encoded", "curl_encoded"):
+        # two checkpoints: the frozen generative base + the classifier head
+        # wired to it via the head config's base_model path
+        head_vars, head_cfg, base_vars, base_cfg = convert_encoded_classifier(
+            sd, hyper
+        )
+        base_dir = os.path.join(dest_dir, "base")
+        save_checkpoint(
+            base_dir, tag, base_vars, base_cfg, extra={"imported_from": src}
+        )
+        head_cfg["base_model"] = base_dir
+        return save_checkpoint(
+            dest_dir, tag, head_vars, head_cfg, extra={"imported_from": src}
+        )
     variables, cfg = convert_state_dict(sd, hyper)
     # native checkpoints store the full flax variables dict (train_am saves
     # model.init(...) output wholesale), so save `variables`, not the inner

@@ -336,6 +336,68 @@ def test_curl_supervised_parity():
         _assert_close(_valid(rec[k], lengths), _valid(ref_rec[k], lengths))
 
 
+def _frozen_encoder_forward(dest, arch, x, lengths):
+    """Drive the imported head exactly the way dump_outputs does: rebuild
+    from config, wire the frozen base via cfg['base_model']."""
+    from speech_recognition_tools_tpu.cli.dump_outputs import (
+        arch_init,
+        load_frozen_encoder,
+        load_model_from_checkpoint,
+    )
+    from speech_recognition_tools_tpu.train import load_checkpoint
+
+    model, path, cfg = load_model_from_checkpoint(dest)
+    assert cfg["arch"] == arch and cfg["base_model"]
+    rngs = {"params": jax.random.key(0), "sample": jax.random.key(1)}
+    f, l = jnp.asarray(x), jnp.asarray(lengths)
+    encode_fn = load_frozen_encoder(cfg["base_model"], arch, rngs, f, l)
+    template = arch_init(model, cfg, rngs, f, l, encode_fn=encode_fn)
+    payload, _ = load_checkpoint(path, template={"params": template})
+    return np.asarray(model.apply(payload["params"], encode_fn(f, l), l))
+
+
+def test_vae_encoded_classifier_import(tmp_path):
+    x, lengths = _inputs(16)
+    vae = refm.nnetVAE(D, 2, 1, H, BN, 0.0, use_gpu=False, only_AE=False)
+    tm = refm.VAEEncodedClassifier(vae, BN, 2, H, C)
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), torch.from_numpy(lengths)).numpy()
+
+    src = os.path.join(tmp_path, "venc.model")
+    torch.save({"model_state_dict": tm.state_dict(), "dropout": 0.0}, src)
+    dest = os.path.join(tmp_path, "imported_venc")
+    import_torch_checkpoint(src, dest)
+    out = _frozen_encoder_forward(dest, "vae_encoded", x, lengths)
+    _assert_close(_valid(out, lengths), _valid(ref, lengths))
+
+
+def test_curl_encoded_classifier_import(tmp_path):
+    x, lengths = _inputs(17)
+    K = 2
+    curl = refm.nnetCurlSupervised(D, 1, 1, H, BN, K, use_gpu=False)
+    tm = refm.curlEncodedClassifier(curl, BN, 2, H, C)
+    tm.eval()
+    with torch.no_grad():
+        # reference curlEncodedClassifier.forward calls
+        # compute_latent_features with its use_gpu default True (.cuda()),
+        # so it cannot run on CPU — compose the same math manually
+        tl = torch.from_numpy(lengths)
+        _, latent = curl(torch.from_numpy(x), tl)
+        lf = refm.compute_latent_features(latent, use_gpu=False)
+        h = torch.transpose(lf, 1, 2)
+        for layer in tm.layers[:-1]:
+            h = tm.relu(layer(h))
+        ref = torch.transpose(tm.layers[-1](h), 1, 2).numpy()
+
+    src = os.path.join(tmp_path, "cenc.model")
+    torch.save({"model_state_dict": tm.state_dict()}, src)
+    dest = os.path.join(tmp_path, "imported_cenc")
+    import_torch_checkpoint(src, dest)
+    out = _frozen_encoder_forward(dest, "curl_encoded", x, lengths)
+    _assert_close(_valid(out, lengths), _valid(ref, lengths))
+
+
 def test_import_checkpoint_roundtrip(tmp_path):
     """Full flow: torch.save trainer dict -> import CLI path -> native
     checkpoint consumed by dump_outputs' rebuild contract."""
