@@ -32,6 +32,19 @@ def get_parser():
     p.add_argument("--lm_dir", help="train_lm checkpoint dir for RNNLM "
                                     "shallow fusion (decode.yaml lm-weight)")
     p.add_argument("--lm_weight", type=float, default=1.0)
+    p.add_argument("--streaming", action="store_true",
+                   help="online decode: feed features chunk-by-chunk "
+                        "through the incremental encoder "
+                        "(infer/streaming_asr.py). Needs a model trained "
+                        "with --attn_chunk > 0 and --attn_left_chunks >= 0")
+    p.add_argument("--streaming_feed", type=int, default=40,
+                   help="raw feature frames per simulated arrival push")
+    p.add_argument("--streaming_final", default="beam",
+                   choices=["beam", "greedy"],
+                   help="final pass: joint CTC/attention beam search over "
+                        "the streamed encoder output (exactly the offline "
+                        "chunked result), or the incremental greedy-CTC "
+                        "hypothesis as-is")
     p.add_argument("--ring_attention", type=int, default=0, metavar="S",
                    help="encode via ring attention over an S-device "
                         "'time' mesh (parallel/ring.py) — the "
@@ -84,6 +97,8 @@ def _load(model_dir, ckpt):
         mtlalpha=cfg_d["mtlalpha"], lsm_weight=cfg_d["lsm_weight"],
         encoder_type=cfg_d.get("encoder_type", "transformer"),
         conv_kernel=cfg_d.get("conv_kernel", 15),
+        attn_chunk=cfg_d.get("attn_chunk", 0),
+        attn_left_chunks=cfg_d.get("attn_left_chunks", -1),
     )
     model = TransformerASR(cfg)
     feats = jnp.zeros((1, 16, 8), jnp.float32)
@@ -122,6 +137,17 @@ def main(argv=None):
         lm_apply_host = make_fusion_scorer(lm_model, lm_params)
         lm_apply_jit = make_jit_fusion_scorer(lm_model, lm_params)
 
+    recognizer = None
+    if args.streaming:
+        assert args.api != "cl" and not args.jit_decode and (
+            args.ring_attention <= 1
+        ), "--streaming is a host decode path (no cl/jit/ring)"
+        from speech_recognition_tools_tpu.infer.streaming_asr import (
+            StreamingRecognizer,
+        )
+
+        recognizer = StreamingRecognizer(model, params, vocab=vocab)
+
     encode_fn = None
     if args.ring_attention > 1:
         assert args.api != "cl" and not args.jit_decode, (
@@ -159,7 +185,30 @@ def main(argv=None):
         feats = jnp.asarray(b["feats"])
         lengths = jnp.asarray(b["lengths"])
         key = b["keys"][0]
-        if args.api == "cl" and len(loaded) > 1:
+        if recognizer is not None:
+            # online decode: emulate frame arrival; the streamed encoder
+            # output is exactly the offline chunked encode (tested), so
+            # the optional final beam pass is the offline joint decode
+            recognizer.reset()
+            n = int(lengths[0])
+            x = np.asarray(feats)[0, :n]
+            for s in range(0, n, args.streaming_feed):
+                recognizer.push(x[s : s + args.streaming_feed])
+            greedy = recognizer.finish()
+            if args.streaming_final == "greedy":
+                seq = greedy
+            else:
+                mem = jnp.asarray(recognizer.memory[None])
+                elen = jnp.asarray([recognizer.enc_len])
+                ctc = jnp.asarray(recognizer.ctc_logits[None])
+                seq = beam_search(
+                    model, params, feats, lengths, cfg,
+                    beam_size=args.beam_size, max_len=args.max_len,
+                    ctc_weight=args.ctc_weight, penalty=args.penalty,
+                    lm_apply=lm_apply_host, lm_weight=args.lm_weight,
+                    encode_fn=lambda f, l: (mem, elen, ctc),
+                )
+        elif args.api == "cl" and len(loaded) > 1:
             pm = [float(x) for x in (args.pm_scores or "").split(",")] or [
                 1.0
             ] * len(loaded)

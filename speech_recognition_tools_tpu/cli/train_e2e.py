@@ -30,6 +30,14 @@ def get_parser():
                    choices=["transformer", "conformer"],
                    help="encoder block family (conformer = macaron FFNs "
                         "+ MHSA + depthwise-conv module)")
+    p.add_argument("--attn_chunk", type=int, default=0,
+                   help="streaming-compatible chunked encoder attention: "
+                        "chunk size in post-subsampling frames (0 = full "
+                        "attention). Models trained with this decode "
+                        "online via recog_e2e --streaming")
+    p.add_argument("--attn_left_chunks", type=int, default=-1,
+                   help="left-context chunks each chunk may attend "
+                        "(-1 = unbounded; streaming decode needs >= 0)")
     p.add_argument("--conv_kernel", type=int, default=15,
                    help="(conformer) depthwise conv width")
     p.add_argument("--epochs", type=int, default=50)
@@ -76,8 +84,9 @@ def ctc_feasible(num_frames, num_tokens, min_io_ratio=1.0, min_io_delta=0):
     """CTC-feasibility filter (reference local/filtering_samples.py,
     run_fdlp_e1.sh:336-343): prune samples whose subsampled encoder
     length can't cover the label sequence (loss_ctc=inf otherwise).
-    Encoder time reduction is the conv2d 4x subsampling."""
-    enc_len = ((num_frames + 1) // 2 + 1) // 2
+    Encoder time reduction is the VALID conv2d 4x subsampling
+    (Conv2dSubsampling: out_len = ((l - 1) // 2 - 1) // 2)."""
+    enc_len = ((num_frames - 1) // 2 - 1) // 2
     return enc_len - num_tokens * min_io_ratio >= min_io_delta
 
 
@@ -213,7 +222,8 @@ def main(argv=None):
         elayers=args.elayers, eunits=args.eunits, dlayers=args.dlayers,
         dunits=args.dunits, dropout=args.dropout, mtlalpha=args.mtlalpha,
         lsm_weight=args.lsm_weight, encoder_type=args.encoder_type,
-        conv_kernel=args.conv_kernel,
+        conv_kernel=args.conv_kernel, attn_chunk=args.attn_chunk,
+        attn_left_chunks=args.attn_left_chunks,
     )
     model = TransformerASR(cfg)
 

@@ -1,0 +1,353 @@
+"""True online (streaming) speech recognition.
+
+The reference toolkit has no online mode at all — every recipe decodes
+offline from dumped features (SURVEY.md §3.4). This module is the
+TPU-serving extension point: a `StreamingRecognizer` accepts feature
+frames as they arrive (e.g. from `dsp/streaming.py::StreamingFdlp`),
+runs the encoder incrementally with cached left context, and emits
+incremental CTC partial hypotheses plus a final result.
+
+Exactness contract (pinned by tests/test_streaming_asr.py): a model
+whose config has `attn_chunk > 0` (chunked encoder self-attention,
+models/transformer_asr.py) produces *identical* encoder output whether
+run offline over the whole utterance or incrementally here:
+
+  * `Conv2dSubsampling` is VALID (unpadded), so subsampled frame j
+    depends only on input frames 4j..4j+6 — prefix-stable.
+  * With the chunk mask, encoder layer l at chunk c attends only to
+    chunks [c - left, c] of layer l-1, whose values were finalised when
+    those chunks were current — so per-layer caches of the last
+    `attn_left_chunks * attn_chunk` block-input frames reproduce the
+    offline computation exactly.
+  * The conformer's depthwise conv is causal in streaming configs
+    (left-padded), so a per-layer tail cache of the last (kernel-1)
+    conv-input frames reproduces it exactly; the very first chunk sees
+    the same zero left pad as the offline causal conv.
+
+One fixed-shape jitted step serves every chunk (the final partial chunk
+rides the same program with `n_valid < chunk`; its cache updates are
+discarded). Batch is 1 per recognizer — production serving batches
+across streams by vmapping the same step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from speech_recognition_tools_tpu.models.transformer_asr import (
+    Conv2dSubsampling,
+    TransformerASRConfig,
+    _posenc,
+)
+
+
+class _StreamMHABlock(nn.Module):
+    """_MHABlock's encoder form computing only the new chunk's queries
+    against cached left context + the chunk itself. Module names mirror
+    _MHABlock's @nn.compact auto-names (LayerNorm_0,
+    MultiHeadDotProductAttention_0, LayerNorm_1, Dense_0, Dense_1) so
+    the SAME layer_i param subtrees apply (the _RingMHABlock pattern)."""
+
+    cfg: TransformerASRConfig
+    ff_dim: int
+
+    @nn.compact
+    def __call__(self, x_new, kv_raw, kv_mask):
+        c = self.cfg
+        ln0 = nn.LayerNorm(name="LayerNorm_0")
+        q = ln0(x_new)
+        kvn = ln0(kv_raw)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=c.aheads, qkv_features=c.adim, dropout_rate=0.0,
+            deterministic=True, name="MultiHeadDotProductAttention_0",
+        )(q, kvn, mask=kv_mask)
+        x = x_new + h
+        h = nn.LayerNorm(name="LayerNorm_1")(x)
+        h = nn.Dense(self.ff_dim, name="Dense_0")(h)
+        h = nn.relu(h)
+        h = nn.Dense(c.adim, name="Dense_1")(h)
+        return x + h
+
+
+class _StreamConformerBlock(nn.Module):
+    """_ConformerBlock's streaming form. Attention context is the cached
+    post-ffn1 sequence; the causal depthwise conv consumes a cached
+    (kernel-1)-frame tail of the post-GLU conv input, so VALID conv over
+    [tail | new] equals the offline causal (left-padded) conv. Returns
+    (block_out, x_mid_new, conv_in_new) — the latter two feed the cache
+    updates. Module names mirror _ConformerBlock's explicit names."""
+
+    cfg: TransformerASRConfig
+    ff_dim: int
+
+    def _ffn(self, x, name):
+        c = self.cfg
+        h = nn.LayerNorm(name=f"{name}_norm")(x)
+        h = nn.Dense(self.ff_dim, name=f"{name}_in")(h)
+        h = nn.swish(h)
+        return nn.Dense(c.adim, name=f"{name}_out")(h)
+
+    @nn.compact
+    def __call__(self, x_new, attn_cache, conv_tail, kv_mask, valid_new):
+        c = self.cfg
+        x = x_new + 0.5 * self._ffn(x_new, "ffn1")  # x_mid (new chunk)
+        x_mid = x
+        mn = nn.LayerNorm(name="mhsa_norm")
+        q = mn(x)
+        kvn = mn(jnp.concatenate([attn_cache, x], axis=1))
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=c.aheads, qkv_features=c.adim, dropout_rate=0.0,
+            deterministic=True, name="mhsa",
+        )(q, kvn, mask=kv_mask)
+        x = x + h
+        h = nn.LayerNorm(name="conv_norm")(x)
+        h = h * valid_new[None, :, None].astype(h.dtype)
+        h = nn.Dense(2 * c.adim, name="conv_pointwise_in")(h)
+        h = nn.glu(h, axis=-1)
+        conv_in = h
+        h = nn.Conv(
+            c.adim, (c.conv_kernel,), feature_group_count=c.adim,
+            padding="VALID", name="conv_depthwise",
+        )(jnp.concatenate([conv_tail, h], axis=1))
+        h = nn.LayerNorm(name="conv_mid_norm")(h)
+        h = nn.swish(h)
+        h = nn.Dense(c.adim, name="conv_pointwise_out")(h)
+        x = x + h
+        x = x + 0.5 * self._ffn(x, "ffn2")
+        return nn.LayerNorm(name="final_norm")(x), x_mid, conv_in
+
+
+def make_stream_step(model, params):
+    """Build the jitted per-chunk encoder step.
+
+    step(x_slice, pos0, n_valid, caches) ->
+        (enc_new, ctc_new, new_caches)
+
+      x_slice  (1, 4*chunk+3, D) raw feature slice (zero-padded tail OK)
+      pos0     first subsampled-frame index of this chunk
+      n_valid  valid subsampled frames in this chunk (== chunk except at
+               the very end; partial-chunk cache updates must be
+               discarded by the caller)
+      caches   dict per layer: {"kv": (1, L, adim), "kv_valid": int,
+               "conv": (1, kernel-1, adim)} (conv only for conformer)
+    """
+    import flax
+
+    c = model.cfg
+    if c.attn_chunk <= 0:
+        raise ValueError(
+            "streaming needs a chunked-attention model (cfg.attn_chunk > 0;"
+            " train with train_e2e --attn_chunk)"
+        )
+    if c.attn_left_chunks < 0:
+        raise ValueError(
+            "streaming needs bounded left context (cfg.attn_left_chunks"
+            " >= 0); unbounded caches cannot be static-shaped"
+        )
+    chunk = c.attn_chunk
+    L = c.attn_left_chunks * chunk
+    p = flax.core.unfreeze(params)["params"]
+    enc_p = p["encoder"]
+    conformer = c.encoder_type == "conformer"
+    block = (
+        _StreamConformerBlock(c, c.eunits)
+        if conformer
+        else _StreamMHABlock(c, c.eunits)
+    )
+    pe = _posenc(8192, c.adim)
+
+    @jax.jit
+    def step(x_slice, pos0, n_valid, caches):
+        h, _ = Conv2dSubsampling(c.adim).apply(
+            {"params": enc_p["embed"]}, x_slice,
+            jnp.full((1,), x_slice.shape[1], jnp.int32),
+        )  # (1, chunk, adim) — VALID makes this exactly the offline frames
+        h = h * np.sqrt(c.adim) + jax.lax.dynamic_slice(
+            pe, (pos0, 0), (chunk, c.adim)
+        )[None]
+        valid_new = jnp.arange(chunk) < n_valid
+        new_caches = {}
+        for i in range(c.elayers):
+            cache = caches[f"layer_{i}"]
+            kv_valid = cache["kv_valid"]
+            # keys: [L cached | chunk new]; cached key j valid iff
+            # j >= L - kv_valid; new keys masked by n_valid. Full
+            # attention within the chunk (the offline chunk-mask rule).
+            key_mask = jnp.concatenate(
+                [jnp.arange(L) >= L - kv_valid, valid_new]
+            )
+            kv_mask = key_mask[None, None, None, :]
+            if conformer:
+                out, x_mid, conv_in = block.apply(
+                    {"params": enc_p[f"layer_{i}"]}, h, cache["kv"],
+                    cache["conv"], kv_mask, valid_new,
+                )
+                new_conv = jnp.concatenate([cache["conv"], conv_in], axis=1)[
+                    :, -(c.conv_kernel - 1):
+                ]
+                kv_src = x_mid
+            else:
+                kv_raw = jnp.concatenate([cache["kv"], h], axis=1)
+                out = block.apply(
+                    {"params": enc_p[f"layer_{i}"]}, h, kv_raw, kv_mask
+                )
+                new_conv = None
+                kv_src = h
+            nc = {
+                "kv": jnp.concatenate([cache["kv"], kv_src], axis=1)[:, -L:]
+                if L
+                else cache["kv"],
+                "kv_valid": jnp.minimum(kv_valid + chunk, L),
+            }
+            if new_conv is not None:
+                nc["conv"] = new_conv
+            new_caches[f"layer_{i}"] = nc
+            h = out
+        h = nn.LayerNorm().apply({"params": enc_p["after_norm"]}, h)
+        ctc = nn.Dense(c.vocab_size).apply({"params": p["ctc_head"]}, h)
+        return h, ctc, new_caches
+
+    def init_caches():
+        caches = {}
+        for i in range(c.elayers):
+            entry = {
+                "kv": jnp.zeros((1, L, c.adim), jnp.float32),
+                "kv_valid": jnp.asarray(0, jnp.int32),
+            }
+            if conformer:
+                entry["conv"] = jnp.zeros(
+                    (1, c.conv_kernel - 1, c.adim), jnp.float32
+                )
+            caches[f"layer_{i}"] = entry
+        return caches
+
+    return step, init_caches
+
+
+class StreamingRecognizer:
+    """Online recognizer over one stream: push feature frames, read
+    incremental greedy-CTC partials, `finish()` for the final text.
+
+    After `finish()`, `self.memory` / `self.enc_len` / `self.ctc_logits`
+    hold the full (streamed) encoder output — identical to the offline
+    `model.encode` — so a final attention/joint rescoring pass can run
+    on them (see cli/recog_e2e.py --streaming)."""
+
+    def __init__(self, model, params, vocab=None):
+        self.cfg = model.cfg
+        self.step, init_caches = make_stream_step(model, params)
+        self._init_caches = init_caches
+        self.vocab = vocab
+        self.reset()
+
+    def reset(self):
+        self.caches = self._init_caches()
+        self._feat_buf = []  # list of np arrays (T_i, D)
+        self._n_buf = 0
+        self._n_consumed = 0  # raw frames consumed by emitted chunks
+        self._pos = 0  # subsampled frames emitted
+        self._mem = []
+        self._ctc = []
+        self._hyp: list[int] = []
+        self._last_id = self.cfg.blank_id
+        self._finished = False
+
+    @property
+    def chunk(self):
+        return self.cfg.attn_chunk
+
+    def _buf_concat(self):
+        return (
+            np.concatenate(self._feat_buf, axis=0)
+            if self._feat_buf
+            else np.zeros((0, 1), np.float32)
+        )
+
+    def _emit(self, x_slice, n_valid, update_caches):
+        chunk = self.chunk
+        pad = 4 * chunk + 3 - x_slice.shape[0]
+        if pad > 0:
+            x_slice = np.pad(x_slice, ((0, pad), (0, 0)))
+        h, ctc, new_caches = self.step(
+            jnp.asarray(x_slice[None], jnp.float32),
+            self._pos, n_valid, self.caches,
+        )
+        if update_caches:
+            self.caches = new_caches
+        h = np.asarray(h)[0, :n_valid]
+        ctc = np.asarray(ctc)[0, :n_valid]
+        self._mem.append(h)
+        self._ctc.append(ctc)
+        self._pos += n_valid
+        # incremental greedy CTC collapse
+        ids = np.argmax(ctc, axis=-1)
+        for t in ids:
+            if t != self.cfg.blank_id and t != self._last_id:
+                self._hyp.append(int(t))
+            self._last_id = int(t)
+
+    def push(self, frames) -> list[int]:
+        """Feed (T, D) new feature frames; processes every completed
+        chunk. Returns the current partial token hypothesis."""
+        assert not self._finished, "reset() before reusing a recognizer"
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim != 2:
+            raise ValueError(f"push expects (T, D); got {frames.shape}")
+        self._feat_buf.append(frames)
+        self._n_buf += frames.shape[0]
+        chunk = self.chunk
+        # subsampled frame j is final once input 4j+6 exists
+        while self._n_buf >= self._n_consumed + 4 * chunk + 3:
+            buf = self._buf_concat()
+            self._feat_buf = [buf]
+            start = self._n_consumed
+            self._emit(
+                buf[start : start + 4 * chunk + 3], chunk,
+                update_caches=True,
+            )
+            self._n_consumed += 4 * chunk
+        return list(self._hyp)
+
+    def finish(self) -> list[int]:
+        """Flush the final partial chunk; returns the final greedy token
+        hypothesis and freezes `memory`/`enc_len`/`ctc_logits`."""
+        if self._finished:
+            return list(self._hyp)
+        buf = self._buf_concat()
+        total_sub = ((self._n_buf - 1) // 2 - 1) // 2 if self._n_buf >= 7 else 0
+        remaining = total_sub - self._pos
+        while remaining > 0:
+            n = min(remaining, self.chunk)
+            start = self._n_consumed
+            self._emit(
+                buf[start : start + 4 * self.chunk + 3], n,
+                update_caches=(n == self.chunk),
+            )
+            self._n_consumed += 4 * self.chunk
+            remaining -= n
+        self._finished = True
+        adim = self.cfg.adim
+        self.memory = (
+            np.concatenate(self._mem, axis=0)
+            if self._mem
+            else np.zeros((0, adim), np.float32)
+        )
+        self.ctc_logits = (
+            np.concatenate(self._ctc, axis=0)
+            if self._ctc
+            else np.zeros((0, self.cfg.vocab_size), np.float32)
+        )
+        self.enc_len = self.memory.shape[0]
+        return list(self._hyp)
+
+    def text(self, tokens=None) -> str:
+        from speech_recognition_tools_tpu.io.text import decode_tokens
+
+        if self.vocab is None:
+            raise ValueError("no vocab attached")
+        return decode_tokens(
+            tokens if tokens is not None else self._hyp, self.vocab
+        )

@@ -43,6 +43,18 @@ class TransformerASRConfig:
     # model stays stateless under jit)
     encoder_type: str = "transformer"
     conv_kernel: int = 15  # conformer depthwise conv width
+    # Streaming-compatible chunked encoder self-attention (beyond
+    # reference — the reference has no online mode at all): each
+    # post-subsampling frame attends within its chunk of `attn_chunk`
+    # frames plus `attn_left_chunks` chunks of left context
+    # (-1 = unbounded left). 0 disables (full attention). Applies to
+    # every encoder consumer that builds blocks from this config
+    # (offline encode, the pipelined loss); infer/streaming_asr.py
+    # runs the equivalent computation incrementally with cached
+    # context for true online serving. With encoder_type='conformer'
+    # the depthwise conv becomes causal so chunked decode stays exact.
+    attn_chunk: int = 0
+    attn_left_chunks: int = -1
 
     @property
     def blank_id(self):
@@ -55,6 +67,18 @@ class TransformerASRConfig:
     @property
     def eos_id(self):
         return self.vocab_size - 1
+
+
+def chunk_attention_mask(T: int, chunk: int, left_chunks: int = -1):
+    """(T, T) bool mask for chunked streaming self-attention: query frame
+    t (chunk c = t // chunk) may attend keys in chunks [c - left, c] —
+    full attention within the chunk (incl. its own future frames, the
+    standard streaming-chunk convention), no look-ahead past it."""
+    c = np.arange(T) // chunk
+    allowed = c[None, :] <= c[:, None]
+    if left_chunks >= 0:
+        allowed &= c[None, :] >= c[:, None] - left_chunks
+    return jnp.asarray(allowed)
 
 
 def _posenc(length, dim, dtype=jnp.float32):
@@ -87,6 +111,13 @@ class _MHABlock(nn.Module):
                 T = x.shape[1]
                 tri = jnp.tril(jnp.ones((T, T), bool))
                 self_mask = self_mask & tri[None, None]
+            elif c.attn_chunk > 0:
+                # encoder form: streaming chunk mask from the shared cfg,
+                # so every consumer that builds blocks from the config
+                # (offline encode, PP stages) applies it identically
+                self_mask = self_mask & chunk_attention_mask(
+                    x.shape[1], c.attn_chunk, c.attn_left_chunks
+                )[None, None]
         h = nn.MultiHeadDotProductAttention(
             num_heads=c.aheads, qkv_features=c.adim,
             dropout_rate=0.0, deterministic=deterministic,
@@ -130,23 +161,33 @@ class _ConformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
         c = self.cfg
+        attn_mask = mask[:, None, None, :]
+        if c.attn_chunk > 0:
+            attn_mask = attn_mask & chunk_attention_mask(
+                x.shape[1], c.attn_chunk, c.attn_left_chunks
+            )[None, None]
         x = x + 0.5 * self._ffn(x, deterministic, "ffn1")
         h = nn.LayerNorm(name="mhsa_norm")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=c.aheads, qkv_features=c.adim,
             dropout_rate=0.0, deterministic=deterministic,
             name="mhsa",
-        )(h, h, mask=mask[:, None, None, :])
+        )(h, h, mask=attn_mask)
         x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
         # conv module; padded frames are zeroed first so the depthwise
-        # conv cannot leak them into valid positions
+        # conv cannot leak them into valid positions. In streaming mode
+        # the conv is causal (left-padded) so chunked/incremental decode
+        # sees no look-ahead past the chunk boundary.
         h = nn.LayerNorm(name="conv_norm")(x)
         h = h * mask[..., None].astype(h.dtype)
         h = nn.Dense(2 * c.adim, name="conv_pointwise_in")(h)
         h = nn.glu(h, axis=-1)
         h = nn.Conv(
             c.adim, (c.conv_kernel,), feature_group_count=c.adim,
-            padding="SAME", name="conv_depthwise",
+            padding=(
+                ((c.conv_kernel - 1, 0),) if c.attn_chunk > 0 else "SAME"
+            ),
+            name="conv_depthwise",
         )(h)
         h = nn.LayerNorm(name="conv_mid_norm")(h)
         h = nn.swish(h)
@@ -157,8 +198,15 @@ class _ConformerBlock(nn.Module):
 
 
 class Conv2dSubsampling(nn.Module):
-    """ESPnet-style conv2d input layer: two stride-2 convs (4x time
-    reduction) + linear to adim + positional encoding."""
+    """ESPnet-style conv2d input layer: two stride-2 unpadded (VALID)
+    convs (4x time reduction, exactly the reference ESPnet's
+    torch.nn.Conv2d defaults) + linear to adim.
+
+    VALID makes the computation *prefix-stable*: subsampled frame j
+    depends only on input frames 4j..4j+6 — independent of the total
+    length — so (a) batch zero-padding can never leak into valid frames
+    and (b) online chunked processing (infer/streaming_asr.py) produces
+    bit-identical frames to the offline pass."""
 
     adim: int
 
@@ -166,11 +214,15 @@ class Conv2dSubsampling(nn.Module):
     def __call__(self, x, lengths):
         B, T, D = x.shape
         h = x[..., None]  # (B, T, D, 1)
-        h = nn.relu(nn.Conv(self.adim, (3, 3), strides=(2, 2))(h))
-        h = nn.relu(nn.Conv(self.adim, (3, 3), strides=(2, 2))(h))
+        h = nn.relu(
+            nn.Conv(self.adim, (3, 3), strides=(2, 2), padding="VALID")(h)
+        )
+        h = nn.relu(
+            nn.Conv(self.adim, (3, 3), strides=(2, 2), padding="VALID")(h)
+        )
         B, T2, D2, C = h.shape
         h = nn.Dense(self.adim)(h.reshape(B, T2, D2 * C))
-        out_len = ((lengths + 1) // 2 + 1) // 2
+        out_len = ((lengths - 1) // 2 - 1) // 2
         return h, out_len
 
 
@@ -470,6 +522,11 @@ def encode_ring(model, params, feats, lengths, mesh, *,
     import flax
 
     c = model.cfg
+    if c.attn_chunk > 0:
+        raise ValueError(
+            "encode_ring does not support chunked (streaming) attention; "
+            "use infer/streaming_asr.py or the offline encode"
+        )
     S = mesh.shape[time_axis]
     enc_p = flax.core.unfreeze(params)["params"]["encoder"]
 

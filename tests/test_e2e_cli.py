@@ -62,12 +62,12 @@ def test_ctc_feasibility_filter():
     length can't cover the labels are pruned."""
     from speech_recognition_tools_tpu.cli.train_e2e import ctc_feasible
 
-    # 40 frames -> enc_len 10: 10 tokens ok, 11 not
-    assert ctc_feasible(40, 10)
-    assert not ctc_feasible(40, 11)
-    assert not ctc_feasible(40, 9, min_io_delta=2)
-    assert ctc_feasible(40, 4, min_io_ratio=2.0)
-    assert not ctc_feasible(40, 6, min_io_ratio=2.0)
+    # 41 frames -> enc_len 9 (VALID convs): 9 tokens ok, 10 not
+    assert ctc_feasible(41, 9)
+    assert not ctc_feasible(41, 10)
+    assert not ctc_feasible(41, 8, min_io_delta=2)
+    assert ctc_feasible(41, 4, min_io_ratio=2.0)
+    assert not ctc_feasible(41, 5, min_io_ratio=2.0)
 
 
 @pytest.mark.slow

@@ -1,0 +1,159 @@
+"""Streaming (online) recognition: the incremental encoder must equal the
+offline chunked-attention encode exactly, for both encoder types; the CLI
+--streaming path decodes a trained model end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_recognition_tools_tpu.infer.streaming_asr import (
+    StreamingRecognizer,
+)
+from speech_recognition_tools_tpu.models.transformer_asr import (
+    TransformerASR,
+    TransformerASRConfig,
+    chunk_attention_mask,
+    greedy_ctc,
+)
+
+RS = np.random.RandomState(7)
+
+
+def _tiny_cfg(encoder_type, **kw):
+    return TransformerASRConfig(
+        vocab_size=11, adim=16, aheads=2, elayers=2, eunits=32,
+        dlayers=1, dunits=32, dropout=0.0, encoder_type=encoder_type,
+        conv_kernel=7, **kw,
+    )
+
+
+def _init(model, T=150, D=8, seed=0):
+    x = RS.randn(1, T, D).astype(np.float32)
+    params = model.init(
+        {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+        jnp.asarray(x), jnp.asarray([T]), jnp.zeros((1, 4), jnp.int32),
+    )
+    return x, params
+
+
+def _offline(model, params, x, T):
+    mem, enc_len, ctc = model.apply(
+        params, jnp.asarray(x), jnp.asarray([T]),
+        method=TransformerASR.encode,
+    )
+    n = int(enc_len[0])
+    return np.asarray(mem)[0, :n], np.asarray(ctc)[0, :n], n
+
+
+def test_chunk_mask_shape_and_rule():
+    m = np.asarray(chunk_attention_mask(8, 3, 1))
+    # frame 4 (chunk 1) attends chunks 0..1 = frames 0..5, not 6..7
+    assert m[4, :6].all() and not m[4, 6:].any()
+    # frame 7 (chunk 2) with left=1 attends chunks 1..2 = frames 3..7
+    assert not m[7, :3].any() and m[7, 3:].all()
+
+
+@pytest.mark.parametrize("encoder_type", ["transformer", "conformer"])
+def test_streaming_matches_offline(encoder_type):
+    cfg = _tiny_cfg(encoder_type, attn_chunk=4, attn_left_chunks=2)
+    model = TransformerASR(cfg)
+    T = 150
+    x, params = _init(model, T=T)
+    mem, ctc, n = _offline(model, params, x, T)
+
+    sr = StreamingRecognizer(model, params)
+    i = 0
+    for sz in (7, 30, 13, 50, 29, 100):  # ragged arrival
+        if i >= T:
+            break
+        sr.push(x[0, i : i + sz])
+        i += sz
+    hyp = sr.finish()
+
+    assert sr.enc_len == n
+    np.testing.assert_allclose(sr.memory, mem, rtol=1e-4, atol=3e-5)
+    np.testing.assert_allclose(sr.ctc_logits, ctc, rtol=1e-4, atol=3e-5)
+    assert hyp == greedy_ctc(jnp.asarray(ctc[None]), jnp.asarray([n]))[0]
+
+
+def test_streaming_no_left_context():
+    cfg = _tiny_cfg("transformer", attn_chunk=5, attn_left_chunks=0)
+    model = TransformerASR(cfg)
+    T = 101
+    x, params = _init(model, T=T, seed=3)
+    mem, ctc, n = _offline(model, params, x, T)
+    sr = StreamingRecognizer(model, params)
+    sr.push(x[0])
+    sr.finish()
+    assert sr.enc_len == n
+    np.testing.assert_allclose(sr.memory, mem, rtol=1e-4, atol=3e-5)
+
+
+def test_chunked_attention_actually_masks():
+    full = TransformerASR(_tiny_cfg("transformer"))
+    chunked = TransformerASR(
+        _tiny_cfg("transformer", attn_chunk=4, attn_left_chunks=1)
+    )
+    T = 120
+    x, params = _init(full, T=T, seed=5)
+    mem_f, _, _ = _offline(full, params, x, T)
+    mem_c, _, _ = _offline(chunked, params, x, T)  # same params apply
+    assert np.max(np.abs(mem_f - mem_c)) > 1e-3
+
+
+def test_streaming_requires_streaming_config():
+    model = TransformerASR(_tiny_cfg("transformer"))
+    _, params = _init(model, T=40)
+    with pytest.raises(ValueError, match="attn_chunk"):
+        StreamingRecognizer(model, params)
+    model2 = TransformerASR(_tiny_cfg("transformer", attn_chunk=4))
+    _, params2 = _init(model2, T=40)
+    with pytest.raises(ValueError, match="left"):
+        StreamingRecognizer(model2, params2)
+
+
+@pytest.mark.slow
+def test_streaming_cli_end_to_end(tmp_path):
+    """train_e2e --attn_chunk -> recog_e2e --streaming: the online decode
+    equals the offline decode of the same chunked model (the streamed
+    encoder output IS the offline encode)."""
+    import os
+
+    from speech_recognition_tools_tpu.cli import recog_e2e, train_e2e
+    from speech_recognition_tools_tpu.io import build_egs
+
+    feats = {f"u{i}": RS.randn(41, 8).astype(np.float32) for i in range(3)}
+    egs = str(tmp_path / "egs")
+    build_egs(iter(feats.items()), egs)
+    text = tmp_path / "text"
+    text.write_text("".join(f"u{i} ab cab\n" for i in range(3)))
+
+    out = str(tmp_path / "e2e_stream")
+    train_e2e.main(
+        [egs, str(text), out, "--adim", "16", "--aheads", "2",
+         "--elayers", "1", "--eunits", "32", "--dlayers", "1",
+         "--dunits", "32", "--epochs", "2", "--batch_size", "2",
+         "--warmup_steps", "10", "--average_last", "2",
+         "--attn_chunk", "3", "--attn_left_chunks", "2"]
+    )
+    assert os.path.exists(os.path.join(out, "final_avg", "state.msgpack"))
+
+    hyp_s = str(tmp_path / "hyp_stream.txt")
+    recog_e2e.main(
+        [out, egs, hyp_s, "--beam_size", "2", "--max_len", "8",
+         "--streaming", "--streaming_feed", "17"]
+    )
+    hyp_o = str(tmp_path / "hyp_off.txt")
+    recog_e2e.main(
+        [out, egs, hyp_o, "--beam_size", "2", "--max_len", "8"]
+    )
+    assert open(hyp_s).read() == open(hyp_o).read()
+
+    # greedy final variant also runs
+    hyp_g = str(tmp_path / "hyp_greedy.txt")
+    recog_e2e.main(
+        [out, egs, hyp_g, "--streaming", "--streaming_final", "greedy"]
+    )
+    assert len(open(hyp_g).read().splitlines()) == 3
