@@ -351,3 +351,66 @@ class StreamingRecognizer:
         return decode_tokens(
             tokens if tokens is not None else self._hyp, self.vocab
         )
+
+
+class OnlineASRPipeline:
+    """The complete online serving path: raw audio samples in, text out.
+
+    Composes `dsp/streaming.py::StreamingFdlp` (chunked FDLP featgen,
+    batch-identical) with `StreamingRecognizer` (incremental chunked-
+    attention encoder, offline-identical), plus optional global CMVN —
+    i.e. the reference's wav -> computeFDLPSpectrogram -> apply-cmvn ->
+    model chain (SURVEY.md §3.1/§3.2), running incrementally with
+    bounded latency. End-to-end latency = one FDLP analysis window
+    (cfg.fduration * overlap, inherent to the front-end) + one encoder
+    attention chunk.
+    """
+
+    def __init__(self, model, params, fdlp_cfg=None, vocab=None,
+                 cmvn_mean=None, cmvn_std=None, block_frames: int = 8):
+        from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
+        from speech_recognition_tools_tpu.dsp.streaming import StreamingFdlp
+
+        self.fdlp_cfg = fdlp_cfg or FdlpConfig()
+        self._mk_featgen = lambda: StreamingFdlp(
+            self.fdlp_cfg, block_frames=block_frames
+        )
+        self.recognizer = StreamingRecognizer(model, params, vocab=vocab)
+        self.cmvn_mean = (
+            np.asarray(cmvn_mean, np.float32) if cmvn_mean is not None
+            else None
+        )
+        self.cmvn_std = (
+            np.asarray(cmvn_std, np.float32) if cmvn_std is not None else None
+        )
+        self.reset()
+
+    def reset(self):
+        self.featgen = self._mk_featgen()
+        self.recognizer.reset()
+
+    def _norm(self, feats):
+        if self.cmvn_mean is not None:
+            feats = feats - self.cmvn_mean[None, :]
+        if self.cmvn_std is not None:
+            feats = feats / self.cmvn_std[None, :]
+        return feats
+
+    def push(self, samples) -> list[int]:
+        """Feed raw audio samples; returns the current partial tokens."""
+        feats = self.featgen.process(samples)
+        if feats.shape[0]:
+            return self.recognizer.push(self._norm(feats))
+        return self.recognizer.push(np.zeros((0, feats.shape[1]), np.float32))
+
+    def finish(self) -> list[int]:
+        """Flush featgen + encoder; returns the final greedy tokens. The
+        full streamed encoder output is on `self.recognizer` for a final
+        joint/beam pass."""
+        feats = self.featgen.finish()
+        if feats.shape[0]:
+            self.recognizer.push(self._norm(feats))
+        return self.recognizer.finish()
+
+    def text(self) -> str:
+        return self.recognizer.text()

@@ -114,6 +114,52 @@ def test_streaming_requires_streaming_config():
         StreamingRecognizer(model2, params2)
 
 
+def test_online_pipeline_audio_to_tokens():
+    """Full online path: raw audio -> StreamingFdlp -> recognizer. The
+    encoder half must consume the streamed features exactly as the
+    offline encode of those same features (featgen parity itself is
+    pinned by tests/test_streaming.py)."""
+    from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
+    from speech_recognition_tools_tpu.dsp.streaming import StreamingFdlp
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        OnlineASRPipeline,
+    )
+
+    fcfg = FdlpConfig(srate=8000, nfilters=8, fduration=0.25,
+                      coeff_num=20, order=20)
+    # syllabic AR-noise carrier (dsp/streaming-style test signal)
+    n = 9000
+    e = RS.randn(n).astype(np.float32)
+    sig = np.zeros(n, np.float32)
+    for t in range(2, n):
+        sig[t] = 1.2 * sig[t - 1] - 0.5 * sig[t - 2] + e[t]
+    sig *= (0.4 + 0.3 * np.sin(2 * np.pi * np.arange(n) * 3.0 / 8000))
+
+    cfg = _tiny_cfg("transformer", attn_chunk=3, attn_left_chunks=2)
+    model = TransformerASR(cfg)
+    _, params = _init(model, T=60, D=8, seed=9)
+
+    mean = np.full((8,), 0.5, np.float32)
+    pipe = OnlineASRPipeline(model, params, fdlp_cfg=fcfg,
+                             cmvn_mean=mean)
+    for s in range(0, n, 1500):
+        pipe.push(sig[s : s + 1500])
+    hyp = pipe.finish()
+
+    # reference: the same streamed features through the offline encode
+    sf = StreamingFdlp(fcfg, block_frames=8)
+    feats = [sf.process(sig[s : s + 1500]) for s in range(0, n, 1500)]
+    feats.append(sf.finish())
+    feats = np.concatenate(feats, axis=0) - mean[None]
+    mem, ctc, nf = _offline(model, params, feats[None], feats.shape[0])
+    assert pipe.recognizer.enc_len == nf
+    np.testing.assert_allclose(pipe.recognizer.memory, mem,
+                               rtol=1e-4, atol=3e-5)
+    assert hyp == greedy_ctc(
+        jnp.asarray(ctc[None]), jnp.asarray([nf])
+    )[0]
+
+
 @pytest.mark.slow
 def test_streaming_cli_end_to_end(tmp_path):
     """train_e2e --attn_chunk -> recog_e2e --streaming: the online decode
