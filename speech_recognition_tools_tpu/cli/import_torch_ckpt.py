@@ -25,14 +25,14 @@ def get_parser():
 def main(argv=None):
     args = get_parser().parse_args(argv)
     from speech_recognition_tools_tpu.io.torch_import import (
-        import_torch_checkpoint,
-        load_torch_checkpoint,
         detect_family,
+        import_state_dict,
+        load_torch_checkpoint,
     )
 
-    sd, _ = load_torch_checkpoint(args.src)
+    sd, hyper = load_torch_checkpoint(args.src)
     family = detect_family(sd)
-    path = import_torch_checkpoint(args.src, args.dest, tag=args.tag)
+    path = import_state_dict(sd, hyper, args.dest, tag=args.tag, src=args.src)
     print(f"detected family: {family}")
     print(f"imported {args.src} -> {path}")
 

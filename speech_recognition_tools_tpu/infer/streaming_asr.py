@@ -40,8 +40,19 @@ from flax import linen as nn
 from speech_recognition_tools_tpu.models.transformer_asr import (
     Conv2dSubsampling,
     TransformerASRConfig,
-    _posenc,
 )
+
+
+def _posenc_rows(pos0: int, n: int, dim: int) -> np.ndarray:
+    """Rows [pos0, pos0+n) of the sinusoidal table — computed on the host
+    per chunk so streams have NO position cap (a fixed in-jit table would
+    silently clamp and break offline parity on long streams)."""
+    pos = np.arange(pos0, pos0 + n)[:, None]
+    div = np.exp(np.arange(0, dim, 2) * (-np.log(10000.0) / dim))
+    pe = np.zeros((n, dim), np.float32)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe
 
 
 class _StreamMHABlock(nn.Module):
@@ -123,11 +134,12 @@ class _StreamConformerBlock(nn.Module):
 def make_stream_step(model, params):
     """Build the jitted per-chunk encoder step.
 
-    step(x_slice, pos0, n_valid, caches) ->
+    step(x_slice, pe_rows, n_valid, caches) ->
         (enc_new, ctc_new, new_caches)
 
       x_slice  (1, 4*chunk+3, D) raw feature slice (zero-padded tail OK)
-      pos0     first subsampled-frame index of this chunk
+      pe_rows  (chunk, adim) absolute positional-encoding rows for this
+               chunk (host-computed — no stream-length cap)
       n_valid  valid subsampled frames in this chunk (== chunk except at
                the very end; partial-chunk cache updates must be
                discarded by the caller)
@@ -157,17 +169,14 @@ def make_stream_step(model, params):
         if conformer
         else _StreamMHABlock(c, c.eunits)
     )
-    pe = _posenc(8192, c.adim)
 
     @jax.jit
-    def step(x_slice, pos0, n_valid, caches):
+    def step(x_slice, pe_rows, n_valid, caches):
         h, _ = Conv2dSubsampling(c.adim).apply(
             {"params": enc_p["embed"]}, x_slice,
             jnp.full((1,), x_slice.shape[1], jnp.int32),
         )  # (1, chunk, adim) — VALID makes this exactly the offline frames
-        h = h * np.sqrt(c.adim) + jax.lax.dynamic_slice(
-            pe, (pos0, 0), (chunk, c.adim)
-        )[None]
+        h = h * np.sqrt(c.adim) + pe_rows[None]
         valid_new = jnp.arange(chunk) < n_valid
         new_caches = {}
         for i in range(c.elayers):
@@ -234,21 +243,25 @@ class StreamingRecognizer:
     After `finish()`, `self.memory` / `self.enc_len` / `self.ctc_logits`
     hold the full (streamed) encoder output — identical to the offline
     `model.encode` — so a final attention/joint rescoring pass can run
-    on them (see cli/recog_e2e.py --streaming)."""
+    on them (see cli/recog_e2e.py --streaming). For long-lived greedy-only
+    streams pass `store_memory=False`: nothing then grows with stream
+    length (the raw-feature buffer is trimmed to the unconsumed tail)."""
 
-    def __init__(self, model, params, vocab=None):
+    def __init__(self, model, params, vocab=None, store_memory=True):
         self.cfg = model.cfg
         self.step, init_caches = make_stream_step(model, params)
         self._init_caches = init_caches
         self.vocab = vocab
+        self.store_memory = store_memory
         self.reset()
 
     def reset(self):
         self.caches = self._init_caches()
-        self._feat_buf = []  # list of np arrays (T_i, D)
-        self._n_buf = 0
-        self._n_consumed = 0  # raw frames consumed by emitted chunks
-        self._pos = 0  # subsampled frames emitted
+        self._buf = None           # (T_kept, D) unconsumed feature tail
+        self._buf_start = 0        # absolute index of _buf[0]
+        self._n_buf = 0            # absolute frames received
+        self._n_consumed = 0       # raw frames consumed by emitted chunks
+        self._pos = 0              # subsampled frames emitted
         self._mem = []
         self._ctc = []
         self._hyp: list[int] = []
@@ -259,12 +272,19 @@ class StreamingRecognizer:
     def chunk(self):
         return self.cfg.attn_chunk
 
-    def _buf_concat(self):
-        return (
-            np.concatenate(self._feat_buf, axis=0)
-            if self._feat_buf
-            else np.zeros((0, 1), np.float32)
-        )
+    def _slice(self, start, length):
+        """Absolute raw-frame slice [start, start+length) of the kept
+        buffer (zero-padded past the stream end)."""
+        lo = start - self._buf_start
+        return self._buf[lo : lo + length]
+
+    def _trim(self):
+        """Drop consumed frames — no future chunk reads before
+        _n_consumed, so the kept buffer stays O(chunk + push size)."""
+        drop = self._n_consumed - self._buf_start
+        if drop > 0:
+            self._buf = self._buf[drop:]
+            self._buf_start = self._n_consumed
 
     def _emit(self, x_slice, n_valid, update_caches):
         chunk = self.chunk
@@ -273,14 +293,15 @@ class StreamingRecognizer:
             x_slice = np.pad(x_slice, ((0, pad), (0, 0)))
         h, ctc, new_caches = self.step(
             jnp.asarray(x_slice[None], jnp.float32),
-            self._pos, n_valid, self.caches,
+            jnp.asarray(_posenc_rows(self._pos, chunk, self.cfg.adim)),
+            n_valid, self.caches,
         )
         if update_caches:
             self.caches = new_caches
-        h = np.asarray(h)[0, :n_valid]
         ctc = np.asarray(ctc)[0, :n_valid]
-        self._mem.append(h)
-        self._ctc.append(ctc)
+        if self.store_memory:
+            self._mem.append(np.asarray(h)[0, :n_valid])
+            self._ctc.append(ctc)
         self._pos += n_valid
         # incremental greedy CTC collapse
         ids = np.argmax(ctc, axis=-1)
@@ -296,19 +317,20 @@ class StreamingRecognizer:
         frames = np.asarray(frames, np.float32)
         if frames.ndim != 2:
             raise ValueError(f"push expects (T, D); got {frames.shape}")
-        self._feat_buf.append(frames)
+        self._buf = (
+            frames if self._buf is None
+            else np.concatenate([self._buf, frames])
+        )
         self._n_buf += frames.shape[0]
         chunk = self.chunk
         # subsampled frame j is final once input 4j+6 exists
         while self._n_buf >= self._n_consumed + 4 * chunk + 3:
-            buf = self._buf_concat()
-            self._feat_buf = [buf]
-            start = self._n_consumed
             self._emit(
-                buf[start : start + 4 * chunk + 3], chunk,
+                self._slice(self._n_consumed, 4 * chunk + 3), chunk,
                 update_caches=True,
             )
             self._n_consumed += 4 * chunk
+        self._trim()
         return list(self._hyp)
 
     def finish(self) -> list[int]:
@@ -316,14 +338,12 @@ class StreamingRecognizer:
         hypothesis and freezes `memory`/`enc_len`/`ctc_logits`."""
         if self._finished:
             return list(self._hyp)
-        buf = self._buf_concat()
         total_sub = ((self._n_buf - 1) // 2 - 1) // 2 if self._n_buf >= 7 else 0
         remaining = total_sub - self._pos
         while remaining > 0:
             n = min(remaining, self.chunk)
-            start = self._n_consumed
             self._emit(
-                buf[start : start + 4 * self.chunk + 3], n,
+                self._slice(self._n_consumed, 4 * self.chunk + 3), n,
                 update_caches=(n == self.chunk),
             )
             self._n_consumed += 4 * self.chunk
@@ -340,7 +360,9 @@ class StreamingRecognizer:
             if self._ctc
             else np.zeros((0, self.cfg.vocab_size), np.float32)
         )
-        self.enc_len = self.memory.shape[0]
+        # frames emitted — with store_memory=False, memory stays empty
+        # but the count is still meaningful
+        self.enc_len = self._pos
         return list(self._hyp)
 
     def text(self, tokens=None) -> str:

@@ -619,11 +619,20 @@ def import_torch_checkpoint(src: str, dest_dir: str, tag: str = "final") -> str:
     The result is loadable by every native CLI that rebuilds models from
     checkpoints (cli/dump_outputs.py load_model_from_checkpoint).
     """
+    sd, hyper = load_torch_checkpoint(src)
+    return import_state_dict(sd, hyper, dest_dir, tag=tag, src=src)
+
+
+def import_state_dict(
+    sd: dict, hyper: dict, dest_dir: str, tag: str = "final",
+    src: str = "<state_dict>",
+) -> str:
+    """Convert an already-loaded reference state_dict (see
+    load_torch_checkpoint) into a native checkpoint directory."""
     import os
 
     from speech_recognition_tools_tpu.train.checkpoint import save_checkpoint
 
-    sd, hyper = load_torch_checkpoint(src)
     family = detect_family(sd)
     if family in ("vae_encoded", "curl_encoded"):
         # two checkpoints: the frozen generative base + the classifier head

@@ -213,6 +213,12 @@ class Conv2dSubsampling(nn.Module):
     @nn.compact
     def __call__(self, x, lengths):
         B, T, D = x.shape
+        if T < 7 or D < 7:
+            raise ValueError(
+                "Conv2dSubsampling (VALID convs) needs at least 7 frames "
+                f"and 7 feature dims for one output; got (T={T}, D={D}). "
+                "Pad or skip shorter utterances."
+            )
         h = x[..., None]  # (B, T, D, 1)
         h = nn.relu(
             nn.Conv(self.adim, (3, 3), strides=(2, 2), padding="VALID")(h)
@@ -222,7 +228,9 @@ class Conv2dSubsampling(nn.Module):
         )
         B, T2, D2, C = h.shape
         h = nn.Dense(self.adim)(h.reshape(B, T2, D2 * C))
-        out_len = ((lengths - 1) // 2 - 1) // 2
+        # per-utterance lengths < 7 inside a padded batch yield 0 valid
+        # frames (clamped; the formula goes negative below 3)
+        out_len = jnp.maximum(((lengths - 1) // 2 - 1) // 2, 0)
         return h, out_len
 
 

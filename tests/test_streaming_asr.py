@@ -114,6 +114,35 @@ def test_streaming_requires_streaming_config():
         StreamingRecognizer(model2, params2)
 
 
+def test_streaming_bounded_buffers_and_no_position_cap():
+    """Serving properties: the raw-feature buffer is trimmed to the
+    unconsumed tail, store_memory=False keeps nothing growing, and
+    positions are host-computed (parity holds at arbitrary offsets —
+    checked by running a long stream and comparing the final chunks)."""
+    cfg = _tiny_cfg("transformer", attn_chunk=4, attn_left_chunks=1)
+    model = TransformerASR(cfg)
+    T = 1200
+    x, params = _init(model, T=T, seed=11)
+    mem, ctc, n = _offline(model, params, x, T)
+
+    sr = StreamingRecognizer(model, params, store_memory=False)
+    for s in range(0, T, 53):
+        sr.push(x[0, s : s + 53])
+        # buffer never holds more than the unconsumed tail + one push
+        assert sr._buf.shape[0] <= 4 * sr.chunk + 3 + 53
+    hyp = sr.finish()
+    assert sr.enc_len == n and sr.memory.shape[0] == 0  # nothing stored
+    assert hyp == greedy_ctc(jnp.asarray(ctc[None]), jnp.asarray([n]))[0]
+
+    # with store_memory, tail frames still match offline at deep offsets
+    sr2 = StreamingRecognizer(model, params)
+    sr2.push(x[0])
+    sr2.finish()
+    assert sr2.enc_len == n
+    np.testing.assert_allclose(sr2.memory[-8:], mem[-8:], rtol=1e-4,
+                               atol=3e-5)
+
+
 def test_online_pipeline_audio_to_tokens():
     """Full online path: raw audio -> StreamingFdlp -> recognizer. The
     encoder half must consume the streamed features exactly as the
