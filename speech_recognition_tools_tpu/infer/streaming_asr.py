@@ -103,6 +103,7 @@ class _StreamConformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x_new, attn_cache, conv_tail, kv_mask, valid_new):
+        # valid_new: (B, chunk) — per-stream validity of the new frames
         c = self.cfg
         x = x_new + 0.5 * self._ffn(x_new, "ffn1")  # x_mid (new chunk)
         x_mid = x
@@ -115,7 +116,7 @@ class _StreamConformerBlock(nn.Module):
         )(q, kvn, mask=kv_mask)
         x = x + h
         h = nn.LayerNorm(name="conv_norm")(x)
-        h = h * valid_new[None, :, None].astype(h.dtype)
+        h = h * valid_new[:, :, None].astype(h.dtype)
         h = nn.Dense(2 * c.adim, name="conv_pointwise_in")(h)
         h = nn.glu(h, axis=-1)
         conv_in = h
@@ -132,19 +133,23 @@ class _StreamConformerBlock(nn.Module):
 
 
 def make_stream_step(model, params):
-    """Build the jitted per-chunk encoder step.
+    """Build the jitted per-chunk encoder step (batched over streams).
 
     step(x_slice, pe_rows, n_valid, caches) ->
         (enc_new, ctc_new, new_caches)
 
-      x_slice  (1, 4*chunk+3, D) raw feature slice (zero-padded tail OK)
-      pe_rows  (chunk, adim) absolute positional-encoding rows for this
-               chunk (host-computed — no stream-length cap)
-      n_valid  valid subsampled frames in this chunk (== chunk except at
-               the very end; partial-chunk cache updates must be
+      x_slice  (B, 4*chunk+3, D) raw feature slices (zero-padded tail OK);
+               each batch row is an independent stream's next chunk
+      pe_rows  (B, chunk, adim) absolute positional-encoding rows per
+               stream (host-computed — no stream-length cap)
+      n_valid  (B,) valid subsampled frames per row (== chunk except at a
+               stream's very end; partial-chunk cache updates must be
                discarded by the caller)
-      caches   dict per layer: {"kv": (1, L, adim), "kv_valid": int,
-               "conv": (1, kernel-1, adim)} (conv only for conformer)
+      caches   dict per layer: {"kv": (B, L, adim), "kv_valid": (B,),
+               "conv": (B, kernel-1, adim)} (conv only for conformer)
+
+    One fixed (B, chunk) shape serves every scheduling round — the
+    StreamBatcher pads idle rows with n_valid=0.
     """
     import flax
 
@@ -172,12 +177,13 @@ def make_stream_step(model, params):
 
     @jax.jit
     def step(x_slice, pe_rows, n_valid, caches):
+        B = x_slice.shape[0]
         h, _ = Conv2dSubsampling(c.adim).apply(
             {"params": enc_p["embed"]}, x_slice,
-            jnp.full((1,), x_slice.shape[1], jnp.int32),
-        )  # (1, chunk, adim) — VALID makes this exactly the offline frames
-        h = h * np.sqrt(c.adim) + pe_rows[None]
-        valid_new = jnp.arange(chunk) < n_valid
+            jnp.full((B,), x_slice.shape[1], jnp.int32),
+        )  # (B, chunk, adim) — VALID makes these exactly the offline frames
+        h = h * np.sqrt(c.adim) + pe_rows
+        valid_new = jnp.arange(chunk)[None, :] < n_valid[:, None]  # (B, c)
         new_caches = {}
         for i in range(c.elayers):
             cache = caches[f"layer_{i}"]
@@ -186,9 +192,11 @@ def make_stream_step(model, params):
             # j >= L - kv_valid; new keys masked by n_valid. Full
             # attention within the chunk (the offline chunk-mask rule).
             key_mask = jnp.concatenate(
-                [jnp.arange(L) >= L - kv_valid, valid_new]
+                [jnp.arange(L)[None, :] >= (L - kv_valid)[:, None],
+                 valid_new],
+                axis=1,
             )
-            kv_mask = key_mask[None, None, None, :]
+            kv_mask = key_mask[:, None, None, :]
             if conformer:
                 out, x_mid, conv_in = block.apply(
                     {"params": enc_p[f"layer_{i}"]}, h, cache["kv"],
@@ -219,16 +227,16 @@ def make_stream_step(model, params):
         ctc = nn.Dense(c.vocab_size).apply({"params": p["ctc_head"]}, h)
         return h, ctc, new_caches
 
-    def init_caches():
+    def init_caches(batch: int = 1):
         caches = {}
         for i in range(c.elayers):
             entry = {
-                "kv": jnp.zeros((1, L, c.adim), jnp.float32),
-                "kv_valid": jnp.asarray(0, jnp.int32),
+                "kv": jnp.zeros((batch, L, c.adim), jnp.float32),
+                "kv_valid": jnp.zeros((batch,), jnp.int32),
             }
             if conformer:
                 entry["conv"] = jnp.zeros(
-                    (1, c.conv_kernel - 1, c.adim), jnp.float32
+                    (batch, c.conv_kernel - 1, c.adim), jnp.float32
                 )
             caches[f"layer_{i}"] = entry
         return caches
@@ -293,8 +301,8 @@ class StreamingRecognizer:
             x_slice = np.pad(x_slice, ((0, pad), (0, 0)))
         h, ctc, new_caches = self.step(
             jnp.asarray(x_slice[None], jnp.float32),
-            jnp.asarray(_posenc_rows(self._pos, chunk, self.cfg.adim)),
-            n_valid, self.caches,
+            jnp.asarray(_posenc_rows(self._pos, chunk, self.cfg.adim))[None],
+            jnp.asarray([n_valid], jnp.int32), self.caches,
         )
         if update_caches:
             self.caches = new_caches
@@ -373,6 +381,176 @@ class StreamingRecognizer:
         return decode_tokens(
             tokens if tokens is not None else self._hyp, self.vocab
         )
+
+
+class _StreamState:
+    """Host bookkeeping for one stream inside a StreamBatcher."""
+
+    def __init__(self, cfg, caches):
+        self.caches = caches  # per-layer trees with leading dim 1
+        self.buf = None
+        self.buf_start = 0
+        self.n_buf = 0
+        self.n_consumed = 0
+        self.pos = 0
+        self.hyp: list[int] = []
+        self.last_id = cfg.blank_id
+        self.mem: list[np.ndarray] = []
+        self.ctc: list[np.ndarray] = []
+        self.finished = False
+
+
+class StreamBatcher:
+    """Serve many concurrent streams on one chip.
+
+    Each scheduling round stacks the next ready chunk of every stream
+    that has one into a single fixed-shape batched encoder step
+    (padded with idle rows to `max_streams`, so XLA compiles exactly one
+    program) — the MXU sees a batch instead of N tiny single-stream
+    calls. Per-stream results are scattered back into independent
+    greedy-CTC hypotheses. Numerics are identical to a single-stream
+    StreamingRecognizer (tests/test_streaming_asr.py pins it).
+
+    Usage:
+        sb = StreamBatcher(model, params, max_streams=8)
+        a = sb.open(); b = sb.open()
+        sb.push(a, feats_a); sb.push(b, feats_b)   # buffers + schedules
+        hyp_a = sb.finish(a)                        # flush one stream
+    """
+
+    def __init__(self, model, params, max_streams: int = 8, vocab=None,
+                 store_memory: bool = False):
+        self.cfg = model.cfg
+        self.step, self._init_caches = make_stream_step(model, params)
+        self.max_streams = max_streams
+        self.vocab = vocab
+        self.store_memory = store_memory
+        self._streams: dict[int, _StreamState] = {}
+        self._next_id = 0
+        # idle-row template (reused for padding every round)
+        self._idle = self._init_caches(1)
+
+    def open(self) -> int:
+        sid = self._next_id
+        self._next_id += 1
+        self._streams[sid] = _StreamState(self.cfg, self._init_caches(1))
+        return sid
+
+    @property
+    def chunk(self):
+        return self.cfg.attn_chunk
+
+    def _ready(self, st: _StreamState) -> bool:
+        return st.n_buf >= st.n_consumed + 4 * self.chunk + 3
+
+    def _slice(self, st: _StreamState, length):
+        lo = st.n_consumed - st.buf_start
+        sl = st.buf[lo : lo + length]
+        if sl.shape[0] < length:
+            sl = np.pad(sl, ((0, length - sl.shape[0]), (0, 0)))
+        return sl
+
+    def _run_round(self, jobs):
+        """jobs: list of (sid, n_valid). Runs ONE padded batched step."""
+        B = self.max_streams
+        assert jobs and len(jobs) <= B
+        chunk, adim = self.chunk, self.cfg.adim
+        D = self._streams[jobs[0][0]].buf.shape[1]
+        x = np.zeros((B, 4 * chunk + 3, D), np.float32)
+        pe = np.zeros((B, chunk, adim), np.float32)
+        nv = np.zeros((B,), np.int32)
+        caches = []
+        for r, (sid, n_valid) in enumerate(jobs):
+            st = self._streams[sid]
+            x[r] = self._slice(st, 4 * chunk + 3)
+            pe[r] = _posenc_rows(st.pos, chunk, adim)
+            nv[r] = n_valid
+            caches.append(st.caches)
+        caches += [self._idle] * (B - len(jobs))
+        batched = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *caches
+        )
+        h, ctc, new_caches = self.step(
+            jnp.asarray(x), jnp.asarray(pe), jnp.asarray(nv), batched
+        )
+        h = np.asarray(h)
+        ctc = np.asarray(ctc)
+        for r, (sid, n_valid) in enumerate(jobs):
+            st = self._streams[sid]
+            if n_valid == chunk:  # full chunk: keep the cache row
+                st.caches = jax.tree.map(
+                    lambda a: a[r : r + 1], new_caches
+                )
+            row_ctc = ctc[r, :n_valid]
+            if self.store_memory:
+                st.mem.append(h[r, :n_valid])
+                st.ctc.append(row_ctc)
+            st.pos += int(n_valid)
+            st.n_consumed += 4 * chunk
+            ids = np.argmax(row_ctc, axis=-1)
+            for t in ids:
+                if t != self.cfg.blank_id and t != st.last_id:
+                    st.hyp.append(int(t))
+                st.last_id = int(t)
+            # trim consumed frames (bounded buffers, as in the
+            # single-stream recognizer)
+            take = min(st.n_consumed - st.buf_start, st.buf.shape[0])
+            if take > 0:
+                st.buf = st.buf[take:]
+                st.buf_start += take
+
+    def push(self, sid: int, frames) -> list[int]:
+        """Buffer frames for stream `sid` and run scheduling rounds while
+        any stream has a completed chunk ready."""
+        st = self._streams[sid]
+        assert not st.finished, "stream already finished"
+        frames = np.asarray(frames, np.float32)
+        st.buf = (
+            frames if st.buf is None else np.concatenate([st.buf, frames])
+        )
+        st.n_buf += frames.shape[0]
+        self.drain()
+        return list(st.hyp)
+
+    def drain(self):
+        """Process every ready chunk across all live streams, batching up
+        to max_streams chunks per round."""
+        while True:
+            jobs = [
+                (sid, self.chunk)
+                for sid, st in self._streams.items()
+                if not st.finished and self._ready(st)
+            ][: self.max_streams]
+            if not jobs:
+                return
+            self._run_round(jobs)
+
+    def finish(self, sid: int) -> list[int]:
+        """Flush stream `sid` (its partial tail rides a normal round with
+        n_valid < chunk; cache updates for it are discarded) and close it."""
+        st = self._streams[sid]
+        if st.finished:
+            return list(st.hyp)
+        self.drain()
+        total_sub = ((st.n_buf - 1) // 2 - 1) // 2 if st.n_buf >= 7 else 0
+        while total_sub - st.pos > 0:
+            n = min(total_sub - st.pos, self.chunk)
+            self._run_round([(sid, n)])
+        st.finished = True
+        adim = self.cfg.adim
+        st.memory = (
+            np.concatenate(st.mem, axis=0) if st.mem
+            else np.zeros((0, adim), np.float32)
+        )
+        st.ctc_logits = (
+            np.concatenate(st.ctc, axis=0) if st.ctc
+            else np.zeros((0, self.cfg.vocab_size), np.float32)
+        )
+        st.buf = None
+        return list(st.hyp)
+
+    def state(self, sid: int) -> _StreamState:
+        return self._streams[sid]
 
 
 class OnlineASRPipeline:

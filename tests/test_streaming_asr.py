@@ -143,6 +143,49 @@ def test_streaming_bounded_buffers_and_no_position_cap():
                                atol=3e-5)
 
 
+@pytest.mark.parametrize("encoder_type", ["transformer", "conformer"])
+def test_stream_batcher_matches_single_streams(encoder_type):
+    """Concurrent streams batched into one padded step per round must
+    reproduce each stream's single-recognizer output exactly — including
+    streams of different lengths finishing at different times."""
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        StreamBatcher,
+    )
+
+    cfg = _tiny_cfg(encoder_type, attn_chunk=4, attn_left_chunks=2)
+    model = TransformerASR(cfg)
+    lens = [150, 90, 201]
+    xs = [RS.randn(t, 8).astype(np.float32) for t in lens]
+    _, params = _init(model, T=60, D=8, seed=21)
+
+    singles = []
+    for x in xs:
+        sr = StreamingRecognizer(model, params)
+        sr.push(x)
+        hyp = sr.finish()
+        singles.append((hyp, sr.memory, sr.enc_len))
+
+    sb = StreamBatcher(model, params, max_streams=4, store_memory=True)
+    sids = [sb.open() for _ in xs]
+    # interleaved ragged arrival
+    offs = [0] * len(xs)
+    sizes = [37, 23, 52]
+    while any(o < t for o, t in zip(offs, lens)):
+        for i, sid in enumerate(sids):
+            if offs[i] < lens[i]:
+                sb.push(sid, xs[i][offs[i] : offs[i] + sizes[i]])
+                offs[i] += sizes[i]
+    for i, sid in enumerate(sids):
+        hyp = sb.finish(sid)
+        want_hyp, want_mem, want_len = singles[i]
+        st = sb.state(sid)
+        assert hyp == want_hyp, i
+        assert st.pos == want_len
+        np.testing.assert_allclose(
+            st.memory, want_mem, rtol=1e-4, atol=3e-5
+        )
+
+
 def test_online_pipeline_audio_to_tokens():
     """Full online path: raw audio -> StreamingFdlp -> recognizer. The
     encoder half must consume the streamed features exactly as the
