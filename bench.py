@@ -556,6 +556,57 @@ def main():
             min_left=120.0, partial_key="ms_per_batch_gev8ch_split",
         )
 
+    # online serving: 8 concurrent streams through StreamBatcher (one
+    # padded batched encoder step per scheduling round; production-size
+    # 12-layer chunked-attention encoder). Reported as AGGREGATE
+    # x-realtime = streams * audio_seconds / wall — host scheduling
+    # included, i.e. honest serving throughput, not a kernel number.
+    def run_streaming_serve():
+        from speech_recognition_tools_tpu.infer.streaming_asr import (
+            StreamBatcher,
+        )
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            TransformerASR,
+            TransformerASRConfig,
+        )
+
+        scfg = TransformerASRConfig(
+            vocab_size=52, adim=256, aheads=4, elayers=12, eunits=2048,
+            dlayers=1, dunits=256, dropout=0.0,
+            attn_chunk=16, attn_left_chunks=4,
+        )
+        smodel = TransformerASR(scfg)
+        sparams = smodel.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 80, 80), jnp.float32), jnp.asarray([80]),
+            jnp.zeros((1, 4), jnp.int32),
+        )
+        rs_s = np.random.RandomState(5)
+        n_streams, frames = 8, 1000  # 8 x 10 s of 100 Hz 80-dim features
+        featss = rs_s.randn(n_streams, frames, 80).astype(np.float32)
+
+        def drive():
+            sb = StreamBatcher(
+                smodel, sparams, max_streams=n_streams, store_memory=False
+            )
+            sids = [sb.open() for _ in range(n_streams)]
+            for off in range(0, frames, 100):
+                for i, sid in enumerate(sids):
+                    sb.push(sid, featss[i, off : off + 100])
+            for sid in sids:
+                sb.finish(sid)
+
+        drive()  # compile + warm
+        t0 = time.time()
+        drive()
+        return time.time() - t0
+
+    dt_serve = guarded(
+        "online serving (8-stream StreamBatcher)", run_streaming_serve,
+        min_left=200.0, partial_key="s_serve_8x10s",
+    )
+
     rt = audio_seconds / dt_prod
 
     def xrt(dt, seconds=audio_seconds):
@@ -598,6 +649,7 @@ def main():
                 "mvector_real": xrt(dt_mod_real, Bm * secs),
                 "mvector_complex": xrt(dt_mod_cplx, Bm * secs),
                 "gev8ch_to_fdlp": xrt(dt_8ch, n8 / srate),
+                "online_serve_8stream_aggregate": xrt(dt_serve, 8 * 10.0),
             },
         },
     }
