@@ -161,14 +161,27 @@ def build_model(args, feat_dim, num_classes):
         from speech_recognition_tools_tpu.models.apc import APC
 
         return APC(num_layers=args.num_layers, hidden_size=args.hidden_dim)
+    # CNN-family geometry: the CLI derives channels/kernel from
+    # hidden_dim; checkpoints imported from the reference
+    # (io/torch_import.py) carry explicit cnn_out_channels /
+    # cnn_in_channels / cnn_kernel keys instead (the reference allows
+    # arbitrary per-layer channel lists the CLI flags can't express)
+    def _geom(attr, default):
+        v = getattr(args, attr, None)
+        return tuple(v) if v else default
+
     if args.arch == "cnn":
         return M.CNNFrameClassifier(
-            out_channels=(args.hidden_dim // 8,) * args.num_layers_dec,
-            kernel=(3, 3), output_size=num_classes,
+            out_channels=_geom(
+                "cnn_out_channels",
+                (args.hidden_dim // 8,) * args.num_layers_dec,
+            ),
+            kernel=_geom("cnn_kernel", (3, 3)), output_size=num_classes,
         )
     if args.arch == "cldnn":
         return M.CLDNN(
-            out_channels=(args.hidden_dim // 8,), kernel=(3, 3),
+            out_channels=_geom("cnn_out_channels", (args.hidden_dim // 8,)),
+            kernel=_geom("cnn_kernel", (3, 3)),
             hidden_size=args.hidden_dim, l_num_layers=args.num_layers,
             d_num_layers=args.num_layers_dec, output_size=num_classes,
         )
@@ -188,13 +201,17 @@ def build_model(args, feat_dim, num_classes):
     if args.arch == "vae_cnn":
         ch = max(2, args.hidden_dim // 16)
         return M.VAECNNNopool(
-            in_channels=(1, ch), out_channels=(ch, 2 * ch), kernel=(3, 3),
+            in_channels=_geom("cnn_in_channels", (1, ch)),
+            out_channels=_geom("cnn_out_channels", (ch, 2 * ch)),
+            kernel=_geom("cnn_kernel", (3, 3)),
             bn_size=args.bn_dim,
         )
     if args.arch == "rs_vae":
         ch = max(2, args.hidden_dim // 16)
         return M.VaeRsModulation(
-            in_channels=(1, ch), out_channels=(ch, 2 * ch), kernel=(3, 3),
+            in_channels=_geom("cnn_in_channels", (1, ch)),
+            out_channels=_geom("cnn_out_channels", (ch, 2 * ch)),
+            kernel=_geom("cnn_kernel", (3, 3)),
             bn_size=args.bn_dim,
         )
     if args.arch == "modnet":

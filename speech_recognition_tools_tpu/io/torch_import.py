@@ -44,6 +44,24 @@ one), so one importer covers every family below:
   nnetARVAE                    -> ARVAE                   (arch=arvae)
   nnetCurlMultistreamClassifier-> CurlMultistreamClassifier (arch=curl)
   nnetCurlSupervised           -> CurlSupervised          (arch=curl_unsup)
+  nnetRNNMultimod              -> MultistreamRNN          (arch=multimod)
+  nnetCNNClassifier            -> CNNFrameClassifier      (arch=cnn)
+  nnetCLDNN                    -> CLDNN                   (arch=cldnn)
+  nnetVAECNNNopool             -> VAECNNNopool            (arch=vae_cnn)
+  nnetVaeRsModulation          -> VaeRsModulation         (arch=rs_vae)
+  VAEEncodedClassifier         -> base VAE + head (convert_encoded_classifier)
+  curlEncodedClassifier        -> base CURL + head (convert_encoded_classifier)
+
+CNN-family notes: torch Conv2d (NCHW, symmetric (k-1)/2 padding) maps to
+flax SAME NHWC kernels by transposing (2,3,1,0); torch ConvTranspose2d is
+the conv adjoint, so its kernels are additionally spatially flipped; the
+reference's .view(B, C*H, W) flattening is reconciled with our NHWC
+(H, C) flattening by permuting the 1x1-head rows (_chw_perm). torch LSTM
+gate blocks (i|f|g|o) map onto flax (Optimized)LSTMCell ii/if/ig/io +
+hi/hf/hg/ho with biases folded onto the hidden denses. The pooled
+nnetVAECNN is NOT importable (its MaxPool2d unpooling indices have no
+exact flax equivalent); modnets and the frame-patch cnnClassifier are
+also not covered.
 """
 
 from __future__ import annotations
@@ -127,6 +145,55 @@ def dense_from_conv1x1(sd: dict, prefix: str) -> dict:
     return {"kernel": w[:, :, 0].T, "bias": _np(sd[prefix + "bias"])}
 
 
+def conv2d_from_torch(sd: dict, prefix: str) -> dict:
+    """torch Conv2d (O, I, kh, kw), NCHW + symmetric (k-1)/2 padding ->
+    flax Conv HWIO kernel under NHWC SAME (identical for odd kernels,
+    stride 1)."""
+    w = _np(sd[prefix + "weight"])
+    return {
+        "kernel": w.transpose(2, 3, 1, 0),
+        "bias": _np(sd[prefix + "bias"]),
+    }
+
+
+def conv_transpose2d_from_torch(sd: dict, prefix: str) -> dict:
+    """torch ConvTranspose2d (I, O, kh, kw) is the conv adjoint
+    (convolution); flax ConvTranspose correlates the dilated input with
+    the kernel as given, so flip the spatial dims (verified numerically
+    in tests/test_torch_import.py)."""
+    w = _np(sd[prefix + "weight"])[:, :, ::-1, ::-1]
+    return {
+        "kernel": np.ascontiguousarray(w.transpose(2, 3, 0, 1)),
+        "bias": _np(sd[prefix + "bias"]),
+    }
+
+
+def lstm_cell_from_torch(sd: dict, prefix: str) -> dict:
+    """torch nn.LSTM (single layer; gate blocks i|f|g|o) -> flax
+    (Optimized)LSTMCell params (input denses ii/if/ig/io bias-free,
+    hidden denses hi/hf/hg/ho carry the folded bias)."""
+    w_ih = _np(sd[prefix + "weight_ih_l0"])  # (4H, D)
+    w_hh = _np(sd[prefix + "weight_hh_l0"])  # (4H, H)
+    b_ih = _np(sd[prefix + "bias_ih_l0"])
+    b_hh = _np(sd[prefix + "bias_hh_l0"])
+    H = w_hh.shape[1]
+    out = {}
+    for gi, g in enumerate("ifgo"):
+        sl = slice(gi * H, (gi + 1) * H)
+        out[f"i{g}"] = {"kernel": w_ih[sl].T}
+        out[f"h{g}"] = {"kernel": w_hh[sl].T, "bias": b_ih[sl] + b_hh[sl]}
+    return out
+
+
+def _chw_perm(C: int, H: int) -> np.ndarray:
+    """Row/col permutation between torch's flattened (C, H) order
+    (index c*H + h, from .view(B, C*H, W)) and ours (h*C + c, from the
+    NHWC reshape): perm[h*C + c] = c*H + h."""
+    h = np.arange(H)[:, None]
+    c = np.arange(C)[None, :]
+    return (c * H + h).reshape(-1)
+
+
 # ------------------------------------------------------- composite modules
 
 
@@ -187,6 +254,22 @@ def detect_family(sd: dict) -> str:
         return "vae_encoded"
     if "curl_model" in tops:
         return "curl_encoded"
+    if "subnets" in tops:
+        return "multimod"
+    if {"cnn_layers", "lstm_layers"} <= tops:
+        return "cldnn"
+    if {"cnn_layers", "lin"} <= tops:
+        return "cnn"
+    if "vae_encoder.cnn_layers.0.weight" in keys or (
+        "vae_encoder.means.weight" in keys
+        and any(".rates" in k for k in keys)
+    ):
+        return (
+            "rs_vae"
+            if any(k.startswith("vae_encoder.cnn_layers") and k.endswith(".rates")
+                   for k in keys)
+            else "vae_cnn"
+        )
     if {"curl_encoder", "classifier"} <= tops:
         return "curl"
     if {"curl_encoder", "curl_decoder"} <= tops:
@@ -368,6 +451,211 @@ def _convert_arvae(sd: dict, hyper: dict) -> tuple[dict, dict]:
     return params, cfg
 
 
+def _convert_multimod(sd: dict, hyper: dict) -> tuple[dict, dict]:
+    """nnetRNNMultimod -> MultistreamRNN: per-stream rnnSubnets
+    (`subnets.{s}.layers.{i}`) + fused GRU stack + conv1x1 regression."""
+    mod_num = _count_layers(sd, "", r"subnets\.(\d+)\.layers\.0\.weight_ih_l0")
+    params: dict = {}
+    sub_d = None
+    for s in range(mod_num):
+        stack, n_sub, hidden_sub = gru_stack_from_torch(sd, f"subnets.{s}.")
+        params[f"subnet_{s}"] = {"GRUStack_0": stack}
+        sub_d = (n_sub, hidden_sub)
+    fused, n_fused, _ = gru_stack_from_torch(sd, "")
+    params["fusion"] = fused
+    params["regression"] = dense_from_conv1x1(sd, "regression.")
+    in_size = _np(sd["subnets.0.layers.0.weight_ih_l0"]).shape[1]
+    cfg = {
+        "arch": "multimod",
+        "model_class": "MultistreamRNN",
+        "comp_num": mod_num,
+        "num_layers": sub_d[0],
+        "num_layers_dec": n_fused,
+        # build_model: hidden_size_subband = hidden_dim // comp_num
+        "hidden_dim": mod_num * sub_d[1],
+        "num_classes": params["regression"]["bias"].shape[0],
+        # without --multi_egs_dirs the CLI splits one feature vector into
+        # comp_num contiguous streams
+        "feature_dim": mod_num * in_size,
+        "dropout": float(hyper.get("dropout", 0.0)),
+    }
+    return params, cfg
+
+
+def _conv_stack(sd: dict, prefix: str, our_prefix: str):
+    """ModuleList of Conv2d (`<prefix>cnn_layers.N`) -> our conv_{i}
+    trees + geometry (in/out channel lists, kernel)."""
+    n = _count_layers(sd, prefix, r"cnn_layers\.(\d+)\.weight")
+    params, ins, outs = {}, [], []
+    kern = None
+    for i in range(n):
+        w = _np(sd[f"{prefix}cnn_layers.{i}.weight"])
+        ins.append(int(w.shape[1]))
+        outs.append(int(w.shape[0]))
+        kern = (int(w.shape[2]), int(w.shape[3]))
+        params[f"{our_prefix}{i}"] = conv2d_from_torch(
+            sd, f"{prefix}cnn_layers.{i}."
+        )
+    return params, ins, outs, kern
+
+
+def _convert_cnn(sd: dict, hyper: dict) -> tuple[dict, dict]:
+    """nnetCNNClassifier -> CNNFrameClassifier. The 1x1 output conv
+    consumes torch's (C, H) flattening; ours flattens (H, C) — permute
+    the Dense rows."""
+    params, ins, outs, kern = _conv_stack(sd, "", "conv_")
+    if ins[0] != 1:
+        raise UnsupportedTorchModel(
+            f"expected a single input channel plane, got {ins[0]}"
+        )
+    lin = dense_from_conv1x1(sd, "lin.")
+    C = outs[-1]
+    H = lin["kernel"].shape[0] // C
+    lin["kernel"] = lin["kernel"][_chw_perm(C, H)]
+    params["lin"] = lin
+    cfg = {
+        "arch": "cnn",
+        "model_class": "CNNFrameClassifier",
+        "num_layers_dec": len(outs),
+        "cnn_out_channels": outs,
+        "cnn_kernel": list(kern),
+        "hidden_dim": outs[-1] * 8,
+        "num_classes": lin["bias"].shape[0],
+        "feature_dim": H,
+        "dropout": float(hyper.get("dropout", 0.0)),
+    }
+    return params, cfg
+
+
+def _convert_cldnn(sd: dict, hyper: dict) -> tuple[dict, dict]:
+    """nnetCLDNN -> CLDNN (convs -> dim_reduce -> LSTMs -> DNN)."""
+    params, ins, outs, kern = _conv_stack(sd, "", "conv_")
+    if ins[0] != 1:
+        raise UnsupportedTorchModel(
+            f"expected a single input channel plane, got {ins[0]}"
+        )
+    dim_reduce = dense_from_conv1x1(sd, "dim_reduce.")
+    C = outs[-1]
+    H = dim_reduce["kernel"].shape[0] // C
+    dim_reduce["kernel"] = dim_reduce["kernel"][_chw_perm(C, H)]
+    params["dim_reduce"] = dim_reduce
+    hidden = dim_reduce["bias"].shape[0]
+    n_lstm = _count_layers(sd, "", r"lstm_layers\.(\d+)\.weight_ih_l0")
+    for i in range(n_lstm):
+        params[f"lstm_{i}"] = {
+            "cell": lstm_cell_from_torch(sd, f"lstm_layers.{i}.")
+        }
+    n_dnn = _count_layers(sd, "", r"dnn_layers\.(\d+)\.weight")
+    for i in range(n_dnn - 1):
+        params[f"dnn_{i}"] = dense_from_conv1x1(sd, f"dnn_layers.{i}.")
+    params["dnn_out"] = dense_from_conv1x1(sd, f"dnn_layers.{n_dnn - 1}.")
+    cfg = {
+        "arch": "cldnn",
+        "model_class": "CLDNN",
+        "num_layers": n_lstm,
+        "num_layers_dec": n_dnn,
+        "hidden_dim": hidden,
+        "cnn_out_channels": outs,
+        "cnn_kernel": list(kern),
+        "num_classes": params["dnn_out"]["bias"].shape[0],
+        "feature_dim": H,
+        "dropout": float(hyper.get("dropout", 0.0)),
+    }
+    return params, cfg
+
+
+def _convert_vae_cnn(sd: dict, hyper: dict, rs: bool) -> tuple[dict, dict]:
+    """nnetVAECNNNopool / nnetVaeRsModulation -> VAECNNNopool /
+    VaeRsModulation. The pooled nnetVAECNN (2-D Linear heads) is not
+    supported — its unpooling-index interop has no exact equivalent."""
+    if _np(sd["vae_encoder.means.weight"]).ndim == 2:
+        raise UnsupportedTorchModel(
+            "pooled nnetVAECNN checkpoints are not supported (only the "
+            "nopool and rate-scale variants)"
+        )
+    params: dict = {}
+    ins, outs = [], []
+    kern = None
+    if rs:
+        # plain convs then one rate-scale layer at the end
+        idx = 0
+        while f"vae_encoder.cnn_layers.{idx}.weight" in sd:
+            w = _np(sd[f"vae_encoder.cnn_layers.{idx}.weight"])
+            ins.append(int(w.shape[1]))
+            outs.append(int(w.shape[0]))
+            kern = (int(w.shape[2]), int(w.shape[3]))
+            params[f"enc_conv_{idx}"] = conv2d_from_torch(
+                sd, f"vae_encoder.cnn_layers.{idx}."
+            )
+            idx += 1
+        rates = _np(sd[f"vae_encoder.cnn_layers.{idx}.rates"])  # (O, I)
+        params["enc_rs"] = {
+            "rates": rates,
+            "scales": _np(sd[f"vae_encoder.cnn_layers.{idx}.scales"]),
+        }
+        ins.append(int(rates.shape[1]))
+        outs.append(int(rates.shape[0]))
+        if kern is None:  # rs-only encoder: take the kernel from a plain
+            # decoder transpose conv (rates/scales carry no spatial dims)
+            w1 = sd.get("vae_decoder.cnn_layers.1.weight")
+            if w1 is None:
+                raise UnsupportedTorchModel(
+                    "cannot recover the rate-scale kernel size from a "
+                    "conv-free checkpoint"
+                )
+            kern = (int(w1.shape[2]), int(w1.shape[3]))
+    else:
+        conv_params, ins, outs, kern = _conv_stack(
+            sd, "vae_encoder.", "enc_conv_"
+        )
+        params.update(conv_params)
+    C = outs[-1]
+    means = dense_from_conv1x1(sd, "vae_encoder.means.")
+    logvars = dense_from_conv1x1(sd, "vae_encoder.vars.")
+    H = means["kernel"].shape[0] // C
+    perm = _chw_perm(C, H)
+    means["kernel"] = means["kernel"][perm]
+    logvars["kernel"] = logvars["kernel"][perm]
+    params["means"] = means
+    params["vars"] = logvars
+    # decoder: expand (cols permuted to our (H, C) order) + transposed
+    # convs (first one rate-scale in the rs variant)
+    expand = dense_from_conv1x1(sd, "vae_decoder.expand_linear.")
+    expand["kernel"] = expand["kernel"][:, perm]
+    expand["bias"] = expand["bias"][perm]
+    params["expand"] = expand
+    if rs:
+        params["dec_rs"] = {
+            "rates": _np(sd["vae_decoder.cnn_layers.0.rates"]),  # (I, O)
+            "scales": _np(sd["vae_decoder.cnn_layers.0.scales"]),
+        }
+        i = 1
+        while f"vae_decoder.cnn_layers.{i}.weight" in sd:
+            params[f"dec_conv_{i - 1}"] = conv_transpose2d_from_torch(
+                sd, f"vae_decoder.cnn_layers.{i}."
+            )
+            i += 1
+    else:
+        n_dec = _count_layers(sd, "vae_decoder.", r"cnn_layers\.(\d+)\.weight")
+        for i in range(n_dec):
+            params[f"dec_conv_{i}"] = conv_transpose2d_from_torch(
+                sd, f"vae_decoder.cnn_layers.{i}."
+            )
+    cfg = {
+        "arch": "rs_vae" if rs else "vae_cnn",
+        "model_class": "VaeRsModulation" if rs else "VAECNNNopool",
+        "cnn_in_channels": ins,
+        "cnn_out_channels": outs,
+        "cnn_kernel": list(kern),
+        "bn_dim": means["bias"].shape[0],
+        "hidden_dim": outs[-1] * 16,  # cosmetic; geometry keys win
+        "num_classes": None,
+        "feature_dim": H,
+        "dropout": float(hyper.get("dropout", 0.0)),
+    }
+    return params, cfg
+
+
 def _curl_encoder(sd: dict, prefix: str) -> tuple[dict, dict]:
     """reference curlEncoder -> our CurlEncoder tree. The reference keeps
     comp_num separate mean/var Linears (nnet_models.py:548-556); ours is one
@@ -490,6 +778,11 @@ def _convert_curl_unsup(sd: dict, hyper: dict) -> tuple[dict, dict]:
 _CONVERTERS = {
     "curl": _convert_curl,
     "curl_unsup": _convert_curl_unsup,
+    "multimod": _convert_multimod,
+    "cnn": _convert_cnn,
+    "cldnn": _convert_cldnn,
+    "vae_cnn": lambda sd, h: _convert_vae_cnn(sd, h, rs=False),
+    "rs_vae": lambda sd, h: _convert_vae_cnn(sd, h, rs=True),
     "rnn": _convert_rnn,
     "feedforward": _convert_feedforward,
     "linear": _convert_linear,

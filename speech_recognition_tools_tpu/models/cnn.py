@@ -383,6 +383,10 @@ class RateScaleConvTranspose(nn.Module):
         f = jnp.arange(kf, dtype=x.dtype)[None, None, :, None]
         ww = jnp.asarray(np.outer(np.hanning(kf), np.hanning(kt)), x.dtype)[None, None]
         w = jnp.sin(rates[:, :, None, None] * t + scales[:, :, None, None] * f) * ww
+        # true transposed-conv (adjoint) semantics, like the reference's
+        # F.conv_transpose2d (rsconvTranspose2d :440): lax.conv_transpose
+        # correlates, so flip the synthesised kernel spatially
+        w = w[:, :, ::-1, ::-1]
         w = jnp.transpose(w, (2, 3, 0, 1))  # HWIO (I=in, O=out)
         return jax.lax.conv_transpose(
             x, w, (1, 1), "SAME",

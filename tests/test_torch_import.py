@@ -17,6 +17,7 @@ torch = pytest.importorskip("torch")
 
 sys.path.insert(0, "/root/reference/src/nnet")
 refm = pytest.importorskip("nnet_models")
+refm_cnn = pytest.importorskip("nnet_models_cnn")
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -396,6 +397,129 @@ def test_curl_encoded_classifier_import(tmp_path):
     import_torch_checkpoint(src, dest)
     out = _frozen_encoder_forward(dest, "curl_encoded", x, lengths)
     _assert_close(_valid(out, lengths), _valid(ref, lengths))
+
+
+def test_multimod_parity():
+    x, lengths = _inputs(20)
+    K, sub = 2, 6
+    tm = refm.nnetRNNMultimod(D, 1, 1, sub, C, K)
+    tm.eval()
+    streams = [x, x[..., ::-1].copy()]
+    with torch.no_grad():
+        ref = tm([torch.from_numpy(s) for s in streams],
+                 torch.from_numpy(lengths)).numpy()
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "multimod" and cfg["comp_num"] == K
+    assert cfg["hidden_dim"] == K * sub and cfg["feature_dim"] == K * D
+
+    import argparse
+
+    from speech_recognition_tools_tpu.cli.train_am import build_model
+
+    model = build_model(argparse.Namespace(**cfg), cfg["feature_dim"], C)
+    out = model.apply(variables, [jnp.asarray(s) for s in streams],
+                      jnp.asarray(lengths))
+    _assert_close(_valid(out, lengths), _valid(ref, lengths))
+
+
+def _apply_cnn_native(cfg, variables, x_nchw, lengths=None):
+    import argparse
+
+    from speech_recognition_tools_tpu.cli.train_am import build_model
+
+    model = build_model(
+        argparse.Namespace(**cfg), cfg["feature_dim"], cfg.get("num_classes")
+    )
+    if cfg["arch"] == "cnn":
+        return model, model.apply(variables, jnp.asarray(x_nchw))
+    if cfg["arch"] == "cldnn":
+        return model, model.apply(
+            variables, jnp.asarray(x_nchw), jnp.asarray(lengths)
+        )
+    return model, None
+
+
+def test_cnn_classifier_parity():
+    H, W = 9, 12
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((B, 1, H, W)).astype(np.float32)
+    tm = refm_cnn.nnetCNNClassifier(H, W, (1, 4), (4, 6), (3, 5), C)
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()  # (B, W, C)
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "cnn" and cfg["cnn_out_channels"] == [4, 6]
+    assert cfg["cnn_kernel"] == [3, 5] and cfg["feature_dim"] == H
+    _, out = _apply_cnn_native(cfg, variables, x)
+    _assert_close(out, ref, tol=1e-4)
+
+
+def test_cldnn_parity():
+    H, W = 8, 12
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((B, 1, H, W)).astype(np.float32)
+    lengths = np.asarray(LENGTHS, np.int64)
+    tm = refm_cnn.nnetCLDNN(H, W, (1,), (4,), (3, 3), 10, 2, 2, C)
+    tm.eval()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), torch.from_numpy(lengths)).numpy()
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "cldnn" and cfg["hidden_dim"] == 10
+    assert cfg["num_layers"] == 2 and cfg["num_layers_dec"] == 2
+    _, out = _apply_cnn_native(cfg, variables, x, lengths)
+    _assert_close(_valid(out, lengths), _valid(ref, lengths), tol=1e-4)
+
+
+@pytest.mark.parametrize("rs", [False, True])
+def test_conv_vae_nopool_parity(rs):
+    from speech_recognition_tools_tpu.models.vae import sample_latent
+
+    H, W = 8, 12
+    rng = np.random.default_rng(23 + rs)
+    x = rng.standard_normal((B, 1, H, W)).astype(np.float32)
+    if rs:
+        tm = refm_cnn.nnetVaeRsModulation(
+            H, W, (1, 3), (3, 5), (3, 3), BN, use_gpu=False
+        )
+    else:
+        tm = refm_cnn.nnetVAECNNNopool(
+            H, W, (1, 3), (3, 5), (3, 3), BN, use_gpu=False
+        )
+    tm.eval()
+    with torch.no_grad():
+        means_t, vars_t, w_change = [
+            v for v in tm.vae_encoder(torch.from_numpy(x))
+        ][:3]
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == ("rs_vae" if rs else "vae_cnn")
+    assert cfg["cnn_in_channels"] == [1, 3]
+    assert cfg["cnn_out_channels"] == [3, 5] and cfg["bn_dim"] == BN
+
+    import argparse
+
+    from speech_recognition_tools_tpu.cli.train_am import build_model
+
+    model = build_model(argparse.Namespace(**cfg), cfg["feature_dim"], None)
+    key = jax.random.key(4)
+    recon, (means, logvars) = model.apply(
+        variables, jnp.asarray(x), rng=key
+    )
+    # encoder parity: torch heads emit (B, bn, W); ours (B, W, bn)
+    _assert_close(np.swapaxes(np.asarray(means), 1, 2), means_t.numpy(),
+                  tol=1e-4)
+    _assert_close(np.swapaxes(np.asarray(logvars), 1, 2), vars_t.numpy(),
+                  tol=1e-4)
+    # decoder parity on the SAME latent sample our model drew
+    z = np.asarray(sample_latent(key, means, logvars))  # (B, W, bn)
+    with torch.no_grad():
+        ref_recon = tm.vae_decoder(
+            torch.from_numpy(np.swapaxes(z, 1, 2).copy()), W
+        ).numpy()
+    _assert_close(recon, ref_recon, tol=2e-4)
 
 
 def test_import_checkpoint_roundtrip(tmp_path):
