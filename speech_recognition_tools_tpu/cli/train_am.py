@@ -216,7 +216,9 @@ def build_model(args, feat_dim, num_classes):
         )
     if args.arch == "modnet":
         return M.ModulationNet(
-            input_h=feat_dim, in_channels=(1,), out_channels=(4,), kernel=3,
+            input_h=feat_dim, in_channels=(1,),
+            out_channels=_geom("cnn_out_channels", (4,)),
+            kernel=_geom("cnn_kernel", (3,))[0],
             freq_num=args.freq_num, wind_size=args.patch_width / 100.0,
             head_num=args.head_num, num_layers_dec=args.num_layers_dec,
             hidden_size=args.hidden_dim, out_size=num_classes,
@@ -233,8 +235,10 @@ def build_model(args, feat_dim, num_classes):
         )
     if args.arch == "modnet_sigmoid":
         return M.ModulationSigmoidNet(
-            in_channels=(1,), out_channels=(4,), kernel=3,
-            input_filter_kernel=5, freq_num=args.freq_num,
+            in_channels=(1,), out_channels=_geom("cnn_out_channels", (4,)),
+            kernel=_geom("cnn_kernel", (3,))[0],
+            input_filter_kernel=getattr(args, "input_filter_kernel", None) or 5,
+            freq_num=args.freq_num,
             wind_size=args.patch_width / 100.0,
             num_layers_dec=args.num_layers_dec, hidden_size=args.hidden_dim,
             out_size=num_classes,

@@ -49,6 +49,8 @@ one), so one importer covers every family below:
   nnetCLDNN                    -> CLDNN                   (arch=cldnn)
   nnetVAECNNNopool             -> VAECNNNopool            (arch=vae_cnn)
   nnetVaeRsModulation          -> VaeRsModulation         (arch=rs_vae)
+  modulationNet                -> ModulationNet           (arch=modnet)
+  modulationSigmoidNet         -> ModulationSigmoidNet    (arch=modnet_sigmoid)
   VAEEncodedClassifier         -> base VAE + head (convert_encoded_classifier)
   curlEncodedClassifier        -> base CURL + head (convert_encoded_classifier)
 
@@ -60,8 +62,9 @@ reference's .view(B, C*H, W) flattening is reconciled with our NHWC
 gate blocks (i|f|g|o) map onto flax (Optimized)LSTMCell ii/if/ig/io +
 hi/hf/hg/ho with biases folded onto the hidden denses. The pooled
 nnetVAECNN is NOT importable (its MaxPool2d unpooling indices have no
-exact flax equivalent); modnets and the frame-patch cnnClassifier are
-also not covered.
+exact flax equivalent). With the modnets included, every `train_am`
+--arch except `apc` (an external-clone pretrainer with no reference
+checkpoint format) now has an importer.
 """
 
 from __future__ import annotations
@@ -185,6 +188,15 @@ def lstm_cell_from_torch(sd: dict, prefix: str) -> dict:
     return out
 
 
+def _chw3_perm(C: int, H: int, W: int) -> np.ndarray:
+    """torch .view(B, -1) of (C, H, W) (index c*H*W + h*W + w) vs our NHWC
+    reshape (index h*W*C + w*C + c): perm[h*W*C + w*C + c] = c*H*W + h*W + w."""
+    h = np.arange(H)[:, None, None]
+    w = np.arange(W)[None, :, None]
+    c = np.arange(C)[None, None, :]
+    return (c * (H * W) + h * W + w).reshape(-1)
+
+
 def _chw_perm(C: int, H: int) -> np.ndarray:
     """Row/col permutation between torch's flattened (C, H) order
     (index c*H + h, from .view(B, C*H, W)) and ours (h*C + c, from the
@@ -256,6 +268,10 @@ def detect_family(sd: dict) -> str:
         return "curl_encoded"
     if "subnets" in tops:
         return "multimod"
+    if "encoder.regressors.0.weight" in keys:
+        return "modnet"
+    if "encoder.regression.weight" in keys and "encoder.input_filter.weight" in keys:
+        return "modnet_sigmoid"
     if {"cnn_layers", "lstm_layers"} <= tops:
         return "cldnn"
     if {"cnn_layers", "lin"} <= tops:
@@ -656,6 +672,127 @@ def _convert_vae_cnn(sd: dict, hyper: dict, rs: bool) -> tuple[dict, dict]:
     return params, cfg
 
 
+def _modnet_convs(sd: dict) -> tuple[dict, list, list, int]:
+    """modnet encoders use an unpadded (VALID) square-kernel Conv2d
+    ModuleList named `encoder.layers.N` (nnet_models.py:761-766)."""
+    n = _count_layers(sd, "encoder.", r"layers\.(\d+)\.weight")
+    params, ins, outs = {}, [], []
+    k = None
+    for i in range(n):
+        w = _np(sd[f"encoder.layers.{i}.weight"])
+        ins.append(int(w.shape[1]))
+        outs.append(int(w.shape[0]))
+        k = int(w.shape[2])
+        params[f"conv_{i}"] = conv2d_from_torch(sd, f"encoder.layers.{i}.")
+    if ins[0] != 1:
+        raise UnsupportedTorchModel(
+            f"expected single-plane modnet input, got {ins[0]} channels"
+        )
+    return params, ins, outs, k
+
+
+def _convert_modnet(sd: dict, hyper: dict) -> tuple[dict, dict]:
+    """modulationNet -> ModulationNet. The patch geometry (H = feat bins,
+    W = patch frames) is derived: classifier input = H * head_num; the
+    regressor input = C' * H' * W' with H' = H - n(k-1). The reference's
+    `input_filter` conv is dead in the gumbel forward (commented out,
+    nnet_models.py:796-798) and is dropped."""
+    conv_params, ins, outs, k = _modnet_convs(sd)
+    n = len(outs)
+    head_num = _count_layers(sd, "encoder.", r"regressors\.(\d+)\.weight")
+    cls_n = _count_layers(sd, "classifier.", r"layers\.(\d+)\.weight")
+    cls0 = _np(sd["classifier.layers.0.weight"])
+    H = cls0.shape[1] // head_num
+    reg0 = _np(sd["encoder.regressors.0.weight"])
+    freq_num = reg0.shape[0]
+    Cp, Hp = outs[-1], H - n * (k - 1)
+    Wp = reg0.shape[1] // (Cp * Hp)
+    W = Wp + n * (k - 1)
+    perm = _chw3_perm(Cp, Hp, Wp)
+    enc = dict(conv_params)
+    for h in range(head_num):
+        d = dense_from_linear(sd, f"encoder.regressors.{h}.")
+        d["kernel"] = d["kernel"][perm]
+        enc[f"regressor_{h}"] = d
+    cls = {
+        f"dense_{i}": dense_from_linear(sd, f"classifier.layers.{i}.")
+        for i in range(cls_n - 1)
+    }
+    cls["out"] = dense_from_linear(sd, f"classifier.layers.{cls_n - 1}.")
+    params = {"encoder": enc, "classifier": cls}
+    cfg = {
+        "arch": "modnet",
+        "model_class": "ModulationNet",
+        "cnn_out_channels": outs,
+        "cnn_kernel": [k],
+        "freq_num": freq_num,
+        "head_num": head_num,
+        # build_model reconstructs wind_size as patch_width / 100 (the
+        # reference recipes' convention); an exotic wind_size is not
+        # recoverable from the state_dict
+        "patch_width": W,
+        "num_layers_dec": cls_n,
+        "hidden_dim": (
+            cls0.shape[0] if cls_n > 1 else outs[-1] * 8
+        ),
+        "num_classes": cls["out"]["bias"].shape[0],
+        "feature_dim": H,
+        "dropout": float(hyper.get("dropout", 0.0)),
+    }
+    return params, cfg
+
+
+def _convert_modnet_sigmoid(sd: dict, hyper: dict) -> tuple[dict, dict]:
+    """modulationSigmoidNet -> ModulationSigmoidNet (deterministic
+    sigmoid-gated variant; the input_filter conv IS live here)."""
+    conv_params, ins, outs, k = _modnet_convs(sd)
+    n = len(outs)
+    cls_n = _count_layers(sd, "classifier.", r"layers\.(\d+)\.weight")
+    cls0 = _np(sd["classifier.layers.0.weight"])
+    reg = dense_from_linear(sd, "encoder.regression.")
+    freq_num = reg["bias"].shape[0]
+    H = cls0.shape[1] // freq_num
+    Cp, Hp = outs[-1], H - n * (k - 1)
+    Wp = reg["kernel"].shape[0] // (Cp * Hp)
+    W = Wp + n * (k - 1)
+    reg["kernel"] = reg["kernel"][_chw3_perm(Cp, Hp, Wp)]
+    wf = _np(sd["encoder.input_filter.weight"])  # (1, 1, kf)
+    if wf.shape[2] % 2 == 0:
+        raise UnsupportedTorchModel(
+            "even input_filter kernels pad asymmetrically in torch; only "
+            "odd kernels map onto SAME padding"
+        )
+    enc = dict(conv_params)
+    enc["regression"] = reg
+    enc["input_filter"] = {
+        "kernel": wf.transpose(2, 1, 0),
+        "bias": _np(sd["encoder.input_filter.bias"]),
+    }
+    cls = {
+        f"dense_{i}": dense_from_linear(sd, f"classifier.layers.{i}.")
+        for i in range(cls_n - 1)
+    }
+    cls["out"] = dense_from_linear(sd, f"classifier.layers.{cls_n - 1}.")
+    params = {"encoder": enc, "classifier": cls}
+    cfg = {
+        "arch": "modnet_sigmoid",
+        "model_class": "ModulationSigmoidNet",
+        "cnn_out_channels": outs,
+        "cnn_kernel": [k],
+        "input_filter_kernel": int(wf.shape[2]),
+        "freq_num": freq_num,
+        "patch_width": W,
+        "num_layers_dec": cls_n,
+        "hidden_dim": (
+            cls0.shape[0] if cls_n > 1 else outs[-1] * 8
+        ),
+        "num_classes": cls["out"]["bias"].shape[0],
+        "feature_dim": H,
+        "dropout": float(hyper.get("dropout", 0.0)),
+    }
+    return params, cfg
+
+
 def _curl_encoder(sd: dict, prefix: str) -> tuple[dict, dict]:
     """reference curlEncoder -> our CurlEncoder tree. The reference keeps
     comp_num separate mean/var Linears (nnet_models.py:548-556); ours is one
@@ -783,6 +920,8 @@ _CONVERTERS = {
     "cldnn": _convert_cldnn,
     "vae_cnn": lambda sd, h: _convert_vae_cnn(sd, h, rs=False),
     "rs_vae": lambda sd, h: _convert_vae_cnn(sd, h, rs=True),
+    "modnet": _convert_modnet,
+    "modnet_sigmoid": _convert_modnet_sigmoid,
     "rnn": _convert_rnn,
     "feedforward": _convert_feedforward,
     "linear": _convert_linear,

@@ -522,6 +522,86 @@ def test_conv_vae_nopool_parity(rs):
     _assert_close(recon, ref_recon, tol=2e-4)
 
 
+def test_modnet_parity_deterministic_pieces(tmp_path):
+    """modulationNet's gumbel sampler hardcodes .cuda() (nnet_models.py
+    :870), so the reference forward cannot run on CPU; verify the
+    deterministic pieces — conv stack + permuted regressor logits and the
+    classifier head — against manual torch compositions."""
+    from flax import linen as fnn
+
+    H, W, k = 9, 11, 3
+    rng = np.random.default_rng(30)
+    x = rng.standard_normal((B, 1, H, W)).astype(np.float32)
+    tm = refm.modulationNet(H, W, (1,), (4,), k, 5, freq_num=6,
+                            wind_size=W / 100.0, head_num=3,
+                            num_layers_dec=2, hidden_size=16, out_size=C,
+                            init_mod=False, use_gpu=False)
+    tm.eval()
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        for layer in tm.encoder.layers:
+            h = tm.encoder.relu(layer(h))
+        flat = h.view(-1, tm.encoder.cnn_out_dim)
+        ref_logits = [r(flat).numpy() for r in tm.encoder.regressors]
+        mods = torch.from_numpy(
+            rng.standard_normal((B, H * 3)).astype(np.float32)
+        )
+        ref_cls = tm.classifier(mods).numpy()
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "modnet" and cfg["head_num"] == 3
+    assert cfg["feature_dim"] == H and cfg["patch_width"] == W
+    assert cfg["freq_num"] == 6 and cfg["cnn_kernel"] == [k]
+
+    p = variables["params"]
+    xi = jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    for i, out_ch in enumerate(cfg["cnn_out_channels"]):
+        xi = fnn.relu(
+            fnn.Conv(out_ch, (k, k), padding="VALID").apply(
+                {"params": p["encoder"][f"conv_{i}"]}, xi
+            )
+        )
+    flat_ours = xi.reshape(B, -1)
+    for hh in range(3):
+        r = p["encoder"][f"regressor_{hh}"]
+        ours_logits = flat_ours @ r["kernel"] + r["bias"]
+        _assert_close(ours_logits, ref_logits[hh], tol=1e-4)
+
+    from speech_recognition_tools_tpu.models.modnet import ModnetClassifier
+
+    cls_out = ModnetClassifier(2, 16, C).apply(
+        {"params": p["classifier"]}, jnp.asarray(np.asarray(mods))
+    )
+    _assert_close(cls_out, ref_cls)
+
+
+def test_modnet_sigmoid_full_parity():
+    """The sigmoid variant is fully deterministic on CPU — whole-forward
+    parity through build_model."""
+    import argparse
+
+    from speech_recognition_tools_tpu.cli.train_am import build_model
+
+    H, W, k = 8, 11, 3
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((B, 1, H, W)).astype(np.float32)
+    tm = refm.modulationSigmoidNet(H, W, (1,), (4,), k, 5, freq_num=5,
+                                   wind_size=W / 100.0, num_layers_dec=2,
+                                   hidden_size=16, out_size=C,
+                                   use_gpu=False)
+    tm.eval()
+    with torch.no_grad():
+        ref_logits, ref_mean = tm(torch.from_numpy(x))
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "modnet_sigmoid" and cfg["freq_num"] == 5
+    assert cfg["input_filter_kernel"] == 5 and cfg["patch_width"] == W
+    model = build_model(argparse.Namespace(**cfg), cfg["feature_dim"], C)
+    logits, mean_mod = model.apply(variables, jnp.asarray(x))
+    _assert_close(logits, ref_logits.numpy(), tol=1e-4)
+    _assert_close(float(mean_mod), float(ref_mean), tol=1e-4)
+
+
 def test_import_checkpoint_roundtrip(tmp_path):
     """Full flow: torch.save trainer dict -> import CLI path -> native
     checkpoint consumed by dump_outputs' rebuild contract."""
