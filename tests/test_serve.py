@@ -1,0 +1,119 @@
+"""Serving daemon: real TCP sockets, concurrent streams sharing one
+StreamBatcher, partial + final results matching the direct pipeline."""
+
+import json
+import os
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
+from speech_recognition_tools_tpu.models.transformer_asr import (
+    TransformerASR,
+    TransformerASRConfig,
+)
+
+RS = np.random.RandomState(3)
+FCFG = FdlpConfig(srate=8000, nfilters=8, fduration=0.25, coeff_num=20,
+                  order=20)
+
+
+def _make_model_dir(tmp_path):
+    """A _load-compatible checkpoint dir without training (random init)."""
+    from speech_recognition_tools_tpu.io.text import build_char_vocab, save_vocab
+    from speech_recognition_tools_tpu.train import save_checkpoint
+
+    vocab = build_char_vocab(["ab cab"])
+    cfg = dict(
+        vocab_size=len(vocab), adim=16, aheads=2, elayers=2, eunits=32,
+        dlayers=1, dunits=32, mtlalpha=0.3, lsm_weight=0.0,
+        encoder_type="transformer", conv_kernel=15,
+        attn_chunk=3, attn_left_chunks=2,
+    )
+    mcfg = TransformerASRConfig(
+        vocab_size=cfg["vocab_size"], adim=16, aheads=2, elayers=2,
+        eunits=32, dlayers=1, dunits=32, dropout=0.0,
+        attn_chunk=3, attn_left_chunks=2,
+    )
+    model = TransformerASR(mcfg)
+    params = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, 16, 8)), jnp.asarray([16]),
+        jnp.zeros((1, 4), jnp.int32),
+    )
+    d = str(tmp_path / "served_model")
+    os.makedirs(d, exist_ok=True)
+    save_vocab(vocab, os.path.join(d, "vocab.json"))
+    save_checkpoint(d, "final_avg", params, cfg)
+    return d, model, params, vocab
+
+
+def _audio(seed, n=9000):
+    rs = np.random.RandomState(seed)
+    e = rs.randn(n).astype(np.float32)
+    sig = np.zeros(n, np.float32)
+    for t in range(2, n):
+        sig[t] = 1.2 * sig[t - 1] - 0.5 * sig[t - 2] + e[t]
+    return sig * (0.4 + 0.3 * np.sin(2 * np.pi * np.arange(n) * 3.0 / 8000))
+
+
+def _client(port, sig, chunk=2000):
+    s = socket.create_connection(("127.0.0.1", port), timeout=120)
+    f = s.makefile("rwb")
+    partials = []
+    for off in range(0, len(sig), chunk):
+        f.write((json.dumps(
+            {"pcm": [float(v) for v in sig[off : off + chunk]]}
+        ) + "\n").encode())
+        f.flush()
+        partials.append(json.loads(f.readline())["partial"])
+    f.write((json.dumps({"eof": True}) + "\n").encode())
+    f.flush()
+    final = json.loads(f.readline())
+    s.close()
+    return partials, final
+
+
+def test_serve_two_concurrent_streams(tmp_path):
+    from speech_recognition_tools_tpu.cli.serve import make_server
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        OnlineASRPipeline,
+    )
+
+    d, model, params, vocab = _make_model_dir(tmp_path)
+    server, port = make_server(d, max_streams=4, fdlp_cfg=FCFG)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sigs = [_audio(1), _audio(2, n=7000)]
+        results = [None, None]
+
+        def run(i):
+            results[i] = _client(port, sigs[i])
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        for i, sig in enumerate(sigs):
+            partials, final = results[i]
+            assert final["frames"] > 0
+            # the served result must equal the direct online pipeline
+            pipe = OnlineASRPipeline(model, params, fdlp_cfg=FCFG,
+                                     vocab=vocab)
+            pipe.push(sig)
+            want = pipe.finish()
+            assert final["tokens"] == want, i
+            # partials are prefixes of progressively growing hypotheses
+            assert partials[-1] == final["final"] or len(
+                partials[-1]
+            ) <= len(final["final"])
+    finally:
+        server.shutdown()
+        server.server_close()
