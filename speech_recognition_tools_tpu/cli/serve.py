@@ -15,6 +15,9 @@ utterance stream):
   client -> {"eof": true}                flush and finish
   server -> {"partial": "<text so far>"} after every client chunk
   server -> {"final": "<text>", "tokens": [...], "frames": N}
+  server -> {"error": "<message>"}       on a malformed message; the
+                                         connection then closes (the
+                                         stream's integrity is unknown)
 
 Run:  srt-serve model_dir --port 8973 [--fdlp ...]
 Test: tests/test_serve.py drives real sockets against a tiny model.
@@ -42,6 +45,9 @@ def get_parser():
     p.add_argument("--fduration", type=float, default=1.5)
     p.add_argument("--order", type=int, default=150)
     p.add_argument("--coeff_num", type=int, default=100)
+    p.add_argument("--cmvn", help="npz file with `mean`/`std` arrays "
+                                  "(global CMVN the model was trained "
+                                  "with); omit only for CMVN-free models")
     return p
 
 
@@ -51,7 +57,8 @@ class _ASRService:
     batching across streams happens *inside* a round, so concurrent
     connections still share one padded step per round)."""
 
-    def __init__(self, model, params, vocab, fdlp_cfg, max_streams):
+    def __init__(self, model, params, vocab, fdlp_cfg, max_streams,
+                 cmvn=None):
         from speech_recognition_tools_tpu.dsp.streaming import StreamingFdlp
         from speech_recognition_tools_tpu.infer.streaming_asr import (
             StreamBatcher,
@@ -62,6 +69,7 @@ class _ASRService:
         )
         self.vocab = vocab
         self.fdlp_cfg = fdlp_cfg
+        self.cmvn = cmvn  # (mean, std) or None
         self._mk_featgen = lambda: StreamingFdlp(fdlp_cfg)
         self.lock = threading.Lock()
 
@@ -70,8 +78,17 @@ class _ASRService:
             sid = self.batcher.open()
         return sid, self._mk_featgen()
 
+    def _feats(self, featgen, samples=None):
+        feats = (
+            featgen.finish() if samples is None else featgen.process(samples)
+        )
+        if self.cmvn is not None and feats.shape[0]:
+            mean, std = self.cmvn
+            feats = (feats - mean[None, :]) / std[None, :]
+        return feats
+
     def push_audio(self, sid, featgen, samples):
-        feats = featgen.process(samples)
+        feats = self._feats(featgen, samples)
         with self.lock:
             if feats.shape[0]:
                 hyp = self.batcher.push(sid, feats)
@@ -80,13 +97,17 @@ class _ASRService:
         return hyp
 
     def finish(self, sid, featgen):
-        feats = featgen.finish()
+        feats = self._feats(featgen)
         with self.lock:
             if feats.shape[0]:
                 self.batcher.push(sid, feats)
             hyp = self.batcher.finish(sid)
             frames = self.batcher.state(sid).pos
         return hyp, frames
+
+    def release(self, sid):
+        with self.lock:
+            self.batcher.release(sid)
 
     def text(self, tokens):
         from speech_recognition_tools_tpu.io.text import decode_tokens
@@ -95,30 +116,36 @@ class _ASRService:
 
 
 class _Handler(socketserver.StreamRequestHandler):
+    def _send(self, obj):
+        self.wfile.write((json.dumps(obj) + "\n").encode())
+        self.wfile.flush()
+
     def handle(self):
         svc: _ASRService = self.server.service  # type: ignore[attr-defined]
         sid, featgen = svc.open()
         finished = False
         try:
             for raw in self.rfile:
-                msg = json.loads(raw)
-                if msg.get("eof"):
-                    hyp, frames = svc.finish(sid, featgen)
-                    out = {"final": svc.text(hyp), "tokens": hyp,
-                           "frames": int(frames)}
-                    self.wfile.write((json.dumps(out) + "\n").encode())
-                    self.wfile.flush()
-                    finished = True
-                    break
-                import numpy as np
+                try:
+                    msg = json.loads(raw)
+                    if msg.get("eof"):
+                        hyp, frames = svc.finish(sid, featgen)
+                        self._send({"final": svc.text(hyp), "tokens": hyp,
+                                    "frames": int(frames)})
+                        finished = True
+                        break
+                    import numpy as np
 
-                hyp = svc.push_audio(
-                    sid, featgen, np.asarray(msg["pcm"], np.float32)
-                )
-                self.wfile.write(
-                    (json.dumps({"partial": svc.text(hyp)}) + "\n").encode()
-                )
-                self.wfile.flush()
+                    pcm = np.asarray(msg["pcm"], np.float32)
+                    if pcm.ndim != 1:
+                        raise ValueError(f"pcm must be 1-D, got {pcm.shape}")
+                    hyp = svc.push_audio(sid, featgen, pcm)
+                    self._send({"partial": svc.text(hyp)})
+                except (ValueError, KeyError, TypeError) as e:
+                    # protocol contract: one response per message — report
+                    # the bad frame, then close (stream integrity unknown)
+                    self._send({"error": f"{type(e).__name__}: {e}"})
+                    break
         finally:
             if not finished:
                 # drop a half-finished stream so its batcher slot is freed
@@ -126,6 +153,7 @@ class _Handler(socketserver.StreamRequestHandler):
                     svc.finish(sid, featgen)
                 except Exception:
                     pass
+            svc.release(sid)
 
 
 class ASRServer(socketserver.ThreadingTCPServer):
@@ -138,15 +166,16 @@ class ASRServer(socketserver.ThreadingTCPServer):
 
 
 def make_server(model_dir, ckpt="final_avg", host="127.0.0.1", port=0,
-                max_streams=8, fdlp_cfg=None):
+                max_streams=8, fdlp_cfg=None, cmvn=None):
     """Build (server, bound_port); serve_forever() on the caller's thread
-    (tests run it on a daemon thread)."""
+    (tests run it on a daemon thread). cmvn: optional (mean, std)."""
     from speech_recognition_tools_tpu.cli.recog_e2e import _load
     from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
 
     model, params, cfg, vocab = _load(model_dir, ckpt)
     service = _ASRService(
-        model, params, vocab, fdlp_cfg or FdlpConfig(), max_streams
+        model, params, vocab, fdlp_cfg or FdlpConfig(), max_streams,
+        cmvn=cmvn,
     )
     server = ASRServer((host, port), service)
     return server, server.server_address[1]
@@ -174,9 +203,18 @@ def main(argv=None):
         srate=args.srate, nfilters=nf, fduration=args.fduration,
         order=args.order, coeff_num=args.coeff_num,
     )
+    cmvn = None
+    if args.cmvn:
+        import numpy as np
+
+        blob = np.load(args.cmvn)
+        cmvn = (
+            np.asarray(blob["mean"], np.float32),
+            np.asarray(blob["std"], np.float32),
+        )
     server, port = make_server(
         args.model_dir, args.ckpt, args.host, args.port,
-        args.max_streams, fdlp_cfg,
+        args.max_streams, fdlp_cfg, cmvn=cmvn,
     )
     print(f"serving on {args.host}:{port} "
           f"(max {args.max_streams} batched streams)")

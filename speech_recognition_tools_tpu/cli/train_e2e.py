@@ -432,7 +432,8 @@ def main(argv=None):
             return b
 
     hyper = dict(vars(args))
-    hyper.update(model_class="TransformerASR", vocab_size=len(vocab))
+    hyper.update(model_class="TransformerASR", vocab_size=len(vocab),
+                 feature_dim=int(first["feats"].shape[-1]))
     rng = jax.random.key(args.seed + 2 + start_epoch)
     for epoch in range(start_epoch, args.epochs):
         losses = []

@@ -43,6 +43,30 @@ from speech_recognition_tools_tpu.models.transformer_asr import (
 )
 
 
+def _total_subsampled(n_frames: int) -> int:
+    """Total encoder frames for a finished stream of n raw feature
+    frames (the VALID Conv2dSubsampling length formula)."""
+    return ((n_frames - 1) // 2 - 1) // 2 if n_frames >= 7 else 0
+
+
+def _greedy_extend(blank_id: int, hyp: list, last_id: int,
+                   ctc_rows: np.ndarray) -> int:
+    """Incremental greedy-CTC collapse: append new non-blank,
+    non-repeated argmax ids to `hyp`; returns the new last id."""
+    for t in np.argmax(ctc_rows, axis=-1):
+        if t != blank_id and t != last_id:
+            hyp.append(int(t))
+        last_id = int(t)
+    return last_id
+
+
+def _check_frames(frames) -> np.ndarray:
+    frames = np.asarray(frames, np.float32)
+    if frames.ndim != 2:
+        raise ValueError(f"push expects (T, D) features; got {frames.shape}")
+    return frames
+
+
 def _posenc_rows(pos0: int, n: int, dim: int) -> np.ndarray:
     """Rows [pos0, pos0+n) of the sinusoidal table — computed on the host
     per chunk so streams have NO position cap (a fixed in-jit table would
@@ -311,20 +335,15 @@ class StreamingRecognizer:
             self._mem.append(np.asarray(h)[0, :n_valid])
             self._ctc.append(ctc)
         self._pos += n_valid
-        # incremental greedy CTC collapse
-        ids = np.argmax(ctc, axis=-1)
-        for t in ids:
-            if t != self.cfg.blank_id and t != self._last_id:
-                self._hyp.append(int(t))
-            self._last_id = int(t)
+        self._last_id = _greedy_extend(
+            self.cfg.blank_id, self._hyp, self._last_id, ctc
+        )
 
     def push(self, frames) -> list[int]:
         """Feed (T, D) new feature frames; processes every completed
         chunk. Returns the current partial token hypothesis."""
         assert not self._finished, "reset() before reusing a recognizer"
-        frames = np.asarray(frames, np.float32)
-        if frames.ndim != 2:
-            raise ValueError(f"push expects (T, D); got {frames.shape}")
+        frames = _check_frames(frames)
         self._buf = (
             frames if self._buf is None
             else np.concatenate([self._buf, frames])
@@ -346,8 +365,7 @@ class StreamingRecognizer:
         hypothesis and freezes `memory`/`enc_len`/`ctc_logits`."""
         if self._finished:
             return list(self._hyp)
-        total_sub = ((self._n_buf - 1) // 2 - 1) // 2 if self._n_buf >= 7 else 0
-        remaining = total_sub - self._pos
+        remaining = _total_subsampled(self._n_buf) - self._pos
         while remaining > 0:
             n = min(remaining, self.chunk)
             self._emit(
@@ -426,6 +444,10 @@ class StreamBatcher:
         self.vocab = vocab
         self.store_memory = store_memory
         self._streams: dict[int, _StreamState] = {}
+        # finished streams move here with their caches freed, so a
+        # long-running server's drain() cost and memory stay bounded by
+        # the number of LIVE streams; `release(sid)` drops the results
+        self._finished: dict[int, _StreamState] = {}
         self._next_id = 0
         # idle-row template (reused for padding every round)
         self._idle = self._init_caches(1)
@@ -435,6 +457,10 @@ class StreamBatcher:
         self._next_id += 1
         self._streams[sid] = _StreamState(self.cfg, self._init_caches(1))
         return sid
+
+    def release(self, sid: int) -> None:
+        """Forget a finished stream's results (hyp/memory)."""
+        self._finished.pop(sid, None)
 
     @property
     def chunk(self):
@@ -487,11 +513,9 @@ class StreamBatcher:
                 st.ctc.append(row_ctc)
             st.pos += int(n_valid)
             st.n_consumed += 4 * chunk
-            ids = np.argmax(row_ctc, axis=-1)
-            for t in ids:
-                if t != self.cfg.blank_id and t != st.last_id:
-                    st.hyp.append(int(t))
-                st.last_id = int(t)
+            st.last_id = _greedy_extend(
+                self.cfg.blank_id, st.hyp, st.last_id, row_ctc
+            )
             # trim consumed frames (bounded buffers, as in the
             # single-stream recognizer)
             take = min(st.n_consumed - st.buf_start, st.buf.shape[0])
@@ -504,7 +528,12 @@ class StreamBatcher:
         any stream has a completed chunk ready."""
         st = self._streams[sid]
         assert not st.finished, "stream already finished"
-        frames = np.asarray(frames, np.float32)
+        frames = _check_frames(frames)
+        if st.buf is not None and frames.shape[1] != st.buf.shape[1]:
+            raise ValueError(
+                f"stream {sid}: feature dim changed "
+                f"{st.buf.shape[1]} -> {frames.shape[1]}"
+            )
         st.buf = (
             frames if st.buf is None else np.concatenate([st.buf, frames])
         )
@@ -527,12 +556,13 @@ class StreamBatcher:
 
     def finish(self, sid: int) -> list[int]:
         """Flush stream `sid` (its partial tail rides a normal round with
-        n_valid < chunk; cache updates for it are discarded) and close it."""
+        n_valid < chunk; cache updates for it are discarded), free its
+        caches and move it to the finished set (drop with release())."""
+        if sid in self._finished:
+            return list(self._finished[sid].hyp)
         st = self._streams[sid]
-        if st.finished:
-            return list(st.hyp)
         self.drain()
-        total_sub = ((st.n_buf - 1) // 2 - 1) // 2 if st.n_buf >= 7 else 0
+        total_sub = _total_subsampled(st.n_buf)
         while total_sub - st.pos > 0:
             n = min(total_sub - st.pos, self.chunk)
             self._run_round([(sid, n)])
@@ -547,10 +577,12 @@ class StreamBatcher:
             else np.zeros((0, self.cfg.vocab_size), np.float32)
         )
         st.buf = None
+        st.caches = None  # device arrays freed; results stay host-side
+        self._finished[sid] = self._streams.pop(sid)
         return list(st.hyp)
 
     def state(self, sid: int) -> _StreamState:
-        return self._streams[sid]
+        return self._streams.get(sid) or self._finished[sid]
 
 
 class OnlineASRPipeline:

@@ -148,11 +148,23 @@ def dense_from_conv1x1(sd: dict, prefix: str) -> dict:
     return {"kernel": w[:, :, 0].T, "bias": _np(sd[prefix + "bias"])}
 
 
-def conv2d_from_torch(sd: dict, prefix: str) -> dict:
-    """torch Conv2d (O, I, kh, kw), NCHW + symmetric (k-1)/2 padding ->
-    flax Conv HWIO kernel under NHWC SAME (identical for odd kernels,
-    stride 1)."""
+def _odd_kernel_only(w: np.ndarray, prefix: str):
+    if w.shape[2] % 2 == 0 or w.shape[3] % 2 == 0:
+        raise UnsupportedTorchModel(
+            f"{prefix}weight has even kernel {w.shape[2:]} — torch's "
+            "int((k-1)/2) padding then shrinks the map while flax SAME "
+            "pads asymmetrically; only odd kernels map exactly"
+        )
+
+
+def conv2d_from_torch(sd: dict, prefix: str, same_padding=True) -> dict:
+    """torch Conv2d (O, I, kh, kw), NCHW -> flax Conv HWIO kernel under
+    NHWC. With symmetric (k-1)/2 torch padding the flax side is SAME —
+    identical for odd kernels at stride 1, so even kernels are rejected;
+    unpadded (VALID) convs map for any kernel (same_padding=False)."""
     w = _np(sd[prefix + "weight"])
+    if same_padding:
+        _odd_kernel_only(w, prefix)
     return {
         "kernel": w.transpose(2, 3, 1, 0),
         "bias": _np(sd[prefix + "bias"]),
@@ -164,7 +176,9 @@ def conv_transpose2d_from_torch(sd: dict, prefix: str) -> dict:
     (convolution); flax ConvTranspose correlates the dilated input with
     the kernel as given, so flip the spatial dims (verified numerically
     in tests/test_torch_import.py)."""
-    w = _np(sd[prefix + "weight"])[:, :, ::-1, ::-1]
+    w = _np(sd[prefix + "weight"])
+    _odd_kernel_only(w, prefix)
+    w = w[:, :, ::-1, ::-1]
     return {
         "kernel": np.ascontiguousarray(w.transpose(2, 3, 0, 1)),
         "bias": _np(sd[prefix + "bias"]),
@@ -683,7 +697,9 @@ def _modnet_convs(sd: dict) -> tuple[dict, list, list, int]:
         ins.append(int(w.shape[1]))
         outs.append(int(w.shape[0]))
         k = int(w.shape[2])
-        params[f"conv_{i}"] = conv2d_from_torch(sd, f"encoder.layers.{i}.")
+        params[f"conv_{i}"] = conv2d_from_torch(
+            sd, f"encoder.layers.{i}.", same_padding=False
+        )
     if ins[0] != 1:
         raise UnsupportedTorchModel(
             f"expected single-plane modnet input, got {ins[0]} channels"

@@ -110,10 +110,24 @@ def test_serve_two_concurrent_streams(tmp_path):
             pipe.push(sig)
             want = pipe.finish()
             assert final["tokens"] == want, i
-            # partials are prefixes of progressively growing hypotheses
-            assert partials[-1] == final["final"] or len(
-                partials[-1]
-            ) <= len(final["final"])
+            # the hypothesis is append-only, so every partial must be a
+            # prefix of the final text and at least one mid-stream
+            # partial must be non-empty (partials really stream)
+            assert all(final["final"].startswith(p) for p in partials), i
+            assert any(partials), i
+        # live-state hygiene: the shared batcher must hold no live or
+        # finished streams once connections are done (release() ran)
+        svc = server.service
+        assert not svc.batcher._streams and not svc.batcher._finished
+
+        # malformed messages get an error frame, not a dropped socket
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        f = s.makefile("rwb")
+        f.write(b'{"pcm": "oops"}\n')
+        f.flush()
+        resp = json.loads(f.readline())
+        assert "error" in resp
+        s.close()
     finally:
         server.shutdown()
         server.server_close()
