@@ -15,15 +15,32 @@ import argparse
 
 def get_parser():
     p = argparse.ArgumentParser("Import a reference torch .model checkpoint")
-    p.add_argument("src", help="reference .model file (torch.save dict)")
-    p.add_argument("dest", help="native checkpoint directory to create")
+    p.add_argument("src", help="reference .model file (torch.save dict), "
+                               "or an egs directory with --egs")
+    p.add_argument("dest", help="native checkpoint / egs directory to create")
     p.add_argument("--tag", default="final",
                    help="checkpoint tag (subdirectory name)")
+    p.add_argument("--egs", action="store_true",
+                   help="src is a reference egs directory (per-utt .pt + "
+                        "lengths.pkl [+ labels.pkl]); convert the DATA "
+                        "instead of a model")
+    p.add_argument("--num_targets", type=int, default=None,
+                   help="(--egs) class count override (default: max label "
+                        "+ 1)")
     return p
 
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    if args.egs:
+        from speech_recognition_tools_tpu.io.torch_import import (
+            import_egs_dir,
+        )
+
+        out = import_egs_dir(args.src, args.dest,
+                             num_targets=args.num_targets)
+        print(f"imported egs {args.src} -> {out}")
+        return
     from speech_recognition_tools_tpu.io.torch_import import (
         detect_family,
         import_state_dict,

@@ -1045,6 +1045,55 @@ def _scalar(v):
         return str(v)
 
 
+def import_egs_dir(src_dir: str, out_dir: str, num_targets: int | None = None,
+                   max_seq_len: int | None = None) -> str:
+    """Convert a reference egs directory into a native one.
+
+    The reference's data_prep_for_seq.py dumps per-utterance `<utt>.pt`
+    FloatTensors zero-padded to max_seq_len, `lengths.pkl`
+    ({'utt.pt': true_len}) and optionally `labels.pkl` (torch dict of
+    padded LongTensors) (:93-131, :54-90). Padding is stripped using the
+    true lengths so the native bucketing loader (io/egs.py) sees ragged
+    utterances, and the result feeds train_am / dump_outputs directly.
+    """
+    import os
+    import pickle
+
+    import torch
+
+    from speech_recognition_tools_tpu.io.egs import build_egs
+
+    with open(os.path.join(src_dir, "lengths.pkl"), "rb") as f:
+        lengths = pickle.load(f)
+
+    labels = None
+    lab_path = os.path.join(src_dir, "labels.pkl")
+    if os.path.exists(lab_path):
+        raw = torch.load(lab_path, map_location="cpu", weights_only=False)
+        labels = {}
+        for k, v in raw.items():
+            n = int(lengths.get(k, len(v)))
+            labels[k[:-3]] = np.asarray(v)[:n].astype(np.int32)
+        if num_targets is None:
+            num_targets = int(max(int(v.max()) for v in labels.values())) + 1
+
+    def feats_iter():
+        for fname in sorted(os.listdir(src_dir)):
+            if not fname.endswith(".pt"):
+                continue
+            t = torch.load(
+                os.path.join(src_dir, fname), map_location="cpu",
+                weights_only=False,
+            )
+            n = int(lengths.get(fname, t.shape[0]))
+            yield fname[:-3], np.asarray(t)[:n].astype(np.float32)
+
+    return build_egs(
+        feats_iter(), out_dir, labels=labels, num_targets=num_targets,
+        max_seq_len=max_seq_len,
+    )
+
+
 def load_torch_checkpoint(path: str) -> tuple[dict, dict]:
     """torch.load a reference .model file -> (state_dict, hyperparams)."""
     import torch

@@ -602,6 +602,54 @@ def test_modnet_sigmoid_full_parity():
     _assert_close(float(mean_mod), float(ref_mean), tol=1e-4)
 
 
+def test_import_egs_dir(tmp_path):
+    """Data migration: a reference-style egs dir (padded per-utt .pt +
+    lengths.pkl + labels.pkl) converts to a native egs dir with padding
+    stripped, loadable by the bucketing loader and the train CLI path."""
+    import pickle
+
+    from speech_recognition_tools_tpu.cli.import_torch_ckpt import (
+        main as cli_main,
+    )
+    from speech_recognition_tools_tpu.io import iter_egs_batches, load_egs
+
+    src = tmp_path / "ref_egs"
+    src.mkdir()
+    rng = np.random.default_rng(40)
+    max_len, D_ = 16, 5
+    true = {}
+    lengths = {}
+    labels_raw = {}
+    for i, n in enumerate((16, 9, 12)):
+        utt = f"utt{i}"
+        f = rng.standard_normal((n, D_)).astype(np.float32)
+        true[utt] = f
+        padded = np.zeros((max_len, D_), np.float32)
+        padded[:n] = f
+        torch.save(torch.from_numpy(padded), src / f"{utt}.pt")
+        lengths[f"{utt}.pt"] = n
+        lab = rng.integers(0, 7, size=n)
+        true[utt + "_lab"] = lab
+        labels_raw[f"{utt}.pt"] = torch.from_numpy(
+            np.pad(lab, (0, max_len - n))
+        ).long()
+    with open(src / "lengths.pkl", "wb") as f:
+        pickle.dump(lengths, f)
+    torch.save(labels_raw, src / "labels.pkl")
+
+    out = tmp_path / "native_egs"
+    cli_main([str(src), str(out), "--egs"])
+
+    cfg, utts = load_egs(str(out))
+    assert cfg.num_targets == 7 and cfg.feat_dim == D_
+    assert len(utts) == 3
+    for utt, feats, labs in utts:
+        np.testing.assert_allclose(feats, true[utt], rtol=1e-6)
+        np.testing.assert_array_equal(labs, true[utt + "_lab"])
+    batches = list(iter_egs_batches(str(out), 2))
+    assert sum(b["feats"].shape[0] for b in batches) == 3
+
+
 def test_import_checkpoint_roundtrip(tmp_path):
     """Full flow: torch.save trainer dict -> import CLI path -> native
     checkpoint consumed by dump_outputs' rebuild contract."""
