@@ -187,10 +187,17 @@ def main(argv=None):
 
     def wav_scp(name):
         """The scp featgen should read: the stage-0 enhanced one when
-        enhancement ran (now or in a previous --stage resume)."""
+        enhancement is configured. Fail loud if stage 0 never ran — the
+        raw multichannel scp would feed featgen garbage (or silently
+        skip enhancement for 1ch scps)."""
         enhanced = os.path.join(exp, f"enhanced_{name}", "wav.scp")
-        if cfg.get("enhancement") and os.path.exists(enhanced):
-            return enhanced
+        if cfg.get("enhancement"):
+            if os.path.exists(enhanced):
+                return enhanced
+            raise FileNotFoundError(
+                f"enhancement is configured but {enhanced} does not exist "
+                "— run stage 0 first (--stage 0)"
+            )
         return os.path.join(dset(name), "wav.scp")
 
     import numpy as np
@@ -275,19 +282,17 @@ def main(argv=None):
                     "hybrid branch without ali.pkl needs <data>/"
                     "lexicon.txt for native forced alignment"
                 )
-            from speech_recognition_tools_tpu.align import realign_corpus
+            from speech_recognition_tools_tpu.align import (
+                read_lexicon,
+                realign_corpus,
+            )
 
             acfg = cfg.get("align", {})
             spp = acfg.get(
                 "states_per_phone",
                 cfg.get("decode", {}).get("states_per_phone", 1),
             )
-            lexicon = {}
-            with open(lex_path) as f:
-                for line in f:
-                    parts = line.split()
-                    if parts:
-                        lexicon[parts[0]] = [int(x) for x in parts[1:]]
+            lexicon = read_lexicon(lex_path)
             ali_sets = [
                 n for n in (args.train_set, args.dev_set)
                 if not os.path.exists(os.path.join(exp, f"ali_{n}.pkl"))
@@ -338,6 +343,23 @@ def main(argv=None):
                 "is not supported by build_egs; use equal values"
             )
         context = left if left is not None else egs_cfg.get("context")
+        if branch == "hybrid" and am.get("num_classes") is None:
+            # fix ONE target count across sets up front: on a --stage
+            # resume the freshly-aligned n_pdfs is gone, and inferring
+            # 1+max(labels) per set diverges when a small dev set lacks
+            # the highest pdf id
+            maxes = []
+            for name in sets:
+                ali = os.path.join(dset(name), "ali.pkl")
+                if not os.path.exists(ali):
+                    ali = os.path.join(exp, f"ali_{name}.pkl")
+                if os.path.exists(ali):
+                    maxes.append(max(
+                        int(np.max(np.asarray(v)))
+                        for v in load_ali(ali).values()
+                    ))
+            if maxes:
+                am["num_classes"] = 1 + max(maxes)
         for name in sets:
             feats = dict(read_mat_scp(feats_scp(name)))
             if egs_cfg.get("cmvn") == "per_utt":

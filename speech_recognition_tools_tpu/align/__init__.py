@@ -5,6 +5,7 @@ consumed by src/nnet/data_prep_for_seq.py:66-88)."""
 
 from speech_recognition_tools_tpu.align.forced import (
     equal_align,
+    read_lexicon,
     realign_corpus,
     trailing_optional,
     utterance_states,

@@ -27,6 +27,18 @@ tests/test_forced_align.py).
 import numpy as np
 
 
+def read_lexicon(path: str) -> dict:
+    """Parse 'word phone-id [phone-id ...]' lines -> {word: [ids]} (the
+    one lexicon format every aligner entry point shares)."""
+    lexicon = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                lexicon[parts[0]] = [int(x) for x in parts[1:]]
+    return lexicon
+
+
 def utterance_states(words, lexicon, states_per_phone=1,
                      silence_phone=None):
     """Linear HMM state chain for a transcript.
@@ -294,26 +306,46 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
     )
     labels = {u: equal_align(feats[u].shape[0], chains[u][0]) for u in utts}
 
-    Tmax = max(feats[u].shape[0] for u in utts)
+    # The corpus stays RAGGED on the host (the per-utt feats dict) and is
+    # densified one batch at a time: one (N, Tmax, D)+(N, Tmax, P) dense
+    # materialisation would OOM host and HBM on real corpora (WSJ ~37k
+    # utts). Batches are length-sorted buckets padded to a quantized
+    # Tmax so the jitted step compiles a handful of shapes, not O(N).
+    n = len(utts)
+    lens = np.asarray([feats[u].shape[0] for u in utts], np.int32)
     D = next(iter(feats.values())).shape[1]
-    fb = np.zeros((len(utts), Tmax, D), np.float32)
-    lens = np.zeros(len(utts), np.int32)
-    for i, u in enumerate(utts):
-        T = feats[u].shape[0]
-        fb[i, :T] = feats[u]
-        lens[i] = T
+    by_len = sorted(range(n), key=lambda i: int(lens[i]))
+    buckets = [by_len[k : k + batch_size] for k in range(0, n, batch_size)]
+
+    def quantized_t(idx):
+        t = max(int(lens[i]) for i in idx)
+        return min(
+            -(-t // 128) * 128, max(int(lens[i]) for i in range(n))
+        )
+
+    def dense_batch(idx, with_labels):
+        tb = quantized_t(idx)
+        rows = batch_size  # fixed rows: pad with empty (len 0) utts
+        f = np.zeros((rows, tb, D), np.float32)
+        y = np.zeros((rows, tb), np.int32) if with_labels else None
+        ls = np.zeros(rows, np.int32)
+        for r, i in enumerate(idx):
+            T = int(lens[i])
+            f[r, :T] = feats[utts[i]]
+            ls[r] = T
+            if with_labels:
+                y[r, :T] = labels[utts[i]]
+        out = (jnp.asarray(f), jnp.asarray(ls))
+        return out + ((jnp.asarray(y),) if with_labels else ())
 
     model = M.RNNClassifier(
         num_layers=num_layers, hidden_size=hidden_dim, out_size=num_pdfs
     )
-    fbj, lensj = jnp.asarray(fb), jnp.asarray(lens)
 
     for it in range(num_iters):
-        lb = np.zeros((len(utts), Tmax), np.int32)
-        for i, u in enumerate(utts):
-            lb[i, : lens[i]] = labels[u]
+        f0, l0 = dense_batch(buckets[0], with_labels=False)
         params = model.init(
-            {"params": jax.random.key(seed + it)}, fbj[:1], lensj[:1]
+            {"params": jax.random.key(seed + it)}, f0[:1], l0[:1]
         )
         tx = optax.adam(3e-3)
         opt = tx.init(params)
@@ -327,39 +359,39 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
             u2, opt = tx.update(g, opt)
             return optax.apply_updates(params, u2), opt, loss
 
-        lbj = jnp.asarray(lb)
-        n = len(utts)
-        order = np.arange(n)
         rs = np.random.RandomState(seed + it)
+        border = np.arange(len(buckets))
         last = None
         for ep in range(am_epochs):
-            rs.shuffle(order)
-            for k in range(0, n, batch_size):
-                sl = order[k : k + batch_size]
-                params, opt, last = step(
-                    params, opt, fbj[sl], lensj[sl], lbj[sl]
-                )
+            rs.shuffle(border)  # shuffle bucket order; buckets stay
+            # length-homogeneous so padding waste stays low
+            for bi in border:
+                f, l, y = dense_batch(buckets[bi], with_labels=True)
+                params, opt, last = step(params, opt, f, l, y)
         log(f"align iter {it}: AM loss {float(last):.4f}")
 
-        logits = np.asarray(jax.jit(model.apply)(params, fbj, lensj))
-        logp = logits - _logsumexp(logits)
         counts = np.bincount(
             np.concatenate([labels[u] for u in utts]), minlength=num_pdfs
         ).astype(np.float64)
         prior = np.log((counts + 1.0) / (counts.sum() + num_pdfs))
-        pseudo_ll = logp - prior[None, None, :].astype(np.float32)
-        aligned = viterbi_align_batch(
-            pseudo_ll, lens, [chains[u] for u in utts],
-            self_loop_prob=self_loop_prob,
-        )
-        # a saturated DP (None labels) keeps the previous iteration's
-        # alignment rather than killing the whole corpus
-        for u, a in zip(utts, aligned):
-            if a[0] is None:
-                log(f"WARNING: {u}: Viterbi found no valid path this "
-                    f"iteration — keeping previous labels")
-            else:
-                labels[u] = a[0]
+        apply_jit = jax.jit(model.apply)
+        for idx in buckets:
+            f, l = dense_batch(idx, with_labels=False)
+            logits = np.asarray(apply_jit(params, f, l))[: len(idx)]
+            logp = logits - _logsumexp(logits)
+            pseudo_ll = logp - prior[None, None, :].astype(np.float32)
+            aligned = viterbi_align_batch(
+                pseudo_ll, lens[idx], [chains[utts[i]] for i in idx],
+                self_loop_prob=self_loop_prob,
+            )
+            # a saturated DP (None labels) keeps the previous iteration's
+            # alignment rather than killing the whole corpus
+            for i, a in zip(idx, aligned):
+                if a[0] is None:
+                    log(f"WARNING: {utts[i]}: Viterbi found no valid path "
+                        f"this iteration — keeping previous labels")
+                else:
+                    labels[utts[i]] = a[0]
     return labels, num_pdfs
 
 

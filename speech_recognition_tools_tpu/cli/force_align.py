@@ -43,18 +43,13 @@ def get_parser():
 def main(argv=None):
     args = get_parser().parse_args(argv)
 
-    from speech_recognition_tools_tpu.align import realign_corpus
+    from speech_recognition_tools_tpu.align import read_lexicon, realign_corpus
     from speech_recognition_tools_tpu.io import read_mat_scp
     from speech_recognition_tools_tpu.io.text import read_text_file
 
     feats = dict(read_mat_scp(args.feats_scp))
     texts = read_text_file(args.text)
-    lexicon = {}
-    with open(args.lexicon) as f:
-        for line in f:
-            parts = line.split()
-            if parts:
-                lexicon[parts[0]] = [int(x) for x in parts[1:]]
+    lexicon = read_lexicon(args.lexicon)
 
     labels, num_pdfs = realign_corpus(
         feats, texts, lexicon,

@@ -62,8 +62,10 @@ def load_channels(entries, srate=None):
     sigs = []
     for e in entries:
         if e.endswith("|"):
-            _, s = read_wav_scp_entry(e, expected_srate=srate)
-            sigs.append(np.atleast_2d(s))
+            _, s = read_wav_scp_entry(
+                e, expected_srate=srate, keep_channels=True
+            )
+            sigs.append(s.T if s.ndim > 1 else s[None])
             continue
         sr, s = wav_read(e)
         if srate is not None and sr != srate:
@@ -100,24 +102,29 @@ def _chain_fn(enh_key):
     wpe = enh.get("wpe")
     bf = enh.get("beamform")
 
+    def maybe_wpe(x):
+        if not wpe:
+            return x
+        n = x.shape[-1]
+        size = int(wpe.get("size", 512))
+        shift = int(wpe.get("shift", 128))
+        X = stft(x, size=size, shift=shift)  # (D, T, F)
+        Xf = wpe_onchip(
+            jnp.transpose(X, (2, 0, 1)),
+            taps=int(wpe.get("taps", 10)),
+            delay=int(wpe.get("delay", 3)),
+            iterations=int(wpe.get("iterations", 5)),
+        )
+        return istft(
+            jnp.transpose(Xf, (1, 2, 0)), size=size, shift=shift
+        )[..., :n]
+
     @jax.jit
     def run(x, sm, nm):
         # x: (D, n) f32; sm/nm: (T, F) f32 external masks or (0, 0)
         # placeholders selecting the in-jit quantile masks
         n = x.shape[-1]
-        if wpe:
-            size = int(wpe.get("size", 512))
-            shift = int(wpe.get("shift", 128))
-            X = stft(x, size=size, shift=shift)  # (D, T, F)
-            Xf = wpe_onchip(
-                jnp.transpose(X, (2, 0, 1)),
-                taps=int(wpe.get("taps", 10)),
-                delay=int(wpe.get("delay", 3)),
-                iterations=int(wpe.get("iterations", 5)),
-            )
-            x = istft(
-                jnp.transpose(Xf, (1, 2, 0)), size=size, shift=shift
-            )[..., :n]
+        x = maybe_wpe(x)
         if not bf:
             return x[0]
         size = int(bf.get("size", 1024))
@@ -142,7 +149,10 @@ def _chain_fn(enh_key):
     @jax.jit
     def stft_mag(x):
         # magnitudes for the host-side BLSTM mask net (real arrays only
-        # cross the boundary)
+        # cross the boundary). WPE runs FIRST so the masks describe the
+        # same dereverberated signal run() beamforms — matching the
+        # documented STFT -> WPE -> masks -> GEV chain.
+        x = maybe_wpe(x)
         size = int(bf.get("size", 1024))
         shift = int(bf.get("shift", 256))
         return jnp.abs(stft(x, size=size, shift=shift))
@@ -277,7 +287,12 @@ def run_enhancement(scp_path, out_dir, enh_cfg, srate, mask_fn=None,
             continue
         y = enhance_utterance(sigs, enh_cfg, mask_fn=mask_fn)
         peak = np.max(np.abs(y)) + 1e-9
-        scale = min(1.0, 30000.0 / peak)  # only attenuate, never amplify
+        if np.max(np.abs(sigs)) <= 1.0 + 1e-6:
+            # float-scale input ([-1, 1] IEEE wavs): scale up to int16
+            # range, else the cast would truncate everything to silence
+            scale = 30000.0 / peak
+        else:
+            scale = min(1.0, 30000.0 / peak)  # only attenuate int-scale
         path = os.path.join(out_dir, f"{utt}.wav")
         wav_write(path, srate, (y * scale).astype(np.int16))
         lines.append(f"{utt} {path}")

@@ -13,8 +13,13 @@ import numpy as np
 from scipy.io.wavfile import read as wav_read
 
 
-def read_wav_scp_entry(value: str, expected_srate: int | None = None):
-    """Read one scp value: a wav path or a shell pipe ending in '|'."""
+def read_wav_scp_entry(value: str, expected_srate: int | None = None,
+                       keep_channels: bool = False):
+    """Read one scp value: a wav path or a shell pipe ending in '|'.
+
+    Multichannel files are reduced to channel 0 (the featgen contract)
+    unless keep_channels=True, which returns (samples, channels) — the
+    enhancement pipeline's multichannel-pipe path needs every channel."""
     if value.endswith("|"):
         proc = subprocess.run(value[:-1], shell=True, stdout=subprocess.PIPE)
         sr, signal = wav_read(io.BytesIO(proc.stdout))
@@ -22,7 +27,7 @@ def read_wav_scp_entry(value: str, expected_srate: int | None = None):
         sr, signal = wav_read(value)
     if expected_srate is not None and sr != expected_srate:
         raise ValueError(f"sample rate {sr} != expected {expected_srate}")
-    if signal.ndim > 1:
+    if signal.ndim > 1 and not keep_channels:
         signal = signal[:, 0]
     return sr, np.asarray(signal, np.float64)
 

@@ -869,8 +869,9 @@ def beam_search(
 
     encode_fn: optional (feats, lengths) -> (memory, enc_len, ctc_logits)
     replacement for the plain encoder — e.g. `encode_ring` for
-    long-utterance sequence-parallel encoding, or `encode_pipelined` for
-    deep encoders sharded over a pipe mesh.
+    long-utterance sequence-parallel encoding, or `encode_pipelined`
+    (which needs n_micro=1 here: beam_search encodes ONE utterance at a
+    time, and the default 2 microbatches cannot split batch 1).
     """
     from speech_recognition_tools_tpu.decode.ctc_prefix import (
         ctc_prefix_scores,
