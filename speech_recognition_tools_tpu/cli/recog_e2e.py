@@ -45,6 +45,10 @@ def get_parser():
                         "the streamed encoder output (exactly the offline "
                         "chunked result), or the incremental greedy-CTC "
                         "hypothesis as-is")
+    p.add_argument("--streaming_rescore_every", type=int, default=0,
+                   help="N > 0: every N arrival pushes, print an "
+                        "attention-rescored partial (beam over the memory "
+                        "streamed so far) alongside the greedy partial")
     p.add_argument("--ring_attention", type=int, default=0, metavar="S",
                    help="encode via ring attention over an S-device "
                         "'time' mesh (parallel/ring.py) — the "
@@ -192,8 +196,21 @@ def main(argv=None):
             recognizer.reset()
             n = int(lengths[0])
             x = np.asarray(feats)[0, :n]
-            for s in range(0, n, args.streaming_feed):
+            for pi, s in enumerate(range(0, n, args.streaming_feed)):
                 recognizer.push(x[s : s + args.streaming_feed])
+                if (args.streaming_rescore_every
+                        and (pi + 1) % args.streaming_rescore_every == 0):
+                    part = recognizer.rescored_partial(
+                        model, params, cfg, beam_size=args.beam_size,
+                        max_len=args.max_len, ctc_weight=args.ctc_weight,
+                        penalty=args.penalty,
+                    )
+                    from speech_recognition_tools_tpu.io.text import (
+                        decode_tokens as _dt,
+                    )
+
+                    print(f"  [rescored partial @push {pi + 1}] "
+                          f"{_dt(part, vocab)}")
             greedy = recognizer.finish()
             if args.streaming_final == "greedy":
                 seq = greedy

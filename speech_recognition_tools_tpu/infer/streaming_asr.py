@@ -400,6 +400,32 @@ class StreamingRecognizer:
             tokens if tokens is not None else self._hyp, self.vocab
         )
 
+    def rescored_partial(self, model, params, cfg, **beam_kwargs):
+        """Joint CTC/attention beam over the encoder frames streamed SO
+        FAR — a higher-quality mid-stream partial than the greedy one
+        (the decoder attends the whole available memory). Needs
+        store_memory=True. After finish() this IS the final joint decode
+        (recog_e2e --streaming's beam path)."""
+        import jax.numpy as jnp
+
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            beam_search,
+        )
+
+        if not self.store_memory:
+            raise ValueError("rescored partials need store_memory=True")
+        mem = np.concatenate(self._mem, axis=0) if self._mem else None
+        if mem is None or mem.shape[0] == 0:
+            return []
+        ctc = np.concatenate(self._ctc, axis=0)
+        m = jnp.asarray(mem[None])
+        e = jnp.asarray([mem.shape[0]])
+        c = jnp.asarray(ctc[None])
+        return beam_search(
+            model, params, m, e, cfg,
+            encode_fn=lambda f, l: (m, e, c), **beam_kwargs,
+        )
+
 
 class _StreamState:
     """Host bookkeeping for one stream inside a StreamBatcher."""

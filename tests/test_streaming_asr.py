@@ -232,6 +232,38 @@ def test_online_pipeline_audio_to_tokens():
     )[0]
 
 
+def test_rescored_partial_equals_final_beam():
+    """After finish(), the attention-rescored 'partial' IS the offline
+    joint beam over the full chunked encode; mid-stream it runs over a
+    strict prefix of the memory."""
+    from speech_recognition_tools_tpu.models.transformer_asr import (
+        beam_search,
+    )
+
+    cfg = _tiny_cfg("transformer", attn_chunk=4, attn_left_chunks=2)
+    model = TransformerASR(cfg)
+    T = 120
+    x, params = _init(model, T=T, seed=13)
+
+    sr = StreamingRecognizer(model, params)
+    sr.push(x[0, :60])
+    mid = sr.rescored_partial(model, params, cfg, beam_size=2, max_len=6)
+    assert isinstance(mid, list)
+    sr.push(x[0, 60:])
+    sr.finish()
+    part = sr.rescored_partial(model, params, cfg, beam_size=2, max_len=6)
+
+    want = beam_search(
+        model, params, jnp.asarray(x), jnp.asarray([T]), cfg,
+        beam_size=2, max_len=6,
+    )
+    assert part == want
+
+    sr2 = StreamingRecognizer(model, params, store_memory=False)
+    with pytest.raises(ValueError, match="store_memory"):
+        sr2.rescored_partial(model, params, cfg)
+
+
 @pytest.mark.slow
 def test_streaming_cli_end_to_end(tmp_path):
     """train_e2e --attn_chunk -> recog_e2e --streaming: the online decode
