@@ -249,7 +249,8 @@ class TestPipelinedTraining:
     layout + converters + asr_loss_pipelined + the train_e2e
     --pipeline_parallel CLI path."""
 
-    def _model(self, elayers=4, encoder_type="transformer", dropout=0.0):
+    def _model(self, elayers=4, encoder_type="transformer", dropout=0.0,
+               **cfg_kw):
         from speech_recognition_tools_tpu.models.transformer_asr import (
             TransformerASR,
             TransformerASRConfig,
@@ -258,7 +259,7 @@ class TestPipelinedTraining:
         cfg = TransformerASRConfig(
             vocab_size=12, adim=16, aheads=2, elayers=elayers, eunits=24,
             dlayers=1, dunits=24, dropout=dropout,
-            encoder_type=encoder_type,
+            encoder_type=encoder_type, **cfg_kw,
         )
         return TransformerASR(cfg), cfg
 
@@ -326,6 +327,34 @@ class TestPipelinedTraining:
         )
         assert abs(float(got) - float(ref)) < 2e-4, (float(got), float(ref))
         assert abs(float(aux["ctc"]) - float(aux_ref["ctc"])) < 2e-4
+
+    def test_pipelined_loss_chunked_attention_matches_plain(self):
+        """Streaming-config (attn_chunk) models train under PP too: the
+        chunk mask is built inside the encoder blocks from the shared
+        config, so the GPipe stages apply it identically to the plain
+        loss."""
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            asr_loss,
+            asr_loss_pipelined,
+            split_pipeline_params,
+        )
+
+        model, cfg = self._model(attn_chunk=2, attn_left_chunks=1)
+        rs = np.random.RandomState(5)
+        b = self._batch(rs)
+        params = model.init(
+            {"params": jax.random.key(5)},
+            b["feats"], b["lengths"], b["tokens"],
+        )
+        ref, _ = asr_loss(
+            model, params, b, jax.random.key(6), cfg, train=False
+        )
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("pipe",))
+        rest, stacked = split_pipeline_params(params, 2)
+        got, _ = asr_loss_pipelined(
+            model, rest, stacked, b, cfg, mesh, n_micro=2
+        )
+        assert abs(float(got) - float(ref)) < 2e-4, (float(got), float(ref))
 
     @pytest.mark.slow
     def test_pipelined_loss_dp_x_pp_matches_plain(self):
