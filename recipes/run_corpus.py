@@ -141,6 +141,42 @@ def load_ali(path):
         return pickle.load(f)
 
 
+def write_serving_manifest(cfg, model_dir, train_egs_dir):
+    """Record the serving handoff next to the trained checkpoints.
+
+    Writes `<model_dir>/serving.json` (frontend geometry + CMVN mode) and,
+    for global CMVN, `<model_dir>/cmvn.npz` (the exact stats baked into the
+    train egs), so `srt-serve MODEL_DIR` / `OnlineASRPipeline.from_model_dir`
+    reproduce the training-time frontend with no manual flags. The reference
+    has no serving path at all; its closest analogue is egs.config riding
+    along for offline decode (src/nnet/data_prep_for_seq.py:166-170).
+    """
+    import numpy as np
+
+    from speech_recognition_tools_tpu.io.egs import EgsConfig
+
+    os.makedirs(model_dir, exist_ok=True)
+    egs_cfg = cfg.get("egs", {})
+    mode = egs_cfg.get("cmvn", "global")
+    manifest = {
+        "frontend": cfg.get("frontend", {}),
+        "cmvn": None,
+        "cmvn_mode": mode,
+    }
+    if mode == "global":
+        with open(os.path.join(train_egs_dir, "egs.config")) as f:
+            ecfg = EgsConfig.from_json(f.read())
+        if ecfg.cmvn_mean is not None:
+            np.savez(
+                os.path.join(model_dir, "cmvn.npz"),
+                mean=np.asarray(ecfg.cmvn_mean, np.float32),
+                std=np.asarray(ecfg.cmvn_std, np.float32),
+            )
+            manifest["cmvn"] = "cmvn.npz"
+    with open(os.path.join(model_dir, "serving.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
@@ -427,12 +463,17 @@ def main(argv=None):
                       "dunits", "mtlalpha", "lsm_weight", "dropout",
                       "warmup_steps", "transformer_lr", "grad_clip",
                       "epochs", "batch_size", "average_last",
-                      "encoder_type", "conv_kernel"):
+                      "encoder_type", "conv_kernel",
+                      "attn_chunk", "attn_left_chunks"):
                 if k in am:
                     argv += [f"--{k}", str(am[k])]
             if am.get("specaug"):
                 argv.append("--specaug")
             train_e2e.main(argv)
+            write_serving_manifest(
+                cfg, os.path.join(exp, "am"),
+                os.path.join(exp, f"egs_{args.train_set}"),
+            )
         else:
             from speech_recognition_tools_tpu.cli import train_am
 

@@ -39,15 +39,21 @@ def get_parser():
     p.add_argument("--max_streams", type=int, default=8,
                    help="StreamBatcher batch rows (concurrent streams "
                         "beyond this still work; their chunks queue)")
-    p.add_argument("--srate", type=int, default=16000)
+    # frontend flags default to None so an explicit flag can override the
+    # model dir's serving.json manifest field-by-field; with no manifest,
+    # the fallbacks in main() apply (production FDLP geometry)
+    p.add_argument("--srate", type=int, default=None)
     p.add_argument("--nfilters", type=int, default=None,
-                   help="FDLP mel bands (default: the model's feature dim)")
-    p.add_argument("--fduration", type=float, default=1.5)
-    p.add_argument("--order", type=int, default=150)
-    p.add_argument("--coeff_num", type=int, default=100)
+                   help="FDLP mel bands (default: the manifest's, else "
+                        "the model's feature dim)")
+    p.add_argument("--fduration", type=float, default=None)
+    p.add_argument("--order", type=int, default=None)
+    p.add_argument("--coeff_num", type=int, default=None)
     p.add_argument("--cmvn", help="npz file with `mean`/`std` arrays "
                                   "(global CMVN the model was trained "
-                                  "with); omit only for CMVN-free models")
+                                  "with); default: the model dir's "
+                                  "serving.json manifest; omit only for "
+                                  "CMVN-free models")
     return p
 
 
@@ -168,11 +174,28 @@ class ASRServer(socketserver.ThreadingTCPServer):
 def make_server(model_dir, ckpt="final_avg", host="127.0.0.1", port=0,
                 max_streams=8, fdlp_cfg=None, cmvn=None):
     """Build (server, bound_port); serve_forever() on the caller's thread
-    (tests run it on a daemon thread). cmvn: optional (mean, std)."""
+    (tests run it on a daemon thread). cmvn: optional (mean, std).
+
+    When fdlp_cfg / cmvn are not given, the model dir's `serving.json`
+    manifest (written by recipes/run_corpus.py stage 4) supplies them,
+    so `make_server(exp_dir + "/am")` serves a corpus-trained model with
+    the exact frontend + CMVN it was trained on.
+    """
     from speech_recognition_tools_tpu.cli.recog_e2e import _load
     from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        fdlp_config_from_frontend,
+        load_manifest_cmvn,
+        read_serving_manifest,
+    )
 
     model, params, cfg, vocab = _load(model_dir, ckpt)
+    manifest = read_serving_manifest(model_dir)
+    if manifest is not None:
+        if fdlp_cfg is None:
+            fdlp_cfg = fdlp_config_from_frontend(manifest.get("frontend", {}))
+        if cmvn is None:
+            cmvn = load_manifest_cmvn(model_dir, manifest)
     service = _ASRService(
         model, params, vocab, fdlp_cfg or FdlpConfig(), max_streams,
         cmvn=cmvn,
@@ -183,26 +206,41 @@ def make_server(model_dir, ckpt="final_avg", host="127.0.0.1", port=0,
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    import dataclasses
+    import os
+
     from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
-
-    nf = args.nfilters
-    if nf is None:
-        import json as _json
-        import os
-
-        with open(os.path.join(args.model_dir, args.ckpt,
-                               "config.json")) as f:
-            nf = _json.load(f).get("feature_dim")
-        if nf is None:
-            raise SystemExit(
-                "checkpoint config carries no feature_dim; pass --nfilters "
-                "matching the model's input dimension"
-            )
-        nf = int(nf)
-    fdlp_cfg = FdlpConfig(
-        srate=args.srate, nfilters=nf, fduration=args.fduration,
-        order=args.order, coeff_num=args.coeff_num,
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        fdlp_config_from_frontend,
+        read_serving_manifest,
     )
+
+    manifest = read_serving_manifest(args.model_dir)
+    overrides = {
+        k: getattr(args, k)
+        for k in ("srate", "nfilters", "fduration", "order", "coeff_num")
+        if getattr(args, k) is not None
+    }
+    if manifest is not None:
+        # manifest supplies the trained geometry; explicit flags win
+        base = fdlp_config_from_frontend(manifest.get("frontend", {}))
+        fdlp_cfg = dataclasses.replace(base, **overrides)
+    else:
+        fallback = dict(srate=16000, fduration=1.5, order=150,
+                        coeff_num=100)
+        if "nfilters" not in overrides:
+            import json as _json
+
+            with open(os.path.join(args.model_dir, args.ckpt,
+                                   "config.json")) as f:
+                nf = _json.load(f).get("feature_dim")
+            if nf is None:
+                raise SystemExit(
+                    "checkpoint config carries no feature_dim; pass "
+                    "--nfilters matching the model's input dimension"
+                )
+            overrides["nfilters"] = int(nf)
+        fdlp_cfg = FdlpConfig(**{**fallback, **overrides})
     cmvn = None
     if args.cmvn:
         import numpy as np

@@ -611,6 +611,80 @@ class StreamBatcher:
         return self._streams.get(sid) or self._finished[sid]
 
 
+def read_serving_manifest(model_dir):
+    """Load `<model_dir>/serving.json` (or None if absent).
+
+    The manifest is written by `recipes/run_corpus.py` stage 4 for the
+    e2e branch and records the exact frontend geometry the model was
+    trained on plus its global-CMVN stats file — the handoff that makes
+    a trained corpus model directly servable by `srt-serve` /
+    `OnlineASRPipeline.from_model_dir` with no manual flags.
+    Shape: {"frontend": {<featgen config section>}, "cmvn": "cmvn.npz" |
+    null, "cmvn_mode": "global" | "per_utt" | "none"}.
+    """
+    import json as _json
+    import os
+
+    path = os.path.join(model_dir, "serving.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f)
+
+
+def fdlp_config_from_frontend(fe):
+    """Map a corpus config `frontend` section to an FdlpConfig.
+
+    Only the fdlp frontend has a streaming implementation
+    (dsp/streaming.py); serving a melspec/mfcc/modspec-trained model
+    online is a config error, reported loudly.
+    """
+    import dataclasses
+
+    from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
+
+    typ = fe.get("type", "fdlp")
+    if typ != "fdlp":
+        raise ValueError(
+            f"streaming featgen exists only for the fdlp frontend; this "
+            f"model was trained on '{typ}' features and cannot be served "
+            f"online"
+        )
+    fields = {f.name for f in dataclasses.fields(FdlpConfig)}
+    kw = {k: v for k, v in fe.items() if k in fields}
+    if isinstance(kw.get("lifter_config"), list):
+        kw["lifter_config"] = tuple(kw["lifter_config"])
+    return FdlpConfig(**kw)
+
+
+def load_manifest_cmvn(model_dir, manifest):
+    """Resolve the manifest's CMVN stats to (mean, std) float32 arrays.
+
+    Returns None for CMVN-free models; raises for per-utterance CMVN,
+    which needs the whole utterance up front and therefore has no
+    streaming equivalent (the offline recog path handles it).
+    """
+    import os
+
+    mode = manifest.get(
+        "cmvn_mode", "global" if manifest.get("cmvn") else "none"
+    )
+    if mode == "per_utt":
+        raise ValueError(
+            "model was trained with per-utterance CMVN, which cannot be "
+            "computed incrementally; retrain with egs.cmvn='global' to "
+            "serve online, or pass explicit global stats to override"
+        )
+    rel = manifest.get("cmvn")
+    if not rel:
+        return None
+    blob = np.load(os.path.join(model_dir, rel))
+    return (
+        np.asarray(blob["mean"], np.float32),
+        np.asarray(blob["std"], np.float32),
+    )
+
+
 class OnlineASRPipeline:
     """The complete online serving path: raw audio samples in, text out.
 
@@ -623,6 +697,32 @@ class OnlineASRPipeline:
     (cfg.fduration * overlap, inherent to the front-end) + one encoder
     attention chunk.
     """
+
+    @classmethod
+    def from_model_dir(cls, model_dir, ckpt="final_avg",
+                       block_frames: int = 8):
+        """Build the full pipeline from a trained model directory alone.
+
+        Reads the `serving.json` manifest that `recipes/run_corpus.py`
+        stage 4 writes next to the checkpoints (frontend geometry +
+        global CMVN stats), so deployment needs no side-channel config —
+        the model dir is self-describing. Falls back to FdlpConfig()
+        defaults and no CMVN when no manifest exists (hand-built dirs).
+        """
+        from speech_recognition_tools_tpu.cli.recog_e2e import _load
+
+        model, params, _cfg, vocab = _load(model_dir, ckpt)
+        manifest = read_serving_manifest(model_dir)
+        fdlp_cfg, mean, std = None, None, None
+        if manifest is not None:
+            fdlp_cfg = fdlp_config_from_frontend(
+                manifest.get("frontend", {})
+            )
+            cmvn = load_manifest_cmvn(model_dir, manifest)
+            if cmvn is not None:
+                mean, std = cmvn
+        return cls(model, params, fdlp_cfg=fdlp_cfg, vocab=vocab,
+                   cmvn_mean=mean, cmvn_std=std, block_frames=block_frames)
 
     def __init__(self, model, params, fdlp_cfg=None, vocab=None,
                  cmvn_mean=None, cmvn_std=None, block_frames: int = 8):

@@ -146,6 +146,9 @@ def test_e2e_branch(tmp_path):
         "--set", "am.dlayers=1", "--set", "am.dunits=32",
         "--set", "am.epochs=2", "--set", "am.batch_size=4",
         "--set", "am.warmup_steps=50", "--set", "am.average_last=2",
+        # chunked attention so the trained model is online-servable and
+        # the serving-manifest round trip below can build the pipeline
+        "--set", "am.attn_chunk=4", "--set", "am.attn_left_chunks=2",
         "--set", "lm.units=16", "--set", "lm.epochs=1",
         "--set", "decode.beam_size=2", "--set", "decode.max_len=24",
     ])
@@ -160,6 +163,30 @@ def test_e2e_branch(tmp_path):
         v0 = json.load(f)
     with open(os.path.join(exp, "am", "vocab.json")) as f:
         assert json.load(f) == v0
+    # stage 4 writes the serving manifest: frontend geometry as trained
+    # (with the --set overrides) + the exact global-CMVN stats baked into
+    # the train egs, making the model dir self-describing for srt-serve
+    with open(os.path.join(exp, "am", "serving.json")) as f:
+        manifest = json.load(f)
+    assert manifest["frontend"]["srate"] == 8000
+    assert manifest["frontend"]["nfilters"] == 20
+    assert manifest["cmvn_mode"] == "global"
+    assert manifest["cmvn"] == "cmvn.npz"
+    from speech_recognition_tools_tpu.io.egs import EgsConfig
+
+    with open(os.path.join(exp, "egs_train", "egs.config")) as f:
+        ecfg = EgsConfig.from_json(f.read())
+    blob = np.load(os.path.join(exp, "am", "cmvn.npz"))
+    np.testing.assert_allclose(blob["mean"], ecfg.cmvn_mean, rtol=1e-6)
+    np.testing.assert_allclose(blob["std"], ecfg.cmvn_std, rtol=1e-6)
+    # the trained corpus model is servable from its dir alone
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        OnlineASRPipeline,
+    )
+
+    pipe = OnlineASRPipeline.from_model_dir(os.path.join(exp, "am"))
+    assert pipe.fdlp_cfg.srate == 8000 and pipe.fdlp_cfg.nfilters == 20
+    np.testing.assert_allclose(pipe.cmvn_mean, blob["mean"])
 
 
 def _make_mc_corpus(root, sets=(("train", 6), ("dev", 2), ("test", 2)),

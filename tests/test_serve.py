@@ -131,3 +131,64 @@ def test_serve_two_concurrent_streams(tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_serving_manifest_autodiscovery(tmp_path):
+    """A model dir carrying serving.json (as run_corpus stage 4 writes)
+    serves with the trained frontend + CMVN and no manual flags, equal to
+    a by-hand pipeline given the same config; non-streamable manifests
+    (melspec frontend, per-utterance CMVN) fail loudly."""
+    from speech_recognition_tools_tpu.cli.serve import make_server
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        OnlineASRPipeline,
+        fdlp_config_from_frontend,
+        load_manifest_cmvn,
+    )
+
+    d, model, params, vocab = _make_model_dir(tmp_path)
+    mean = RS.randn(8).astype(np.float32) * 0.1
+    std = (1.0 + 0.2 * RS.rand(8)).astype(np.float32)
+    np.savez(os.path.join(d, "cmvn.npz"), mean=mean, std=std)
+    manifest = {
+        "frontend": {
+            "type": "fdlp", "srate": 8000, "nfilters": 8,
+            "fduration": 0.25, "coeff_num": 20, "order": 20,
+        },
+        "cmvn": "cmvn.npz",
+        "cmvn_mode": "global",
+    }
+    with open(os.path.join(d, "serving.json"), "w") as f:
+        json.dump(manifest, f)
+
+    # from_model_dir resolves frontend + CMVN from the manifest alone
+    pipe = OnlineASRPipeline.from_model_dir(d)
+    assert pipe.fdlp_cfg == FCFG
+    np.testing.assert_allclose(pipe.cmvn_mean, mean)
+    np.testing.assert_allclose(pipe.cmvn_std, std)
+
+    # the daemon picks the same config up with no flags at all, and the
+    # served result equals a by-hand pipeline with explicit cfg + CMVN
+    server, port = make_server(d, max_streams=2)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sig = _audio(5, n=7000)
+        _, final = _client(port, sig)
+        want = OnlineASRPipeline(model, params, fdlp_cfg=FCFG, vocab=vocab,
+                                 cmvn_mean=mean, cmvn_std=std)
+        want.push(sig)
+        assert final["tokens"] == want.finish()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    # explicit flags still win over the manifest
+    cfg2 = fdlp_config_from_frontend(manifest["frontend"])
+    assert cfg2 == FCFG
+
+    # loud failures: non-fdlp frontends have no streaming featgen ...
+    with pytest.raises(ValueError, match="cannot be served online"):
+        fdlp_config_from_frontend({"type": "melspec", "srate": 8000})
+    # ... and per-utterance CMVN has no incremental equivalent
+    with pytest.raises(ValueError, match="per-utterance"):
+        load_manifest_cmvn(d, {"cmvn": "cmvn.npz", "cmvn_mode": "per_utt"})
