@@ -592,22 +592,40 @@ def main():
             smodel, sparams, max_streams=n_streams, store_memory=False
         )
 
-        def drive():
+        def drive(lat=None):
             sids = [sb.open() for _ in range(n_streams)]
             for off in range(0, frames, 100):
+                t0 = time.time()
                 for i, sid in enumerate(sids):
                     sb.push(sid, featss[i, off : off + 100])
+                if lat is not None:
+                    lat.append(time.time() - t0)
             for sid in sids:
                 sb.finish(sid)
                 sb.release(sid)
 
         drive()  # compile + warm
+        lat = []  # per-chunk (1 s of audio x 8 streams) round latency
         t0 = time.time()
-        drive()
-        return time.time() - t0
+        drive(lat)
+        dt = time.time() - t0
+        lat_ms = np.sort(np.asarray(lat)) * 1000
+        return dt, {
+            "p50": round(float(lat_ms[len(lat_ms) // 2]), 1),
+            "p95": round(float(lat_ms[int(len(lat_ms) * 0.95)]), 1),
+            "max": round(float(lat_ms[-1]), 1),
+            "budget": 1000.0,
+        }
+
+    serve_lat = None
+
+    def run_serve_outer():
+        nonlocal serve_lat
+        dt, serve_lat = run_streaming_serve()
+        return dt
 
     dt_serve = guarded(
-        "online serving (8-stream StreamBatcher)", run_streaming_serve,
+        "online serving (8-stream StreamBatcher)", run_serve_outer,
         min_left=200.0, partial_key="s_serve_8x10s",
     )
 
@@ -655,6 +673,10 @@ def main():
                 "gev8ch_to_fdlp": xrt(dt_8ch, n8 / srate),
                 "online_serve_8stream_aggregate": xrt(dt_serve, 8 * 10.0),
             },
+            # wall latency to advance all 8 streams by 1 s of audio (one
+            # scheduling round over the batched chunked encoder); under
+            # budget=1000 ms means live serving keeps up with real time
+            "serve_chunk_latency_ms": serve_lat or "skipped",
         },
     }
     watchdog.cancel()
