@@ -100,6 +100,12 @@ def arch_init(model, cfg, rngs, feats, lengths, encode_fn=None):
     if arch in ("cnn", "vae_cnn", "rs_vae"):
         x = jnp.swapaxes(feats, 1, 2)[:, None]
         return model.init(rngs, x)
+    if arch == "vae_cnn_pool":
+        # the pooled VAE's Linear heads fix the patch geometry; one
+        # (B, 1, D, num_frames) window is enough for a shape template
+        W = int(cfg.get("num_frames") or 21)
+        x = jnp.swapaxes(feats, 1, 2)[:, None, :, :W]
+        return model.init(rngs, x)
     if arch == "cldnn":
         return model.init(rngs, jnp.swapaxes(feats, 1, 2)[:, None], lengths)
     return model.init(rngs, feats, lengths)

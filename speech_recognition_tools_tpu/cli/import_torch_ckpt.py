@@ -27,6 +27,11 @@ def get_parser():
     p.add_argument("--num_targets", type=int, default=None,
                    help="(--egs) class count override (default: max label "
                         "+ 1)")
+    p.add_argument("--input_hw",
+                   help="(pooled nnetVAECNN only) FEATURE_DIM,NUM_FRAMES "
+                        "the model was trained with — its Linear heads "
+                        "bake this geometry in but the .model dict does "
+                        "not record it (train_CNN_VAE.py:115-140)")
     return p
 
 
@@ -48,6 +53,10 @@ def main(argv=None):
     )
 
     sd, hyper = load_torch_checkpoint(args.src)
+    if args.input_hw:
+        hyper["input_hw"] = tuple(
+            int(v) for v in args.input_hw.split(",")
+        )
     family = detect_family(sd)
     path = import_state_dict(sd, hyper, args.dest, tag=args.tag, src=args.src)
     print(f"detected family: {family}")

@@ -27,6 +27,7 @@ ARCHS = {
     "multimod": "MultistreamRNN",
     "multitask_aear": "AEClassifierMultitaskAEAR",
     "vae_cnn": "VAECNNNopool",
+    "vae_cnn_pool": "VAECNN",
     "rs_vae": "VaeRsModulation",
     "modnet": "ModulationNet",
     "modnet_sigmoid": "ModulationSigmoidNet",
@@ -201,6 +202,14 @@ def build_model(args, feat_dim, num_classes):
     if args.arch == "vae_cnn":
         ch = max(2, args.hidden_dim // 16)
         return M.VAECNNNopool(
+            in_channels=_geom("cnn_in_channels", (1, ch)),
+            out_channels=_geom("cnn_out_channels", (ch, 2 * ch)),
+            kernel=_geom("cnn_kernel", (3, 3)),
+            bn_size=args.bn_dim,
+        )
+    if args.arch == "vae_cnn_pool":
+        ch = max(2, args.hidden_dim // 16)
+        return M.VAECNN(
             in_channels=_geom("cnn_in_channels", (1, ch)),
             out_channels=_geom("cnn_out_channels", (ch, 2 * ch)),
             kernel=_geom("cnn_kernel", (3, 3)),
@@ -431,6 +440,27 @@ def make_loss(args, model, encode_fn=None):
             wrong = (jnp.argmax(logits, -1) != lab) & valid
             fer = 100.0 * jnp.sum(wrong) / jnp.maximum(jnp.sum(valid), 1)
             return loss, {"fer": fer}
+        if args.arch == "vae_cnn_pool":
+            # pooled conv VAE trains on fixed frame-context patches (the
+            # reference reshapes spliced frames to (B*T, 1, D, W) windows,
+            # train_CNN_VAE.py:205-208); its loss is a plain per-element
+            # mean (vae_loss :34) — here restricted to valid patches
+            patches, _, valid = _extract_patches(
+                feats, None, lengths, args.patch_width
+            )
+            recon, (means, logvars) = model.apply(
+                params, patches, rngs=rngs
+            )
+            w4 = valid.astype(recon.dtype)[:, None, None, None]
+            ll = jnp.sum(
+                (-0.5 * (patches - recon) ** 2
+                 - 0.5 * jnp.log(2 * jnp.pi)) * w4
+            ) / jnp.maximum(jnp.sum(w4) * patches[0].size, 1.0)
+            w2 = valid.astype(means.dtype)[:, None]
+            kl = 0.5 * jnp.sum(
+                (1 - means**2 - jnp.exp(logvars) ** 2 + 2 * logvars) * w2
+            ) / jnp.maximum(jnp.sum(w2) * means.shape[1], 1.0)
+            return -(ll + kl), {}
         if args.arch in ("vae_cnn", "rs_vae"):
             x = jnp.swapaxes(feats, 1, 2)[:, None]  # (B, 1, D, T)
             recon, latent = model.apply(params, x, rngs=rngs)
@@ -575,6 +605,9 @@ def main(argv=None):
         params = model.init(init_rngs, streams, l0)
     elif args.arch in ("vae_cnn", "rs_vae"):
         params = model.init(init_rngs, jnp.swapaxes(f0, 1, 2)[:, None])
+    elif args.arch == "vae_cnn_pool":
+        p0, _, _ = _extract_patches(f0, None, l0, args.patch_width)
+        params = model.init(init_rngs, p0[:2])
     elif args.arch in ("modnet", "modnet_sigmoid"):
         p0, _, _ = _extract_patches(
             f0, jnp.asarray(first.get("labels")), l0, args.patch_width

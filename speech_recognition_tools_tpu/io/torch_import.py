@@ -48,6 +48,7 @@ one), so one importer covers every family below:
   nnetCNNClassifier            -> CNNFrameClassifier      (arch=cnn)
   nnetCLDNN                    -> CLDNN                   (arch=cldnn)
   nnetVAECNNNopool             -> VAECNNNopool            (arch=vae_cnn)
+  nnetVAECNN (pooled)          -> VAECNN                  (arch=vae_cnn_pool)
   nnetVaeRsModulation          -> VaeRsModulation         (arch=rs_vae)
   modulationNet                -> ModulationNet           (arch=modnet)
   modulationSigmoidNet         -> ModulationSigmoidNet    (arch=modnet_sigmoid)
@@ -61,10 +62,12 @@ reference's .view(B, C*H, W) flattening is reconciled with our NHWC
 (H, C) flattening by permuting the 1x1-head rows (_chw_perm). torch LSTM
 gate blocks (i|f|g|o) map onto flax (Optimized)LSTMCell ii/if/ig/io +
 hi/hf/hg/ho with biases folded onto the hidden denses. The pooled
-nnetVAECNN is NOT importable (its MaxPool2d unpooling indices have no
-exact flax equivalent). With the modnets included, every `train_am`
---arch except `apc` (an external-clone pretrainer with no reference
-checkpoint format) now has an importer.
+nnetVAECNN's unpool indices are runtime values (argmax pooling on both
+sides), so it imports as pure weight mapping — but its 2-D Linear heads
+bake in the training geometry the .model dict doesn't store, so it needs
+--input_hw FEATURE_DIM,NUM_FRAMES. With the modnets included, every
+`train_am` --arch except `apc` (an external-clone pretrainer with no
+reference checkpoint format) now has an importer.
 """
 
 from __future__ import annotations
@@ -594,15 +597,81 @@ def _convert_cldnn(sd: dict, hyper: dict) -> tuple[dict, dict]:
     return params, cfg
 
 
+def _convert_vae_cnn_pooled(sd: dict, hyper: dict) -> tuple[dict, dict]:
+    """nnetVAECNN (pooled, nnet_models_cnn.py:286) -> VAECNN.
+
+    The unpool indices are runtime values recomputed from each input by
+    argmax pooling (both sides break ties toward the first window slot),
+    not checkpoint state, so the import is pure weight mapping. The 2-D
+    Linear heads flatten torch's (C, H, W) bottleneck; the reference
+    .model dict stores no geometry, so the bottleneck (h, w) split must
+    come from hyper["input_hw"] = (feature_dim, num_frames) — the exact
+    arguments train_CNN_VAE.py:140 constructed the model with.
+    """
+    params: dict = {}
+    conv_params, ins, outs, kern = _conv_stack(
+        sd, "vae_encoder.", "enc_conv_"
+    )
+    params.update(conv_params)
+    C = outs[-1]
+    means = dense_from_linear(sd, "vae_encoder.means.")
+    logvars = dense_from_linear(sd, "vae_encoder.vars.")
+    in_features = means["kernel"].shape[0]
+    hw = hyper.get("input_hw")
+    if hw is None:
+        raise UnsupportedTorchModel(
+            "pooled nnetVAECNN needs its training geometry to unflatten "
+            "the Linear heads: pass --input_hw FEATURE_DIM,NUM_FRAMES "
+            "(the reference trainer's config.feature_dim and "
+            "left+right+1 context frames, train_CNN_VAE.py:115-140)"
+        )
+    H0, W0 = int(hw[0]), int(hw[1])
+    h, w = H0, W0
+    for _ in outs:
+        # torch's int(floor((x-2)/2+1)) per 2x2/stride-2 pool == x//2
+        h, w = h // 2, w // 2
+    if h * w * C != in_features:
+        raise UnsupportedTorchModel(
+            f"--input_hw {H0},{W0} implies a {h}x{w}x{C} bottleneck "
+            f"({h * w * C} features) but the checkpoint's heads expect "
+            f"{in_features}"
+        )
+    perm = _chw3_perm(C, h, w)
+    means["kernel"] = means["kernel"][perm]
+    logvars["kernel"] = logvars["kernel"][perm]
+    params["means"] = means
+    params["vars"] = logvars
+    expand = dense_from_linear(sd, "vae_decoder.expand_linear.")
+    expand["kernel"] = expand["kernel"][:, perm]
+    expand["bias"] = expand["bias"][perm]
+    params["expand"] = expand
+    n_dec = _count_layers(sd, "vae_decoder.", r"cnn_layers\.(\d+)\.weight")
+    for i in range(n_dec):
+        params[f"dec_conv_{i}"] = conv_transpose2d_from_torch(
+            sd, f"vae_decoder.cnn_layers.{i}."
+        )
+    cfg = {
+        "arch": "vae_cnn_pool",
+        "model_class": "VAECNN",
+        "cnn_in_channels": ins,
+        "cnn_out_channels": outs,
+        "cnn_kernel": list(kern),
+        "bn_dim": means["bias"].shape[0],
+        "hidden_dim": outs[-1] * 16,  # cosmetic; geometry keys win
+        "num_classes": None,
+        "feature_dim": H0,
+        "num_frames": W0,
+        "dropout": float(hyper.get("dropout", 0.0)),
+    }
+    return params, cfg
+
+
 def _convert_vae_cnn(sd: dict, hyper: dict, rs: bool) -> tuple[dict, dict]:
     """nnetVAECNNNopool / nnetVaeRsModulation -> VAECNNNopool /
-    VaeRsModulation. The pooled nnetVAECNN (2-D Linear heads) is not
-    supported — its unpooling-index interop has no exact equivalent."""
+    VaeRsModulation; the pooled nnetVAECNN (2-D Linear heads) routes to
+    _convert_vae_cnn_pooled."""
     if _np(sd["vae_encoder.means.weight"]).ndim == 2:
-        raise UnsupportedTorchModel(
-            "pooled nnetVAECNN checkpoints are not supported (only the "
-            "nopool and rate-scale variants)"
-        )
+        return _convert_vae_cnn_pooled(sd, hyper)
     params: dict = {}
     ins, outs = [], []
     kern = None

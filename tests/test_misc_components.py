@@ -140,6 +140,8 @@ def test_train_am_archs(tmp_path, arch, extra):
     pytest.param("vae_cnn", ["--bn_dim", "4", "--loss", "mse"],
                  marks=pytest.mark.slow),
     ("rs_vae", ["--bn_dim", "4", "--loss", "mse"]),
+    ("vae_cnn_pool", ["--bn_dim", "4", "--loss", "mse",
+                      "--patch_width", "8"]),
 ])
 def test_train_am_conv_vae_archs(tmp_path, arch, extra):
     from speech_recognition_tools_tpu.cli import train_am

@@ -522,6 +522,60 @@ def test_conv_vae_nopool_parity(rs):
     _assert_close(recon, ref_recon, tol=2e-4)
 
 
+def test_conv_vae_pooled_parity():
+    """The pooled nnetVAECNN imports as pure weight mapping — the unpool
+    indices are runtime argmax values on both sides — but needs the
+    training geometry (--input_hw) to unflatten its Linear heads."""
+    import argparse
+
+    from speech_recognition_tools_tpu.cli.train_am import build_model
+    from speech_recognition_tools_tpu.io.torch_import import (
+        UnsupportedTorchModel,
+    )
+    from speech_recognition_tools_tpu.models.vae import sample_latent
+
+    H, W = 12, 16
+    rng = np.random.default_rng(29)
+    x = rng.standard_normal((B, 1, H, W)).astype(np.float32)
+    tm = refm_cnn.nnetVAECNN(H, W, (1, 3), (3, 5), (3, 3), BN,
+                             use_gpu=False)
+    tm.eval()
+    with torch.no_grad():
+        means_t, vars_t, indices_t, sizes_t = tm.vae_encoder(
+            torch.from_numpy(x)
+        )
+
+    # geometry is required (the .model dict doesn't store it) and the
+    # claimed geometry is validated against the heads' in_features
+    with pytest.raises(UnsupportedTorchModel, match="input_hw"):
+        convert_state_dict(tm.state_dict(), {})
+    with pytest.raises(UnsupportedTorchModel, match="bottleneck"):
+        convert_state_dict(tm.state_dict(), {"input_hw": (H, W + 4)})
+
+    variables, cfg = convert_state_dict(
+        tm.state_dict(), {"input_hw": (H, W)}
+    )
+    assert cfg["arch"] == "vae_cnn_pool"
+    assert cfg["model_class"] == "VAECNN"
+    assert cfg["feature_dim"] == H and cfg["num_frames"] == W
+
+    model = build_model(argparse.Namespace(**cfg), cfg["feature_dim"], None)
+    key = jax.random.key(6)
+    recon, (means, logvars) = model.apply(variables, jnp.asarray(x), rng=key)
+    _assert_close(means, means_t.numpy(), tol=1e-4)
+    _assert_close(logvars, vars_t.numpy(), tol=1e-4)
+    # decoder parity on the SAME latent sample our model drew, through the
+    # reference's own unpool-index plumbing
+    z = np.asarray(sample_latent(key, jnp.asarray(means),
+                                 jnp.asarray(logvars)))
+    with torch.no_grad():
+        ref_recon = tm.vae_decoder(
+            torch.from_numpy(z.copy()), list(indices_t)[::-1],
+            list(sizes_t)[::-1]
+        ).numpy()
+    _assert_close(recon, ref_recon, tol=2e-4)
+
+
 def test_modnet_parity_deterministic_pieces(tmp_path):
     """modulationNet's gumbel sampler hardcodes .cuda() (nnet_models.py
     :870), so the reference forward cannot run on CPU; verify the
