@@ -610,9 +610,14 @@ def main():
         drive(lat)
         dt = time.time() - t0
         lat_ms = np.sort(np.asarray(lat)) * 1000
+        n = len(lat_ms)
+
+        def pct(q):  # nearest-rank percentile
+            return round(float(lat_ms[min(n - 1, max(0, -(-q * n // 100) - 1))]), 1)
+
         return dt, {
-            "p50": round(float(lat_ms[len(lat_ms) // 2]), 1),
-            "p95": round(float(lat_ms[int(len(lat_ms) * 0.95)]), 1),
+            "p50": pct(50),
+            "p90": pct(90),
             "max": round(float(lat_ms[-1]), 1),
             "budget": 1000.0,
         }

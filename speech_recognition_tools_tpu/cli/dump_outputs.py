@@ -102,8 +102,10 @@ def arch_init(model, cfg, rngs, feats, lengths, encode_fn=None):
         return model.init(rngs, x)
     if arch == "vae_cnn_pool":
         # the pooled VAE's Linear heads fix the patch geometry; one
-        # (B, 1, D, num_frames) window is enough for a shape template
-        W = int(cfg.get("num_frames") or 21)
+        # (B, 1, D, W) window is enough for a shape template. Imported
+        # checkpoints record num_frames; natively trained ones record
+        # the train_am --patch_width flag.
+        W = int(cfg.get("num_frames") or cfg.get("patch_width") or 21)
         x = jnp.swapaxes(feats, 1, 2)[:, None, :, :W]
         return model.init(rngs, x)
     if arch == "cldnn":
@@ -156,6 +158,32 @@ def arch_forward(model, params, cfg, feats, lengths, rng=None, encode_fn=None):
             params, feats, lengths, rngs=rngs or {"sample": jax.random.key(0)}
         )
         return out[0], []
+    if arch == "vae_cnn_pool":
+        # per-frame bottleneck means: window the utterance into the
+        # trained context patches (center-aligned), encode each, and
+        # edge-replicate back to T rows so downstream per-frame
+        # consumers see one embedding per input frame
+        W = int(cfg.get("num_frames") or cfg.get("patch_width") or 21)
+        B, T, D = feats.shape
+        if T < W:
+            raise ValueError(
+                f"utterance batch has {T} frames but the pooled VAE was "
+                f"trained on {W}-frame patches"
+            )
+        half = W // 2
+        starts = jnp.arange(T - W + 1)
+        idx = starts[:, None] + jnp.arange(W)[None, :]
+        patches = jnp.swapaxes(feats[:, idx], 2, 3)  # (B, P, D, W)
+        P = patches.shape[1]
+        patches = patches.reshape(B * P, 1, D, W)
+        _, (means, _) = model.apply(
+            params, patches, rngs=rngs or {"sample": jax.random.key(0)}
+        )
+        means = means.reshape(B, P, -1)
+        means = jnp.pad(
+            means, ((0, 0), (half, T - P - half), (0, 0)), mode="edge"
+        )
+        return means, []
     out = model.apply(params, feats, lengths, rngs=rngs)
     if isinstance(out, tuple):
         return out[0], []

@@ -54,9 +54,16 @@ def main(argv=None):
 
     sd, hyper = load_torch_checkpoint(args.src)
     if args.input_hw:
-        hyper["input_hw"] = tuple(
-            int(v) for v in args.input_hw.split(",")
-        )
+        try:
+            hw = tuple(int(v) for v in args.input_hw.split(","))
+        except ValueError:
+            hw = ()
+        if len(hw) != 2:
+            get_parser().error(
+                f"--input_hw expects exactly FEATURE_DIM,NUM_FRAMES "
+                f"(two comma-separated integers), got {args.input_hw!r}"
+            )
+        hyper["input_hw"] = hw
     family = detect_family(sd)
     path = import_state_dict(sd, hyper, args.dest, tag=args.tag, src=args.src)
     print(f"detected family: {family}")

@@ -171,34 +171,87 @@ class ASRServer(socketserver.ThreadingTCPServer):
         self.service = service
 
 
+def resolve_frontend(model_dir, overrides=None, ckpt="final_avg"):
+    """Resolve the serving FdlpConfig for a model dir — the ONE place the
+    manifest / flag / fallback precedence lives (main() and make_server
+    both route through it).
+
+    Precedence: `serving.json` frontend geometry, overridden field-by-field
+    by explicit `overrides`; with no manifest, production FDLP fallbacks
+    (e2e/wsj/run_fdlp_e1.sh geometry) + overrides, with nfilters defaulting
+    to the checkpoint config's feature_dim. A non-streamable manifest
+    (melspec/mfcc frontend) raises — unless the overrides replace the
+    whole frontend (nfilters given), in which case the manifest is
+    ignored with a warning so explicit flags really do win.
+    """
+    import dataclasses
+    import json as _json
+    import os
+    import sys as _sys
+
+    from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        fdlp_config_from_frontend,
+        read_serving_manifest,
+    )
+
+    overrides = {
+        k: v for k, v in (overrides or {}).items() if v is not None
+    }
+    manifest = read_serving_manifest(model_dir)
+    if manifest is not None:
+        try:
+            base = fdlp_config_from_frontend(manifest.get("frontend", {}))
+            return dataclasses.replace(base, **overrides)
+        except ValueError:
+            if "nfilters" not in overrides:
+                raise
+            print(
+                "WARNING: serving.json frontend is not streamable; "
+                "using the explicit frontend flags instead",
+                file=_sys.stderr,
+            )
+    fallback = dict(srate=16000, fduration=1.5, order=150, coeff_num=100)
+    if "nfilters" not in overrides:
+        nf = None
+        cfg_path = os.path.join(model_dir, ckpt, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                nf = _json.load(f).get("feature_dim")
+        if nf is None:
+            raise ValueError(
+                "checkpoint config carries no feature_dim; pass "
+                "--nfilters matching the model's input dimension"
+            )
+        overrides["nfilters"] = int(nf)
+    return FdlpConfig(**{**fallback, **overrides})
+
+
 def make_server(model_dir, ckpt="final_avg", host="127.0.0.1", port=0,
                 max_streams=8, fdlp_cfg=None, cmvn=None):
     """Build (server, bound_port); serve_forever() on the caller's thread
     (tests run it on a daemon thread). cmvn: optional (mean, std).
 
     When fdlp_cfg / cmvn are not given, the model dir's `serving.json`
-    manifest (written by recipes/run_corpus.py stage 4) supplies them,
-    so `make_server(exp_dir + "/am")` serves a corpus-trained model with
-    the exact frontend + CMVN it was trained on.
+    manifest (written by recipes/run_corpus.py stage 4) supplies them via
+    resolve_frontend, so `make_server(exp_dir + "/am")` serves a
+    corpus-trained model with the exact frontend + CMVN it was trained on.
     """
     from speech_recognition_tools_tpu.cli.recog_e2e import _load
-    from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
     from speech_recognition_tools_tpu.infer.streaming_asr import (
-        fdlp_config_from_frontend,
         load_manifest_cmvn,
         read_serving_manifest,
     )
 
     model, params, cfg, vocab = _load(model_dir, ckpt)
-    manifest = read_serving_manifest(model_dir)
-    if manifest is not None:
-        if fdlp_cfg is None:
-            fdlp_cfg = fdlp_config_from_frontend(manifest.get("frontend", {}))
-        if cmvn is None:
+    if fdlp_cfg is None:
+        fdlp_cfg = resolve_frontend(model_dir, ckpt=ckpt)
+    if cmvn is None:
+        manifest = read_serving_manifest(model_dir)
+        if manifest is not None:
             cmvn = load_manifest_cmvn(model_dir, manifest)
     service = _ASRService(
-        model, params, vocab, fdlp_cfg or FdlpConfig(), max_streams,
-        cmvn=cmvn,
+        model, params, vocab, fdlp_cfg, max_streams, cmvn=cmvn,
     )
     server = ASRServer((host, port), service)
     return server, server.server_address[1]
@@ -206,41 +259,15 @@ def make_server(model_dir, ckpt="final_avg", host="127.0.0.1", port=0,
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
-    import dataclasses
-    import os
-
-    from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
-    from speech_recognition_tools_tpu.infer.streaming_asr import (
-        fdlp_config_from_frontend,
-        read_serving_manifest,
-    )
-
-    manifest = read_serving_manifest(args.model_dir)
     overrides = {
         k: getattr(args, k)
         for k in ("srate", "nfilters", "fduration", "order", "coeff_num")
-        if getattr(args, k) is not None
     }
-    if manifest is not None:
-        # manifest supplies the trained geometry; explicit flags win
-        base = fdlp_config_from_frontend(manifest.get("frontend", {}))
-        fdlp_cfg = dataclasses.replace(base, **overrides)
-    else:
-        fallback = dict(srate=16000, fduration=1.5, order=150,
-                        coeff_num=100)
-        if "nfilters" not in overrides:
-            import json as _json
-
-            with open(os.path.join(args.model_dir, args.ckpt,
-                                   "config.json")) as f:
-                nf = _json.load(f).get("feature_dim")
-            if nf is None:
-                raise SystemExit(
-                    "checkpoint config carries no feature_dim; pass "
-                    "--nfilters matching the model's input dimension"
-                )
-            overrides["nfilters"] = int(nf)
-        fdlp_cfg = FdlpConfig(**{**fallback, **overrides})
+    try:
+        fdlp_cfg = resolve_frontend(args.model_dir, overrides,
+                                    ckpt=args.ckpt)
+    except ValueError as e:
+        raise SystemExit(str(e))
     cmvn = None
     if args.cmvn:
         import numpy as np

@@ -158,6 +158,18 @@ def test_train_am_conv_vae_archs(tmp_path, arch, extra):
     )
     import os
     assert os.path.exists(os.path.join(out, "final", "state.msgpack"))
+    if arch == "vae_cnn_pool":
+        # the checkpoint is consumable downstream: dump per-frame
+        # bottleneck means through the generic CLI (template restore
+        # must honour the trained --patch_width, not a default)
+        from speech_recognition_tools_tpu.cli import dump_outputs
+        from speech_recognition_tools_tpu.io import read_mat_scp
+
+        dumped = str(tmp_path / "pool_embeds")
+        dump_outputs.main([out, egs, dumped])
+        got = dict(read_mat_scp(dumped + ".scp"))
+        assert set(got) == set(feats)
+        assert all(v.shape == (24, 4) for v in got.values())
 
 
 @pytest.mark.slow

@@ -192,3 +192,27 @@ def test_serving_manifest_autodiscovery(tmp_path):
     # ... and per-utterance CMVN has no incremental equivalent
     with pytest.raises(ValueError, match="per-utterance"):
         load_manifest_cmvn(d, {"cmvn": "cmvn.npz", "cmvn_mode": "per_utt"})
+
+
+def test_resolve_frontend_precedence(tmp_path):
+    """resolve_frontend is the single precedence point: manifest fields
+    overridden per-flag; a non-streamable manifest is fatal UNLESS the
+    flags replace the whole frontend (nfilters given); no manifest falls
+    back to production geometry + checkpoint feature_dim."""
+    from speech_recognition_tools_tpu.cli.serve import resolve_frontend
+
+    d = str(tmp_path / "m")
+    os.makedirs(os.path.join(d, "final_avg"))
+    with open(os.path.join(d, "serving.json"), "w") as f:
+        json.dump({"frontend": {"type": "melspec", "srate": 8000}}, f)
+    with pytest.raises(ValueError, match="cannot be served online"):
+        resolve_frontend(d)
+    cfg = resolve_frontend(d, {"nfilters": 8, "srate": 8000,
+                               "fduration": None})
+    assert cfg.nfilters == 8 and cfg.srate == 8000 and cfg.order == 150
+
+    os.remove(os.path.join(d, "serving.json"))
+    with open(os.path.join(d, "final_avg", "config.json"), "w") as f:
+        json.dump({"feature_dim": 40}, f)
+    cfg = resolve_frontend(d, {"fduration": 1.0})
+    assert cfg.nfilters == 40 and cfg.fduration == 1.0 and cfg.srate == 16000
