@@ -10,10 +10,21 @@ The reference has no serving story at all (decode is offline shell
 recipes, SURVEY.md §3); this is the TPU-native deployment edge.
 
 Wire protocol (newline-delimited JSON over TCP, one connection = one
-utterance stream):
+audio stream):
+  client -> {"config": {"endpoint_blanks": N}}   optional, first message:
+                                         server-side endpointing — after
+                                         N consecutive blank subsampled
+                                         frames (x40 ms at 100 Hz) the
+                                         current utterance is finalized
+                                         mid-stream and recognition
+                                         restarts (continuous mode)
   client -> {"pcm": [float, ...]}        raw samples (any chunking)
   client -> {"eof": true}                flush and finish
-  server -> {"partial": "<text so far>"} after every client chunk
+  server -> {"ok": true}                 config acknowledgement
+  server -> {"partial": "<text so far>"} after every client chunk; when
+                                         an endpoint fired it also
+                                         carries "endpoint": {"final":
+                                         "<text>", "tokens": [...]}
   server -> {"final": "<text>", "tokens": [...], "frames": N}
   server -> {"error": "<message>"}       on a malformed message; the
                                          connection then closes (the
@@ -93,14 +104,24 @@ class _ASRService:
             feats = (feats - mean[None, :]) / std[None, :]
         return feats
 
-    def push_audio(self, sid, featgen, samples):
+    def push_audio(self, sid, featgen, samples, endpoint_blanks=0):
+        """Returns (partial_hyp, endpoint_hyp_or_None). With endpointing
+        enabled, a sufficient trailing blank run finalizes the current
+        utterance in place (StreamBatcher.restart) and recognition of
+        the SAME connection continues as a fresh utterance."""
         feats = self._feats(featgen, samples)
+        endpoint = None
         with self.lock:
             if feats.shape[0]:
                 hyp = self.batcher.push(sid, feats)
             else:
                 hyp = list(self.batcher.state(sid).hyp)
-        return hyp
+            st = self.batcher.state(sid)
+            if (endpoint_blanks > 0 and st.hyp
+                    and st.blank_run >= endpoint_blanks):
+                endpoint = self.batcher.restart(sid)
+                hyp = []
+        return hyp, endpoint
 
     def finish(self, sid, featgen):
         feats = self._feats(featgen)
@@ -130,10 +151,17 @@ class _Handler(socketserver.StreamRequestHandler):
         svc: _ASRService = self.server.service  # type: ignore[attr-defined]
         sid, featgen = svc.open()
         finished = False
+        endpoint_blanks = 0
         try:
             for raw in self.rfile:
                 try:
                     msg = json.loads(raw)
+                    if "config" in msg:
+                        endpoint_blanks = int(
+                            msg["config"].get("endpoint_blanks", 0)
+                        )
+                        self._send({"ok": True})
+                        continue
                     if msg.get("eof"):
                         hyp, frames = svc.finish(sid, featgen)
                         self._send({"final": svc.text(hyp), "tokens": hyp,
@@ -145,8 +173,14 @@ class _Handler(socketserver.StreamRequestHandler):
                     pcm = np.asarray(msg["pcm"], np.float32)
                     if pcm.ndim != 1:
                         raise ValueError(f"pcm must be 1-D, got {pcm.shape}")
-                    hyp = svc.push_audio(sid, featgen, pcm)
-                    self._send({"partial": svc.text(hyp)})
+                    hyp, endpoint = svc.push_audio(
+                        sid, featgen, pcm, endpoint_blanks
+                    )
+                    resp = {"partial": svc.text(hyp)}
+                    if endpoint is not None:
+                        resp["endpoint"] = {"final": svc.text(endpoint),
+                                            "tokens": endpoint}
+                    self._send(resp)
                 except (ValueError, KeyError, TypeError) as e:
                     # protocol contract: one response per message — report
                     # the bad frame, then close (stream integrity unknown)

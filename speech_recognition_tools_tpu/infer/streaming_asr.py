@@ -49,6 +49,17 @@ def _total_subsampled(n_frames: int) -> int:
     return ((n_frames - 1) // 2 - 1) // 2 if n_frames >= 7 else 0
 
 
+def _blank_run_update(blank_id: int, run: int, ctc) -> int:
+    """Length of the trailing consecutive run of blank-argmax frames
+    after appending this chunk's CTC rows — the endpointing signal
+    (subsampled frames; x4 feature frames, x40 ms at a 100 Hz frontend)."""
+    ids = np.argmax(np.asarray(ctc), axis=-1)
+    nonblank = np.nonzero(ids != blank_id)[0]
+    if len(nonblank) == 0:
+        return run + len(ids)
+    return len(ids) - int(nonblank[-1]) - 1
+
+
 def _greedy_extend(blank_id: int, hyp: list, last_id: int,
                    ctc_rows: np.ndarray) -> int:
     """Incremental greedy-CTC collapse: append new non-blank,
@@ -299,6 +310,7 @@ class StreamingRecognizer:
         self._hyp: list[int] = []
         self._last_id = self.cfg.blank_id
         self._finished = False
+        self.blank_run = 0  # trailing blank-argmax frames (endpointing)
 
     @property
     def chunk(self):
@@ -337,6 +349,9 @@ class StreamingRecognizer:
         self._pos += n_valid
         self._last_id = _greedy_extend(
             self.cfg.blank_id, self._hyp, self._last_id, ctc
+        )
+        self.blank_run = _blank_run_update(
+            self.cfg.blank_id, self.blank_run, ctc
         )
 
     def push(self, frames) -> list[int]:
@@ -442,6 +457,7 @@ class _StreamState:
         self.mem: list[np.ndarray] = []
         self.ctc: list[np.ndarray] = []
         self.finished = False
+        self.blank_run = 0  # trailing blank-argmax frames (endpointing)
 
 
 class StreamBatcher:
@@ -542,6 +558,9 @@ class StreamBatcher:
             st.last_id = _greedy_extend(
                 self.cfg.blank_id, st.hyp, st.last_id, row_ctc
             )
+            st.blank_run = _blank_run_update(
+                self.cfg.blank_id, st.blank_run, row_ctc
+            )
             # trim consumed frames (bounded buffers, as in the
             # single-stream recognizer)
             take = min(st.n_consumed - st.buf_start, st.buf.shape[0])
@@ -606,6 +625,25 @@ class StreamBatcher:
         st.caches = None  # device arrays freed; results stay host-side
         self._finished[sid] = self._streams.pop(sid)
         return list(st.hyp)
+
+    def restart(self, sid: int) -> list[int]:
+        """Finalize stream `sid`'s current utterance in place and reset
+        its row for continued audio (endpointing): flushes the buffered
+        tail exactly like finish(), returns the utterance's tokens, and
+        reinitializes caches/buffers so subsequent push() calls start a
+        fresh utterance on the same stream id. Called at a detected
+        endpoint (st.blank_run >= threshold), so the handful of raw
+        frames below one subsampling step that a flush cannot consume
+        are trailing silence and are safely dropped."""
+        st = self._streams[sid]
+        self.drain()
+        total_sub = _total_subsampled(st.n_buf)
+        while total_sub - st.pos > 0:
+            n = min(total_sub - st.pos, self.chunk)
+            self._run_round([(sid, n)])
+        hyp = list(st.hyp)
+        self._streams[sid] = _StreamState(self.cfg, self._init_caches(1))
+        return hyp
 
     def state(self, sid: int) -> _StreamState:
         return self._streams.get(sid) or self._finished[sid]
@@ -725,7 +763,8 @@ class OnlineASRPipeline:
                    cmvn_mean=mean, cmvn_std=std, block_frames=block_frames)
 
     def __init__(self, model, params, fdlp_cfg=None, vocab=None,
-                 cmvn_mean=None, cmvn_std=None, block_frames: int = 8):
+                 cmvn_mean=None, cmvn_std=None, block_frames: int = 8,
+                 endpoint_blanks: int = 0):
         from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
         from speech_recognition_tools_tpu.dsp.streaming import StreamingFdlp
 
@@ -741,11 +780,34 @@ class OnlineASRPipeline:
         self.cmvn_std = (
             np.asarray(cmvn_std, np.float32) if cmvn_std is not None else None
         )
+        # endpointing: finalize the current utterance once the trailing
+        # blank run reaches this many subsampled frames (x4 feature
+        # frames; 0 = off). Segments collect in self.segments; the
+        # featgen keeps running across the boundary, only the recognizer
+        # restarts, so continuous audio yields one final per utterance.
+        self.endpoint_blanks = int(endpoint_blanks)
         self.reset()
 
     def reset(self):
         self.featgen = self._mk_featgen()
         self.recognizer.reset()
+        self.segments: list[list[int]] = []
+        self.frames_fed = 0  # feature frames fed to the CURRENT segment
+
+    def _maybe_endpoint(self):
+        """Close the current utterance at a detected endpoint: flush the
+        recognizer (trailing frames are blank by construction), record
+        the segment, and restart the recognizer on the running featgen."""
+        if (
+            self.endpoint_blanks > 0
+            and self.recognizer.blank_run >= self.endpoint_blanks
+            and self.recognizer._hyp
+        ):
+            self.segments.append(self.recognizer.finish())
+            self.recognizer.reset()
+            self.frames_fed = 0
+            return True
+        return False
 
     def _norm(self, feats):
         if self.cmvn_mean is not None:
@@ -755,20 +817,34 @@ class OnlineASRPipeline:
         return feats
 
     def push(self, samples) -> list[int]:
-        """Feed raw audio samples; returns the current partial tokens."""
+        """Feed raw audio samples; returns the current partial tokens
+        (of the current utterance when endpointing is on — finished
+        segments accumulate in self.segments)."""
         feats = self.featgen.process(samples)
         if feats.shape[0]:
-            return self.recognizer.push(self._norm(feats))
-        return self.recognizer.push(np.zeros((0, feats.shape[1]), np.float32))
+            self.frames_fed += feats.shape[0]
+            hyp = self.recognizer.push(self._norm(feats))
+        else:
+            hyp = self.recognizer.push(
+                np.zeros((0, feats.shape[1]), np.float32)
+            )
+        if self._maybe_endpoint():
+            return []
+        return hyp
 
     def finish(self) -> list[int]:
-        """Flush featgen + encoder; returns the final greedy tokens. The
-        full streamed encoder output is on `self.recognizer` for a final
-        joint/beam pass."""
+        """Flush featgen + encoder; returns the final utterance's greedy
+        tokens (with endpointing on, the last segment — earlier segments
+        are in self.segments). The full streamed encoder output of that
+        utterance is on `self.recognizer` for a final joint/beam pass."""
         feats = self.featgen.finish()
         if feats.shape[0]:
+            self.frames_fed += feats.shape[0]
             self.recognizer.push(self._norm(feats))
-        return self.recognizer.finish()
+        hyp = self.recognizer.finish()
+        if self.endpoint_blanks > 0 and hyp:
+            self.segments.append(hyp)
+        return hyp
 
     def text(self) -> str:
         return self.recognizer.text()

@@ -194,6 +194,74 @@ def test_serving_manifest_autodiscovery(tmp_path):
         load_manifest_cmvn(d, {"cmvn": "cmvn.npz", "cmvn_mode": "per_utt"})
 
 
+def test_serve_endpointing_matches_pipeline(tmp_path):
+    """Continuous mode: with {"config": {"endpoint_blanks": R}} the
+    server finalizes utterances mid-stream at blank runs and restarts
+    recognition on the same connection — segment-for-segment equal to
+    OnlineASRPipeline with the same endpointing setting."""
+    from speech_recognition_tools_tpu.cli.serve import make_server
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        OnlineASRPipeline,
+    )
+
+    d, model, params, vocab = _make_model_dir(tmp_path)
+    # random-init models don't map silence to blank, so the endpoint here
+    # fires wherever this fixture's CTC happens to run blank — the test
+    # pins serve == pipeline segmentation, not acoustics (the exact
+    # segmentation semantics are pinned at the feature level in
+    # tests/test_streaming_asr.py::test_endpointing_segments_exactly)
+    sig = np.concatenate([
+        _audio(5), np.zeros(6000, np.float32), _audio(2, n=7000),
+    ])
+
+    # probe the largest threshold that splits this audio into >= 2
+    # utterances on this fixture (deterministic: fixed seeds throughout)
+    R, want_segments = None, None
+    for cand in (8, 6, 5, 4, 3, 2):
+        pipe = OnlineASRPipeline(model, params, fdlp_cfg=FCFG, vocab=vocab,
+                                 endpoint_blanks=cand)
+        for off in range(0, len(sig), 2000):
+            pipe.push(sig[off : off + 2000])
+        pipe.finish()
+        if len(pipe.segments) >= 2:
+            R, want_segments = cand, list(pipe.segments)
+            break
+    assert R is not None, "fixture no longer endpoints; adjust seeds"
+
+    server, port = make_server(d, max_streams=2, fdlp_cfg=FCFG)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=120)
+        f = s.makefile("rwb")
+        f.write((json.dumps(
+            {"config": {"endpoint_blanks": R}}
+        ) + "\n").encode())
+        f.flush()
+        assert json.loads(f.readline())["ok"]
+        endpoints = []
+        for off in range(0, len(sig), 2000):
+            f.write((json.dumps(
+                {"pcm": [float(v) for v in sig[off : off + 2000]]}
+            ) + "\n").encode())
+            f.flush()
+            resp = json.loads(f.readline())
+            if "endpoint" in resp:
+                endpoints.append(resp["endpoint"]["tokens"])
+                # the running partial resets with the new utterance
+                assert resp["partial"] == ""
+        f.write((json.dumps({"eof": True}) + "\n").encode())
+        f.flush()
+        final = json.loads(f.readline())
+        s.close()
+        got = endpoints + ([final["tokens"]] if final["tokens"] else [])
+        assert got == want_segments
+        assert len(endpoints) >= 1  # at least one mid-stream final
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_resolve_frontend_precedence(tmp_path):
     """resolve_frontend is the single precedence point: manifest fields
     overridden per-flag; a non-streamable manifest is fatal UNLESS the

@@ -232,6 +232,67 @@ def test_online_pipeline_audio_to_tokens():
     )[0]
 
 
+def test_endpointing_segments_exactly():
+    """Server-side endpointing: when the trailing blank run reaches the
+    threshold, StreamBatcher.restart finalizes the utterance in place
+    and continues fresh — and each segment equals a fresh recognizer run
+    over exactly the frames that segment consumed (no approximation at
+    the boundary)."""
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        StreamBatcher,
+        _blank_run_update,
+    )
+
+    # pure-function sanity
+    assert _blank_run_update(0, 2, np.eye(3)[[0, 0]]) == 4      # all blank
+    assert _blank_run_update(0, 5, np.eye(3)[[1, 0, 0]]) == 2   # tail only
+    assert _blank_run_update(0, 5, np.eye(3)[[0, 2]]) == 0      # reset
+
+    # seed 7 gives a mid-stream blank run >= 3 with tokens on both sides
+    # (probed offline; the streamed CTC equals the offline CTC exactly)
+    cfg = _tiny_cfg("transformer", attn_chunk=4, attn_left_chunks=2)
+    model = TransformerASR(cfg)
+    T = 200
+    x = np.random.RandomState(107).randn(1, T, 8).astype(np.float32)
+    params = model.init(
+        {"params": jax.random.key(7), "dropout": jax.random.key(8)},
+        jnp.asarray(x), jnp.asarray([T]), jnp.zeros((1, 4), jnp.int32),
+    )
+    feats = x[0]
+    THRESH = 3
+
+    sb = StreamBatcher(model, params, max_streams=2)
+    sid = sb.open()
+    segments, cuts, fed = [], [], 0
+    for off in range(0, T, 16):
+        sb.push(sid, feats[off : off + 16])
+        fed = min(off + 16, T)
+        st = sb.state(sid)
+        if st.hyp and st.blank_run >= THRESH:
+            segments.append(sb.restart(sid))
+            cuts.append(fed)
+    final = sb.finish(sid)
+    assert segments and cuts[0] < T, "endpoint must fire mid-stream"
+    assert final, "speech after the endpoint must produce tokens"
+
+    # each segment == a fresh single-stream recognizer over exactly the
+    # frames that segment consumed
+    bounds = [0] + cuts + [T]
+    for i, want in enumerate(segments + [final]):
+        sr = StreamingRecognizer(model, params)
+        sr.push(feats[bounds[i] : bounds[i + 1]])
+        assert sr.finish() == want, i
+
+    # the single-stream pipeline-style restart agrees: blank_run on the
+    # recognizer tracks the batcher's
+    sr = StreamingRecognizer(model, params)
+    sr.push(feats[: cuts[0]])
+    st_probe = StreamBatcher(model, params, max_streams=1)
+    sid2 = st_probe.open()
+    st_probe.push(sid2, feats[: cuts[0]])
+    assert sr.blank_run == st_probe.state(sid2).blank_run >= THRESH
+
+
 def test_rescored_partial_equals_final_beam():
     """After finish(), the attention-rescored 'partial' IS the offline
     joint beam over the full chunked encode; mid-stream it runs over a
