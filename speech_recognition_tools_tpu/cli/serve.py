@@ -24,8 +24,12 @@ audio stream):
   server -> {"partial": "<text so far>"} after every client chunk; when
                                          an endpoint fired it also
                                          carries "endpoint": {"final":
-                                         "<text>", "tokens": [...]}
-  server -> {"final": "<text>", "tokens": [...], "frames": N}
+                                         "<text>", "tokens": [...],
+                                         "times": [...]}
+  server -> {"final": "<text>", "tokens": [...], "times": [...],
+             "frames": N}
+  ("times": per-token emit timestamps in seconds from the utterance
+   start — the first CTC frame of each collapsed token run)
   server -> {"error": "<message>"}       on a malformed message; the
                                          connection then closes (the
                                          stream's integrity is unknown)
@@ -88,7 +92,13 @@ class _ASRService:
         self.fdlp_cfg = fdlp_cfg
         self.cmvn = cmvn  # (mean, std) or None
         self._mk_featgen = lambda: StreamingFdlp(fdlp_cfg)
+        # one subsampled frame = 4 feature frames at the frontend rate
+        self._sub_dt = 4.0 / float(getattr(fdlp_cfg, "frate", 100.0))
         self.lock = threading.Lock()
+
+    def times_s(self, frame_times):
+        """Subsampled emit-frame indices -> seconds from utterance start."""
+        return [round(t * self._sub_dt, 3) for t in frame_times]
 
     def open(self):
         with self.lock:
@@ -119,7 +129,8 @@ class _ASRService:
             st = self.batcher.state(sid)
             if (endpoint_blanks > 0 and st.hyp
                     and st.blank_run >= endpoint_blanks):
-                endpoint = self.batcher.restart(sid)
+                toks, times = self.batcher.restart(sid)
+                endpoint = {"tokens": toks, "times": self.times_s(times)}
                 hyp = []
         return hyp, endpoint
 
@@ -129,8 +140,9 @@ class _ASRService:
             if feats.shape[0]:
                 self.batcher.push(sid, feats)
             hyp = self.batcher.finish(sid)
-            frames = self.batcher.state(sid).pos
-        return hyp, frames
+            st = self.batcher.state(sid)
+            frames, times = st.pos, self.times_s(st.times)
+        return hyp, frames, times
 
     def release(self, sid):
         with self.lock:
@@ -163,9 +175,9 @@ class _Handler(socketserver.StreamRequestHandler):
                         self._send({"ok": True})
                         continue
                     if msg.get("eof"):
-                        hyp, frames = svc.finish(sid, featgen)
+                        hyp, frames, times = svc.finish(sid, featgen)
                         self._send({"final": svc.text(hyp), "tokens": hyp,
-                                    "frames": int(frames)})
+                                    "times": times, "frames": int(frames)})
                         finished = True
                         break
                     import numpy as np
@@ -178,8 +190,10 @@ class _Handler(socketserver.StreamRequestHandler):
                     )
                     resp = {"partial": svc.text(hyp)}
                     if endpoint is not None:
-                        resp["endpoint"] = {"final": svc.text(endpoint),
-                                            "tokens": endpoint}
+                        resp["endpoint"] = {
+                            "final": svc.text(endpoint["tokens"]),
+                            **endpoint,
+                        }
                     self._send(resp)
                 except (ValueError, KeyError, TypeError) as e:
                     # protocol contract: one response per message — report

@@ -61,12 +61,19 @@ def _blank_run_update(blank_id: int, run: int, ctc) -> int:
 
 
 def _greedy_extend(blank_id: int, hyp: list, last_id: int,
-                   ctc_rows: np.ndarray) -> int:
+                   ctc_rows: np.ndarray, times: list | None = None,
+                   pos0: int = 0) -> int:
     """Incremental greedy-CTC collapse: append new non-blank,
-    non-repeated argmax ids to `hyp`; returns the new last id."""
-    for t in np.argmax(ctc_rows, axis=-1):
+    non-repeated argmax ids to `hyp`; returns the new last id. When
+    `times` is given, the emitting subsampled-frame index (`pos0` +
+    row offset; x4 feature frames) of each appended token is recorded —
+    token-level timestamps with an exact definition (the first frame of
+    each collapsed run)."""
+    for i, t in enumerate(np.argmax(ctc_rows, axis=-1)):
         if t != blank_id and t != last_id:
             hyp.append(int(t))
+            if times is not None:
+                times.append(pos0 + i)
         last_id = int(t)
     return last_id
 
@@ -311,6 +318,9 @@ class StreamingRecognizer:
         self._last_id = self.cfg.blank_id
         self._finished = False
         self.blank_run = 0  # trailing blank-argmax frames (endpointing)
+        # emitting subsampled-frame index per token in _hyp (x4 feature
+        # frames / frontend frate seconds); parallel to _hyp
+        self.times: list[int] = []
 
     @property
     def chunk(self):
@@ -348,7 +358,8 @@ class StreamingRecognizer:
             self._ctc.append(ctc)
         self._pos += n_valid
         self._last_id = _greedy_extend(
-            self.cfg.blank_id, self._hyp, self._last_id, ctc
+            self.cfg.blank_id, self._hyp, self._last_id, ctc,
+            self.times, self._pos - n_valid,
         )
         self.blank_run = _blank_run_update(
             self.cfg.blank_id, self.blank_run, ctc
@@ -458,6 +469,7 @@ class _StreamState:
         self.ctc: list[np.ndarray] = []
         self.finished = False
         self.blank_run = 0  # trailing blank-argmax frames (endpointing)
+        self.times: list[int] = []  # emit frame index per token in hyp
 
 
 class StreamBatcher:
@@ -556,7 +568,8 @@ class StreamBatcher:
             st.pos += int(n_valid)
             st.n_consumed += 4 * chunk
             st.last_id = _greedy_extend(
-                self.cfg.blank_id, st.hyp, st.last_id, row_ctc
+                self.cfg.blank_id, st.hyp, st.last_id, row_ctc,
+                st.times, st.pos - int(n_valid),
             )
             st.blank_run = _blank_run_update(
                 self.cfg.blank_id, st.blank_run, row_ctc
@@ -626,24 +639,25 @@ class StreamBatcher:
         self._finished[sid] = self._streams.pop(sid)
         return list(st.hyp)
 
-    def restart(self, sid: int) -> list[int]:
+    def restart(self, sid: int) -> tuple[list[int], list[int]]:
         """Finalize stream `sid`'s current utterance in place and reset
         its row for continued audio (endpointing): flushes the buffered
-        tail exactly like finish(), returns the utterance's tokens, and
-        reinitializes caches/buffers so subsequent push() calls start a
-        fresh utterance on the same stream id. Called at a detected
-        endpoint (st.blank_run >= threshold), so the handful of raw
-        frames below one subsampling step that a flush cannot consume
-        are trailing silence and are safely dropped."""
+        tail exactly like finish() — which can still emit tokens, so the
+        (tokens, times) are taken AFTER the flush — and reinitializes
+        caches/buffers so subsequent push() calls start a fresh utterance
+        on the same stream id. Called at a detected endpoint
+        (st.blank_run >= threshold), so the handful of raw frames below
+        one subsampling step that a flush cannot consume are trailing
+        silence and are safely dropped."""
         st = self._streams[sid]
         self.drain()
         total_sub = _total_subsampled(st.n_buf)
         while total_sub - st.pos > 0:
             n = min(total_sub - st.pos, self.chunk)
             self._run_round([(sid, n)])
-        hyp = list(st.hyp)
+        hyp, times = list(st.hyp), list(st.times)
         self._streams[sid] = _StreamState(self.cfg, self._init_caches(1))
-        return hyp
+        return hyp, times
 
     def state(self, sid: int) -> _StreamState:
         return self._streams.get(sid) or self._finished[sid]
@@ -792,6 +806,9 @@ class OnlineASRPipeline:
         self.featgen = self._mk_featgen()
         self.recognizer.reset()
         self.segments: list[list[int]] = []
+        # per-segment token emit times (subsampled frames, segment-
+        # relative), parallel to self.segments
+        self.segment_times: list[list[int]] = []
         self.frames_fed = 0  # feature frames fed to the CURRENT segment
 
     def _maybe_endpoint(self):
@@ -804,6 +821,7 @@ class OnlineASRPipeline:
             and self.recognizer._hyp
         ):
             self.segments.append(self.recognizer.finish())
+            self.segment_times.append(list(self.recognizer.times))
             self.recognizer.reset()
             self.frames_fed = 0
             return True
@@ -844,6 +862,7 @@ class OnlineASRPipeline:
         hyp = self.recognizer.finish()
         if self.endpoint_blanks > 0 and hyp:
             self.segments.append(hyp)
+            self.segment_times.append(list(self.recognizer.times))
         return hyp
 
     def text(self) -> str:

@@ -247,13 +247,19 @@ def test_serve_endpointing_matches_pipeline(tmp_path):
             f.flush()
             resp = json.loads(f.readline())
             if "endpoint" in resp:
-                endpoints.append(resp["endpoint"]["tokens"])
+                ep = resp["endpoint"]
+                endpoints.append(ep["tokens"])
+                # per-token emit timestamps ride along, one per token,
+                # nondecreasing seconds from the utterance start
+                assert len(ep["times"]) == len(ep["tokens"])
+                assert ep["times"] == sorted(ep["times"])
                 # the running partial resets with the new utterance
                 assert resp["partial"] == ""
         f.write((json.dumps({"eof": True}) + "\n").encode())
         f.flush()
         final = json.loads(f.readline())
         s.close()
+        assert len(final["times"]) == len(final["tokens"])
         got = endpoints + ([final["tokens"]] if final["tokens"] else [])
         assert got == want_segments
         assert len(endpoints) >= 1  # at least one mid-stream final

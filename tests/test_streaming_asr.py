@@ -269,7 +269,9 @@ def test_endpointing_segments_exactly():
         fed = min(off + 16, T)
         st = sb.state(sid)
         if st.hyp and st.blank_run >= THRESH:
-            segments.append(sb.restart(sid))
+            toks, times = sb.restart(sid)
+            assert len(times) == len(toks)
+            segments.append(toks)
             cuts.append(fed)
     final = sb.finish(sid)
     assert segments and cuts[0] < T, "endpoint must fire mid-stream"
@@ -291,6 +293,44 @@ def test_endpointing_segments_exactly():
     sid2 = st_probe.open()
     st_probe.push(sid2, feats[: cuts[0]])
     assert sr.blank_run == st_probe.state(sid2).blank_run >= THRESH
+
+
+def test_token_times_match_offline_definition():
+    """Per-token emit timestamps: the streamed `times` equal the exact
+    offline definition — the first CTC frame of each collapsed token run
+    — for both the single-stream recognizer and the batcher."""
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        StreamBatcher,
+    )
+
+    cfg = _tiny_cfg("transformer", attn_chunk=4, attn_left_chunks=2)
+    model = TransformerASR(cfg)
+    T = 200
+    x = np.random.RandomState(107).randn(1, T, 8).astype(np.float32)
+    params = model.init(
+        {"params": jax.random.key(7), "dropout": jax.random.key(8)},
+        jnp.asarray(x), jnp.asarray([T]), jnp.zeros((1, 4), jnp.int32),
+    )
+    _, ctc, n = _offline(model, params, x, T)
+    ids = np.argmax(ctc, -1)
+    want_times, last = [], cfg.blank_id
+    for i, t in enumerate(ids):
+        if t != cfg.blank_id and t != last:
+            want_times.append(i)
+        last = int(t)
+
+    sr = StreamingRecognizer(model, params)
+    sr.push(x[0])
+    hyp = sr.finish()
+    assert len(hyp) == len(want_times) > 0
+    assert sr.times == want_times
+
+    sb = StreamBatcher(model, params, max_streams=2)
+    sid = sb.open()
+    for off in range(0, T, 16):
+        sb.push(sid, x[0, off : off + 16])
+    sb.finish(sid)
+    assert sb.state(sid).times == want_times
 
 
 def test_rescored_partial_equals_final_beam():
