@@ -49,6 +49,13 @@ def get_parser():
                    help="N > 0: every N arrival pushes, print an "
                         "attention-rescored partial (beam over the memory "
                         "streamed so far) alongside the greedy partial")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="inference compute dtype: bfloat16 halves "
+                   "encoder/decoder HBM traffic and uses the MXU's "
+                   "native precision; a deployment choice independent "
+                   "of the training dtype (weights stay f32 masters; "
+                   "logit heads and log-softmax always f32)")
     p.add_argument("--ring_attention", type=int, default=0, metavar="S",
                    help="encode via ring attention over an S-device "
                         "'time' mesh (parallel/ring.py) — the "
@@ -79,7 +86,7 @@ def _load_lm(lm_dir, ckpt="final"):
     return model, payload["params"]
 
 
-def _load(model_dir, ckpt):
+def _load(model_dir, ckpt, compute_dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +110,7 @@ def _load(model_dir, ckpt):
         conv_kernel=cfg_d.get("conv_kernel", 15),
         attn_chunk=cfg_d.get("attn_chunk", 0),
         attn_left_chunks=cfg_d.get("attn_left_chunks", -1),
+        compute_dtype=compute_dtype,
     )
     model = TransformerASR(cfg)
     feats = jnp.zeros((1, 16, 8), jnp.float32)
@@ -127,7 +135,7 @@ def main(argv=None):
     )
 
     dirs = args.model_dir.split(",")
-    loaded = [_load(d, args.ckpt) for d in dirs]
+    loaded = [_load(d, args.ckpt, args.compute_dtype) for d in dirs]
     model, params, cfg, vocab = loaded[0]
 
     lm_apply_host, lm_apply_jit = None, None

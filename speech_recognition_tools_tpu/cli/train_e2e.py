@@ -40,6 +40,13 @@ def get_parser():
                         "(-1 = unbounded; streaming decode needs >= 0)")
     p.add_argument("--conv_kernel", type=int, default=15,
                    help="(conformer) depthwise conv width")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="mixed-precision training: bfloat16 runs the "
+                   "matmuls/attention/convs on the MXU in bf16 while "
+                   "parameters and optimizer state stay f32 master "
+                   "weights (checkpoints are layout-identical); the "
+                   "logit heads and the loss always compute in f32")
     p.add_argument("--epochs", type=int, default=50)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--warmup_steps", type=int, default=25000)
@@ -224,6 +231,7 @@ def main(argv=None):
         lsm_weight=args.lsm_weight, encoder_type=args.encoder_type,
         conv_kernel=args.conv_kernel, attn_chunk=args.attn_chunk,
         attn_left_chunks=args.attn_left_chunks,
+        compute_dtype=args.compute_dtype,
     )
     model = TransformerASR(cfg)
 

@@ -110,18 +110,19 @@ class _StreamMHABlock(nn.Module):
     @nn.compact
     def __call__(self, x_new, kv_raw, kv_mask):
         c = self.cfg
-        ln0 = nn.LayerNorm(name="LayerNorm_0")
+        ln0 = nn.LayerNorm(name="LayerNorm_0", dtype=c.cdtype)
         q = ln0(x_new)
         kvn = ln0(kv_raw)
         h = nn.MultiHeadDotProductAttention(
             num_heads=c.aheads, qkv_features=c.adim, dropout_rate=0.0,
             deterministic=True, name="MultiHeadDotProductAttention_0",
+            dtype=c.cdtype,
         )(q, kvn, mask=kv_mask)
         x = x_new + h
-        h = nn.LayerNorm(name="LayerNorm_1")(x)
-        h = nn.Dense(self.ff_dim, name="Dense_0")(h)
+        h = nn.LayerNorm(name="LayerNorm_1", dtype=c.cdtype)(x)
+        h = nn.Dense(self.ff_dim, name="Dense_0", dtype=c.cdtype)(h)
         h = nn.relu(h)
-        h = nn.Dense(c.adim, name="Dense_1")(h)
+        h = nn.Dense(c.adim, name="Dense_1", dtype=c.cdtype)(h)
         return x + h
 
 
@@ -138,10 +139,10 @@ class _StreamConformerBlock(nn.Module):
 
     def _ffn(self, x, name):
         c = self.cfg
-        h = nn.LayerNorm(name=f"{name}_norm")(x)
-        h = nn.Dense(self.ff_dim, name=f"{name}_in")(h)
+        h = nn.LayerNorm(name=f"{name}_norm", dtype=c.cdtype)(x)
+        h = nn.Dense(self.ff_dim, name=f"{name}_in", dtype=c.cdtype)(h)
         h = nn.swish(h)
-        return nn.Dense(c.adim, name=f"{name}_out")(h)
+        return nn.Dense(c.adim, name=f"{name}_out", dtype=c.cdtype)(h)
 
     @nn.compact
     def __call__(self, x_new, attn_cache, conv_tail, kv_mask, valid_new):
@@ -149,29 +150,31 @@ class _StreamConformerBlock(nn.Module):
         c = self.cfg
         x = x_new + 0.5 * self._ffn(x_new, "ffn1")  # x_mid (new chunk)
         x_mid = x
-        mn = nn.LayerNorm(name="mhsa_norm")
+        mn = nn.LayerNorm(name="mhsa_norm", dtype=c.cdtype)
         q = mn(x)
         kvn = mn(jnp.concatenate([attn_cache, x], axis=1))
         h = nn.MultiHeadDotProductAttention(
             num_heads=c.aheads, qkv_features=c.adim, dropout_rate=0.0,
-            deterministic=True, name="mhsa",
+            deterministic=True, name="mhsa", dtype=c.cdtype,
         )(q, kvn, mask=kv_mask)
         x = x + h
-        h = nn.LayerNorm(name="conv_norm")(x)
+        h = nn.LayerNorm(name="conv_norm", dtype=c.cdtype)(x)
         h = h * valid_new[:, :, None].astype(h.dtype)
-        h = nn.Dense(2 * c.adim, name="conv_pointwise_in")(h)
+        h = nn.Dense(2 * c.adim, name="conv_pointwise_in",
+                     dtype=c.cdtype)(h)
         h = nn.glu(h, axis=-1)
         conv_in = h
         h = nn.Conv(
             c.adim, (c.conv_kernel,), feature_group_count=c.adim,
-            padding="VALID", name="conv_depthwise",
+            padding="VALID", name="conv_depthwise", dtype=c.cdtype,
         )(jnp.concatenate([conv_tail, h], axis=1))
-        h = nn.LayerNorm(name="conv_mid_norm")(h)
+        h = nn.LayerNorm(name="conv_mid_norm", dtype=c.cdtype)(h)
         h = nn.swish(h)
-        h = nn.Dense(c.adim, name="conv_pointwise_out")(h)
+        h = nn.Dense(c.adim, name="conv_pointwise_out", dtype=c.cdtype)(h)
         x = x + h
         x = x + 0.5 * self._ffn(x, "ffn2")
-        return nn.LayerNorm(name="final_norm")(x), x_mid, conv_in
+        return nn.LayerNorm(name="final_norm", dtype=c.cdtype)(x), \
+            x_mid, conv_in
 
 
 def make_stream_step(model, params):
@@ -220,11 +223,14 @@ def make_stream_step(model, params):
     @jax.jit
     def step(x_slice, pe_rows, n_valid, caches):
         B = x_slice.shape[0]
-        h, _ = Conv2dSubsampling(c.adim).apply(
+        h, _ = Conv2dSubsampling(c.adim, dtype=c.cdtype).apply(
             {"params": enc_p["embed"]}, x_slice,
             jnp.full((B,), x_slice.shape[1], jnp.int32),
         )  # (B, chunk, adim) — VALID makes these exactly the offline frames
-        h = h * np.sqrt(c.adim) + pe_rows
+        # cast the host posenc rows to the compute dtype so bf16
+        # activations are not promoted back to f32 (matches offline
+        # _embed_scale; exact no-op at the default f32)
+        h = h * float(np.sqrt(c.adim)) + pe_rows.astype(h.dtype)
         valid_new = jnp.arange(chunk)[None, :] < n_valid[:, None]  # (B, c)
         new_caches = {}
         for i in range(c.elayers):
@@ -270,15 +276,20 @@ def make_stream_step(model, params):
         return h, ctc, new_caches
 
     def init_caches(batch: int = 1):
+        # caches hold block activations: in bf16 mode they are bf16
+        # (half the per-stream HBM), which also keeps the jitted step's
+        # input signature stable across rounds (concat of bf16 cache
+        # with bf16 activations stays bf16)
+        cdt = c.cdtype or jnp.float32
         caches = {}
         for i in range(c.elayers):
             entry = {
-                "kv": jnp.zeros((batch, L, c.adim), jnp.float32),
+                "kv": jnp.zeros((batch, L, c.adim), cdt),
                 "kv_valid": jnp.zeros((batch,), jnp.int32),
             }
             if conformer:
                 entry["conv"] = jnp.zeros(
-                    (batch, c.conv_kernel - 1, c.adim), jnp.float32
+                    (batch, c.conv_kernel - 1, c.adim), cdt
                 )
             caches[f"layer_{i}"] = entry
         return caches

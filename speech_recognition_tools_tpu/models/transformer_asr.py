@@ -55,6 +55,23 @@ class TransformerASRConfig:
     # the depthwise conv becomes causal so chunked decode stays exact.
     attn_chunk: int = 0
     attn_left_chunks: int = -1
+    # Mixed precision (TPU-first; beyond reference — the reference
+    # trains f32 single-GPU): 'bfloat16' runs every matmul/attention/
+    # conv in bf16 on the MXU while parameters (and the optimizer
+    # state) stay f32 master weights — the flax `dtype=` idiom, so
+    # checkpoints are layout-identical to f32 ones. The two logit
+    # heads (ctc_head, decoder output) always compute in f32, so
+    # log_softmax/CTC stay numerically stable and every decode path
+    # is unchanged. bf16 needs no loss scaling (f32-range exponent).
+    compute_dtype: str = "float32"
+
+    @property
+    def cdtype(self):
+        """flax `dtype=` argument: None (promotion semantics, exactly
+        the pre-mixed-precision behavior) for float32."""
+        if self.compute_dtype == "float32":
+            return None
+        return jnp.dtype(self.compute_dtype)
 
     @property
     def blank_id(self):
@@ -90,6 +107,14 @@ def _posenc(length, dim, dtype=jnp.float32):
     return jnp.asarray(pe, dtype)
 
 
+def _embed_scale(h, c):
+    """sqrt(adim)-scaled embedding + sinusoidal positions, in h's own
+    dtype (a Python-float scale and a cast posenc table, so bf16
+    activations are not silently promoted back to f32)."""
+    return h * float(np.sqrt(c.adim)) + _posenc(h.shape[1], c.adim,
+                                                h.dtype)[None]
+
+
 class _MHABlock(nn.Module):
     cfg: TransformerASRConfig
     ff_dim: int
@@ -101,7 +126,7 @@ class _MHABlock(nn.Module):
     def __call__(self, x, mask, memory=None, memory_mask=None,
                  deterministic=True):
         c = self.cfg
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(dtype=c.cdtype)(x)
         if self.decode_mode:
             # causality comes from the autoregressive cache index
             self_mask = None
@@ -121,21 +146,22 @@ class _MHABlock(nn.Module):
         h = nn.MultiHeadDotProductAttention(
             num_heads=c.aheads, qkv_features=c.adim,
             dropout_rate=0.0, deterministic=deterministic,
-            decode=self.decode_mode,
+            decode=self.decode_mode, dtype=c.cdtype,
         )(h, h, mask=self_mask)
         x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
         if self.cross:
-            h = nn.LayerNorm()(x)
+            h = nn.LayerNorm(dtype=c.cdtype)(x)
             h = nn.MultiHeadDotProductAttention(
                 num_heads=c.aheads, qkv_features=c.adim,
                 dropout_rate=0.0, deterministic=deterministic,
+                dtype=c.cdtype,
             )(h, memory, mask=memory_mask[:, None, None, :])
             x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(self.ff_dim)(h)
+        h = nn.LayerNorm(dtype=c.cdtype)(x)
+        h = nn.Dense(self.ff_dim, dtype=c.cdtype)(h)
         h = nn.relu(h)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(c.adim)(h)
+        h = nn.Dense(c.adim, dtype=c.cdtype)(h)
         return x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
 
 
@@ -151,11 +177,11 @@ class _ConformerBlock(nn.Module):
 
     def _ffn(self, x, deterministic, name):
         c = self.cfg
-        h = nn.LayerNorm(name=f"{name}_norm")(x)
-        h = nn.Dense(self.ff_dim, name=f"{name}_in")(h)
+        h = nn.LayerNorm(name=f"{name}_norm", dtype=c.cdtype)(x)
+        h = nn.Dense(self.ff_dim, name=f"{name}_in", dtype=c.cdtype)(h)
         h = nn.swish(h)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(c.adim, name=f"{name}_out")(h)
+        h = nn.Dense(c.adim, name=f"{name}_out", dtype=c.cdtype)(h)
         return nn.Dropout(c.dropout)(h, deterministic=deterministic)
 
     @nn.compact
@@ -167,34 +193,34 @@ class _ConformerBlock(nn.Module):
                 x.shape[1], c.attn_chunk, c.attn_left_chunks
             )[None, None]
         x = x + 0.5 * self._ffn(x, deterministic, "ffn1")
-        h = nn.LayerNorm(name="mhsa_norm")(x)
+        h = nn.LayerNorm(name="mhsa_norm", dtype=c.cdtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=c.aheads, qkv_features=c.adim,
             dropout_rate=0.0, deterministic=deterministic,
-            name="mhsa",
+            name="mhsa", dtype=c.cdtype,
         )(h, h, mask=attn_mask)
         x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
         # conv module; padded frames are zeroed first so the depthwise
         # conv cannot leak them into valid positions. In streaming mode
         # the conv is causal (left-padded) so chunked/incremental decode
         # sees no look-ahead past the chunk boundary.
-        h = nn.LayerNorm(name="conv_norm")(x)
+        h = nn.LayerNorm(name="conv_norm", dtype=c.cdtype)(x)
         h = h * mask[..., None].astype(h.dtype)
-        h = nn.Dense(2 * c.adim, name="conv_pointwise_in")(h)
+        h = nn.Dense(2 * c.adim, name="conv_pointwise_in", dtype=c.cdtype)(h)
         h = nn.glu(h, axis=-1)
         h = nn.Conv(
             c.adim, (c.conv_kernel,), feature_group_count=c.adim,
             padding=(
                 ((c.conv_kernel - 1, 0),) if c.attn_chunk > 0 else "SAME"
             ),
-            name="conv_depthwise",
+            name="conv_depthwise", dtype=c.cdtype,
         )(h)
-        h = nn.LayerNorm(name="conv_mid_norm")(h)
+        h = nn.LayerNorm(name="conv_mid_norm", dtype=c.cdtype)(h)
         h = nn.swish(h)
-        h = nn.Dense(c.adim, name="conv_pointwise_out")(h)
+        h = nn.Dense(c.adim, name="conv_pointwise_out", dtype=c.cdtype)(h)
         x = x + nn.Dropout(c.dropout)(h, deterministic=deterministic)
         x = x + 0.5 * self._ffn(x, deterministic, "ffn2")
-        return nn.LayerNorm(name="final_norm")(x)
+        return nn.LayerNorm(name="final_norm", dtype=c.cdtype)(x)
 
 
 class Conv2dSubsampling(nn.Module):
@@ -209,6 +235,7 @@ class Conv2dSubsampling(nn.Module):
     bit-identical frames to the offline pass."""
 
     adim: int
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x, lengths):
@@ -221,13 +248,15 @@ class Conv2dSubsampling(nn.Module):
             )
         h = x[..., None]  # (B, T, D, 1)
         h = nn.relu(
-            nn.Conv(self.adim, (3, 3), strides=(2, 2), padding="VALID")(h)
+            nn.Conv(self.adim, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype)(h)
         )
         h = nn.relu(
-            nn.Conv(self.adim, (3, 3), strides=(2, 2), padding="VALID")(h)
+            nn.Conv(self.adim, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype)(h)
         )
         B, T2, D2, C = h.shape
-        h = nn.Dense(self.adim)(h.reshape(B, T2, D2 * C))
+        h = nn.Dense(self.adim, dtype=self.dtype)(h.reshape(B, T2, D2 * C))
         # per-utterance lengths < 7 inside a padded batch yield 0 valid
         # frames (clamped; the formula goes negative below 3)
         out_len = jnp.maximum(((lengths - 1) // 2 - 1) // 2, 0)
@@ -240,8 +269,9 @@ class TransformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, feats, lengths, deterministic=True):
         c = self.cfg
-        h, out_len = Conv2dSubsampling(c.adim, name="embed")(feats, lengths)
-        h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+        h, out_len = Conv2dSubsampling(c.adim, dtype=c.cdtype,
+                                       name="embed")(feats, lengths)
+        h = _embed_scale(h, c)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
         mask = jnp.arange(h.shape[1])[None, :] < out_len[:, None]
         for i in range(c.elayers):
@@ -253,7 +283,7 @@ class TransformerEncoder(nn.Module):
                 h = _MHABlock(c, c.eunits, name=f"layer_{i}")(
                     h, mask, deterministic=deterministic
                 )
-        return nn.LayerNorm(name="after_norm")(h), out_len
+        return nn.LayerNorm(name="after_norm", dtype=c.cdtype)(h), out_len
 
 
 class TransformerDecoder(nn.Module):
@@ -271,17 +301,17 @@ class TransformerDecoder(nn.Module):
         input shape), then step with length-1 inputs."""
         c = self.cfg
         tok_mask = tokens != -1
-        h = nn.Embed(c.vocab_size, c.adim, name="embed")(
+        h = nn.Embed(c.vocab_size, c.adim, dtype=c.cdtype, name="embed")(
             jnp.maximum(tokens, 0)
         )
         if decode_mode and h.shape[1] == 1:
             # pe_len must bound the caller's max position: jnp.take
             # clips out-of-bounds indices, which would silently reuse
             # pe[pe_len-1] and diverge from the full-prefix path
-            pe = jnp.take(_posenc(pe_len, c.adim), pos, axis=0)
-            h = h * np.sqrt(c.adim) + pe[None, None, :]
+            pe = jnp.take(_posenc(pe_len, c.adim, h.dtype), pos, axis=0)
+            h = h * float(np.sqrt(c.adim)) + pe[None, None, :]
         else:
-            h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+            h = _embed_scale(h, c)
         h = nn.Dropout(c.dropout)(h, deterministic=deterministic)
         mem_mask = jnp.arange(memory.shape[1])[None, :] < memory_len[:, None]
         for i in range(c.dlayers):
@@ -289,7 +319,9 @@ class TransformerDecoder(nn.Module):
                           decode_mode=decode_mode, name=f"layer_{i}")(
                 h, tok_mask, memory, mem_mask, deterministic
             )
-        h = nn.LayerNorm(name="after_norm")(h)
+        h = nn.LayerNorm(name="after_norm", dtype=c.cdtype)(h)
+        # logits always f32 (dtype=None promotes bf16 h with the f32
+        # kernel): log_softmax/label-smoothing stay stable in bf16 mode
         return nn.Dense(c.vocab_size, name="output")(h)
 
 
@@ -378,9 +410,9 @@ def encode_pipelined(model, params, feats, lengths, mesh, *,
     per = c.elayers // S
     enc_p = flax.core.unfreeze(params)["params"]["encoder"]
 
-    embed = Conv2dSubsampling(c.adim)
+    embed = Conv2dSubsampling(c.adim, dtype=c.cdtype)
     h, out_len = embed.apply({"params": enc_p["embed"]}, feats, lengths)
-    h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+    h = _embed_scale(h, c)
     mask = (jnp.arange(h.shape[1])[None, :] < out_len[:, None]).astype(h.dtype)
 
     block = _encoder_block(c)
@@ -538,10 +570,13 @@ def encode_ring(model, params, feats, lengths, mesh, *,
     S = mesh.shape[time_axis]
     enc_p = flax.core.unfreeze(params)["params"]["encoder"]
 
+    # the ring blocks' modules are dtype=None (f32 promotion with the
+    # f32 master weights), so encode_ring always computes f32 — keep
+    # the stem f32 too regardless of cfg.compute_dtype
     h, out_len = Conv2dSubsampling(c.adim).apply(
         {"params": enc_p["embed"]}, feats, lengths
     )
-    h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+    h = h * float(np.sqrt(c.adim)) + _posenc(h.shape[1], c.adim)[None]
     T = h.shape[1]
     Tp = -(-T // S) * S
     h = jnp.pad(h, ((0, 0), (0, Tp - T), (0, 0)))
@@ -694,10 +729,10 @@ def asr_loss_pipelined(model, rest, stacked, batch, cfg, mesh, *,
     leaves = jax.tree.leaves(stacked)
     per = leaves[0].shape[1]
 
-    h, enc_len = Conv2dSubsampling(c.adim).apply(
+    h, enc_len = Conv2dSubsampling(c.adim, dtype=c.cdtype).apply(
         {"params": enc_rest["embed"]}, feats, lengths
     )
-    h = h * np.sqrt(c.adim) + _posenc(h.shape[1], c.adim)[None]
+    h = _embed_scale(h, c)
     if train:
         h = nn.Dropout(c.dropout).apply(
             {}, h, deterministic=False,
@@ -748,7 +783,9 @@ def asr_loss_pipelined(model, rest, stacked, batch, cfg, mesh, *,
         mesh=mesh, axis=axis, data_axis=data_axis,
     )
     memory = unmicrobatch(out_h)
-    memory = nn.LayerNorm().apply({"params": enc_rest["after_norm"]}, memory)
+    memory = nn.LayerNorm(dtype=c.cdtype).apply(
+        {"params": enc_rest["after_norm"]}, memory
+    )
 
     rest_p = flax.core.unfreeze(rest)["params"]
     ctc_logits = nn.Dense(c.vocab_size).apply(
