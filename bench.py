@@ -585,52 +585,69 @@ def main():
         rs_s = np.random.RandomState(5)
         n_streams, frames = 8, 1000  # 8 x 10 s of 100 Hz 80-dim features
         featss = rs_s.randn(n_streams, frames, 80).astype(np.float32)
-        # ONE batcher for warmup + timing: its jitted step compiles on the
-        # first drive; the timed drive reuses the compiled program
-        # (finished streams are released, so state does not accumulate)
-        sb = StreamBatcher(
-            smodel, sparams, max_streams=n_streams, store_memory=False
+
+        def bench_batcher(params):
+            # ONE batcher for warmup + timing: its jitted step compiles
+            # on the first drive; the timed drive reuses the compiled
+            # program (finished streams are released, no state build-up).
+            # defer_s enables dynamic batching (the serve.py default):
+            # per-stream pushes coalesce into FULL batched rounds.
+            sb = StreamBatcher(
+                smodel, params, max_streams=n_streams, store_memory=False,
+                defer_s=0.03,
+            )
+
+            def drive(lat=None):
+                sids = [sb.open() for _ in range(n_streams)]
+                for off in range(0, frames, 100):
+                    t0 = time.time()
+                    for i, sid in enumerate(sids):
+                        sb.push(sid, featss[i, off : off + 100])
+                    if lat is not None:
+                        lat.append(time.time() - t0)
+                for sid in sids:
+                    sb.finish(sid)
+                    sb.release(sid)
+
+            drive()  # compile + warm
+            lat = []  # per-round (1 s of audio x 8 streams) latency
+            t0 = time.time()
+            drive(lat)
+            dt = time.time() - t0
+            lat_ms = np.sort(np.asarray(lat)) * 1000
+            n = len(lat_ms)
+
+            def pct(q):  # nearest-rank percentile
+                return round(
+                    float(lat_ms[min(n - 1, max(0, -(-q * n // 100) - 1))]), 1
+                )
+
+            return dt, {
+                "p50": pct(50),
+                "p90": pct(90),
+                "max": round(float(lat_ms[-1]), 1),
+                "budget": 1000.0,
+            }
+
+        dt, lat = bench_batcher(sparams)
+        # weight-only int8 encoder (infer/quantize.py): same stack, the
+        # big matmul weights stay int8 in HBM (dequant fused per use)
+        from speech_recognition_tools_tpu.infer.quantize import (
+            quantize_encoder,
         )
 
-        def drive(lat=None):
-            sids = [sb.open() for _ in range(n_streams)]
-            for off in range(0, frames, 100):
-                t0 = time.time()
-                for i, sid in enumerate(sids):
-                    sb.push(sid, featss[i, off : off + 100])
-                if lat is not None:
-                    lat.append(time.time() - t0)
-            for sid in sids:
-                sb.finish(sid)
-                sb.release(sid)
+        dt8, lat8 = bench_batcher(quantize_encoder(sparams))
+        return dt, lat, dt8, lat8
 
-        drive()  # compile + warm
-        lat = []  # per-chunk (1 s of audio x 8 streams) round latency
-        t0 = time.time()
-        drive(lat)
-        dt = time.time() - t0
-        lat_ms = np.sort(np.asarray(lat)) * 1000
-        n = len(lat_ms)
-
-        def pct(q):  # nearest-rank percentile
-            return round(float(lat_ms[min(n - 1, max(0, -(-q * n // 100) - 1))]), 1)
-
-        return dt, {
-            "p50": pct(50),
-            "p90": pct(90),
-            "max": round(float(lat_ms[-1]), 1),
-            "budget": 1000.0,
-        }
-
-    serve_lat = None
+    serve_lat = serve_lat8 = dt_serve8 = None
 
     def run_serve_outer():
-        nonlocal serve_lat
-        dt, serve_lat = run_streaming_serve()
+        nonlocal serve_lat, serve_lat8, dt_serve8
+        dt, serve_lat, dt_serve8, serve_lat8 = run_streaming_serve()
         return dt
 
     dt_serve = guarded(
-        "online serving (8-stream StreamBatcher)", run_serve_outer,
+        "online serving (8-stream StreamBatcher, f32+int8)", run_serve_outer,
         min_left=200.0, partial_key="s_serve_8x10s",
     )
 
@@ -677,11 +694,15 @@ def main():
                 "mvector_complex": xrt(dt_mod_cplx, Bm * secs),
                 "gev8ch_to_fdlp": xrt(dt_8ch, n8 / srate),
                 "online_serve_8stream_aggregate": xrt(dt_serve, 8 * 10.0),
+                "online_serve_8stream_aggregate_int8": xrt(
+                    dt_serve8, 8 * 10.0
+                ),
             },
             # wall latency to advance all 8 streams by 1 s of audio (one
             # scheduling round over the batched chunked encoder); under
             # budget=1000 ms means live serving keeps up with real time
             "serve_chunk_latency_ms": serve_lat or "skipped",
+            "serve_chunk_latency_ms_int8": serve_lat8 or "skipped",
         },
     }
     watchdog.cancel()

@@ -54,6 +54,16 @@ def get_parser():
     p.add_argument("--max_streams", type=int, default=8,
                    help="StreamBatcher batch rows (concurrent streams "
                         "beyond this still work; their chunks queue)")
+    p.add_argument("--int8", action="store_true",
+                   help="weight-only int8 quantization of the encoder "
+                        "(infer/quantize.py): 4x less weight HBM traffic "
+                        "per scheduling round; accuracy loss bounded by "
+                        "the per-channel quantization step")
+    p.add_argument("--defer_ms", type=float, default=30.0,
+                   help="dynamic batching: hold a ready chunk up to this "
+                        "long so concurrent connections coalesce into one "
+                        "full batched round instead of solo rounds "
+                        "(0 = schedule every push immediately)")
     # frontend flags default to None so an explicit flag can override the
     # model dir's serving.json manifest field-by-field; with no manifest,
     # the fallbacks in main() apply (production FDLP geometry)
@@ -79,14 +89,15 @@ class _ASRService:
     connections still share one padded step per round)."""
 
     def __init__(self, model, params, vocab, fdlp_cfg, max_streams,
-                 cmvn=None):
+                 cmvn=None, defer_s=0.0):
         from speech_recognition_tools_tpu.dsp.streaming import StreamingFdlp
         from speech_recognition_tools_tpu.infer.streaming_asr import (
             StreamBatcher,
         )
 
         self.batcher = StreamBatcher(
-            model, params, max_streams=max_streams, store_memory=False
+            model, params, max_streams=max_streams, store_memory=False,
+            defer_s=defer_s,
         )
         self.vocab = vocab
         self.fdlp_cfg = fdlp_cfg
@@ -95,6 +106,19 @@ class _ASRService:
         # one subsampled frame = 4 feature frames at the frontend rate
         self._sub_dt = 4.0 / float(getattr(fdlp_cfg, "frate", 100.0))
         self.lock = threading.Lock()
+        if defer_s > 0:
+            # deferral is push-driven; if every client pauses, a held
+            # chunk would wait for the next push — this ticker bounds
+            # that wait at ~defer_s even on a fully idle wire
+            def tick():
+                import time as _time
+
+                while True:
+                    _time.sleep(max(defer_s / 2, 0.005))
+                    with self.lock:
+                        self.batcher._maybe_drain()
+
+            threading.Thread(target=tick, daemon=True).start()
 
     def times_s(self, frame_times):
         """Subsampled emit-frame indices -> seconds from utterance start."""
@@ -276,7 +300,8 @@ def resolve_frontend(model_dir, overrides=None, ckpt="final_avg"):
 
 
 def make_server(model_dir, ckpt="final_avg", host="127.0.0.1", port=0,
-                max_streams=8, fdlp_cfg=None, cmvn=None):
+                max_streams=8, fdlp_cfg=None, cmvn=None, int8=False,
+                defer_s=0.0):
     """Build (server, bound_port); serve_forever() on the caller's thread
     (tests run it on a daemon thread). cmvn: optional (mean, std).
 
@@ -284,6 +309,10 @@ def make_server(model_dir, ckpt="final_avg", host="127.0.0.1", port=0,
     manifest (written by recipes/run_corpus.py stage 4) supplies them via
     resolve_frontend, so `make_server(exp_dir + "/am")` serves a
     corpus-trained model with the exact frontend + CMVN it was trained on.
+
+    int8=True quantizes the encoder weights to int8 at load time
+    (weight-only; infer/quantize.py) — they stay int8 in HBM, dequantized
+    inside the jitted step.
     """
     from speech_recognition_tools_tpu.cli.recog_e2e import _load
     from speech_recognition_tools_tpu.infer.streaming_asr import (
@@ -292,6 +321,12 @@ def make_server(model_dir, ckpt="final_avg", host="127.0.0.1", port=0,
     )
 
     model, params, cfg, vocab = _load(model_dir, ckpt)
+    if int8:
+        from speech_recognition_tools_tpu.infer.quantize import (
+            quantize_encoder,
+        )
+
+        params = quantize_encoder(params)
     if fdlp_cfg is None:
         fdlp_cfg = resolve_frontend(model_dir, ckpt=ckpt)
     if cmvn is None:
@@ -300,6 +335,7 @@ def make_server(model_dir, ckpt="final_avg", host="127.0.0.1", port=0,
             cmvn = load_manifest_cmvn(model_dir, manifest)
     service = _ASRService(
         model, params, vocab, fdlp_cfg, max_streams, cmvn=cmvn,
+        defer_s=defer_s,
     )
     server = ASRServer((host, port), service)
     return server, server.server_address[1]
@@ -327,10 +363,12 @@ def main(argv=None):
         )
     server, port = make_server(
         args.model_dir, args.ckpt, args.host, args.port,
-        args.max_streams, fdlp_cfg, cmvn=cmvn,
+        args.max_streams, fdlp_cfg, cmvn=cmvn, int8=args.int8,
+        defer_s=args.defer_ms / 1000.0,
     )
     print(f"serving on {args.host}:{port} "
-          f"(max {args.max_streams} batched streams)")
+          f"(max {args.max_streams} batched streams"
+          f"{', int8 encoder' if args.int8 else ''})")
     server.serve_forever()
 
 

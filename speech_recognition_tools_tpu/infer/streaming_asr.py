@@ -180,7 +180,7 @@ class _StreamConformerBlock(nn.Module):
 def make_stream_step(model, params):
     """Build the jitted per-chunk encoder step (batched over streams).
 
-    step(x_slice, pe_rows, n_valid, caches) ->
+    step(x_slice, pe_rows, n_valid, update, caches) ->
         (enc_new, ctc_new, new_caches)
 
       x_slice  (B, 4*chunk+3, D) raw feature slices (zero-padded tail OK);
@@ -188,15 +188,30 @@ def make_stream_step(model, params):
       pe_rows  (B, chunk, adim) absolute positional-encoding rows per
                stream (host-computed — no stream-length cap)
       n_valid  (B,) valid subsampled frames per row (== chunk except at a
-               stream's very end; partial-chunk cache updates must be
-               discarded by the caller)
+               stream's very end)
+      update   (B,) bool — rows whose cache advances this round. The
+               commit happens INSIDE the step (jnp.where per row), so a
+               partial/idle row's cache is preserved without any host-side
+               per-stream cache slicing — the whole cache tree stays
+               device-resident across rounds and one dispatch serves the
+               round (through a tunneled chip, per-op RPC latency is
+               ~4 ms; the old gather/scatter design spent >1 s per round
+               on ~220 tiny ops).
       caches   dict per layer: {"kv": (B, L, adim), "kv_valid": (B,),
                "conv": (B, kernel-1, adim)} (conv only for conformer)
 
+    Weights are passed as a traced argument (not closure constants), so
+    int8 weight-only quantized trees (infer/quantize.py) stay int8 in
+    HBM: `dequantize_tree` runs inside the step and XLA fuses the
+    `q * scale` into each consumer instead of constant-folding it into
+    a baked f32 copy.
+
     One fixed (B, chunk) shape serves every scheduling round — the
-    StreamBatcher pads idle rows with n_valid=0.
+    StreamBatcher pads idle rows with n_valid=0, update=False.
     """
     import flax
+
+    from speech_recognition_tools_tpu.infer.quantize import dequantize_tree
 
     c = model.cfg
     if c.attn_chunk <= 0:
@@ -211,8 +226,11 @@ def make_stream_step(model, params):
         )
     chunk = c.attn_chunk
     L = c.attn_left_chunks * chunk
-    p = flax.core.unfreeze(params)["params"]
-    enc_p = p["encoder"]
+    p_full = flax.core.unfreeze(params)["params"]
+    # only the subtrees the step reads ride along as arguments
+    p_dev = jax.device_put(
+        {"encoder": p_full["encoder"], "ctc_head": p_full["ctc_head"]}
+    )
     conformer = c.encoder_type == "conformer"
     block = (
         _StreamConformerBlock(c, c.eunits)
@@ -221,7 +239,9 @@ def make_stream_step(model, params):
     )
 
     @jax.jit
-    def step(x_slice, pe_rows, n_valid, caches):
+    def _step(p, x_slice, pe_rows, n_valid, update, caches):
+        p = dequantize_tree(p)  # structural no-op on unquantized trees
+        enc_p = p["encoder"]
         B = x_slice.shape[0]
         h, _ = Conv2dSubsampling(c.adim, dtype=c.cdtype).apply(
             {"params": enc_p["embed"]}, x_slice,
@@ -232,6 +252,7 @@ def make_stream_step(model, params):
         # _embed_scale; exact no-op at the default f32)
         h = h * float(np.sqrt(c.adim)) + pe_rows.astype(h.dtype)
         valid_new = jnp.arange(chunk)[None, :] < n_valid[:, None]  # (B, c)
+        up_row = update[:, None, None]
         new_caches = {}
         for i in range(c.elayers):
             cache = caches[f"layer_{i}"]
@@ -262,18 +283,27 @@ def make_stream_step(model, params):
                 new_conv = None
                 kv_src = h
             nc = {
-                "kv": jnp.concatenate([cache["kv"], kv_src], axis=1)[:, -L:]
+                "kv": jnp.where(
+                    up_row,
+                    jnp.concatenate([cache["kv"], kv_src], axis=1)[:, -L:],
+                    cache["kv"],
+                )
                 if L
                 else cache["kv"],
-                "kv_valid": jnp.minimum(kv_valid + chunk, L),
+                "kv_valid": jnp.where(
+                    update, jnp.minimum(kv_valid + chunk, L), kv_valid
+                ),
             }
             if new_conv is not None:
-                nc["conv"] = new_conv
+                nc["conv"] = jnp.where(up_row, new_conv, cache["conv"])
             new_caches[f"layer_{i}"] = nc
             h = out
         h = nn.LayerNorm().apply({"params": enc_p["after_norm"]}, h)
         ctc = nn.Dense(c.vocab_size).apply({"params": p["ctc_head"]}, h)
         return h, ctc, new_caches
+
+    def step(x_slice, pe_rows, n_valid, update, caches):
+        return _step(p_dev, x_slice, pe_rows, n_valid, update, caches)
 
     def init_caches(batch: int = 1):
         # caches hold block activations: in bf16 mode they are bf16
@@ -356,13 +386,12 @@ class StreamingRecognizer:
         pad = 4 * chunk + 3 - x_slice.shape[0]
         if pad > 0:
             x_slice = np.pad(x_slice, ((0, pad), (0, 0)))
-        h, ctc, new_caches = self.step(
+        h, ctc, self.caches = self.step(
             jnp.asarray(x_slice[None], jnp.float32),
             jnp.asarray(_posenc_rows(self._pos, chunk, self.cfg.adim))[None],
-            jnp.asarray([n_valid], jnp.int32), self.caches,
+            jnp.asarray([n_valid], jnp.int32),
+            jnp.asarray([update_caches]), self.caches,
         )
-        if update_caches:
-            self.caches = new_caches
         ctc = np.asarray(ctc)[0, :n_valid]
         if self.store_memory:
             self._mem.append(np.asarray(h)[0, :n_valid])
@@ -464,11 +493,46 @@ class StreamingRecognizer:
         )
 
 
+@jax.jit
+def _reset_rows(caches, mask):
+    """Zero the cache rows selected by mask (B,) — a fresh stream taking
+    over a slot must see the offline zero left-pad (conv tail) and an
+    empty attention history (kv_valid=0; kv zeroed for hygiene)."""
+    def z(a):
+        m = mask.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, jnp.zeros_like(a), a)
+
+    return jax.tree.map(z, caches)
+
+
+@jax.jit
+def _get_row(caches, row):
+    """Slice one cache row (leading-dim index `row`, traced) as a
+    batch-1 tree — the evicted-stream save path."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_slice_in_dim(a, row, 1, axis=0), caches
+    )
+
+
+@jax.jit
+def _set_row(caches, row, row_tree):
+    """Write a batch-1 tree back into cache row `row` (traced) — the
+    evicted-stream restore path."""
+    def s(a, r):
+        # all indices must share one integer dtype (x64 mode makes bare
+        # Python 0s int64 while `row` arrives int32)
+        idx = (row,) + (jnp.zeros_like(row),) * (a.ndim - 1)
+        return jax.lax.dynamic_update_slice(a, r.astype(a.dtype), idx)
+
+    return jax.tree.map(s, caches, row_tree)
+
+
 class _StreamState:
     """Host bookkeeping for one stream inside a StreamBatcher."""
 
-    def __init__(self, cfg, caches):
-        self.caches = caches  # per-layer trees with leading dim 1
+    def __init__(self, cfg):
+        self.slot = None  # cache row in the batcher's device tree, or None
+        self.saved = None  # host copy of the cache row while evicted
         self.buf = None
         self.buf_start = 0
         self.n_buf = 0
@@ -494,6 +558,18 @@ class StreamBatcher:
     greedy-CTC hypotheses. Numerics are identical to a single-stream
     StreamingRecognizer (tests/test_streaming_asr.py pins it).
 
+    The per-stream caches live in ONE device-resident batched tree;
+    each live stream owns a row (`_StreamState.slot`), and the round's
+    per-row commit/preserve decision happens inside the jitted step
+    (`update` mask), so a round costs ONE dispatch + tiny host
+    transfers — no per-stream cache gather/scatter (through a tunneled
+    chip, ~220 such ops cost >1 s/round; see make_stream_step).
+
+    Streams beyond `max_streams` still work: a slot-less ready stream
+    evicts a non-ready slotted one (its row is saved to the host and
+    restored when it next gets a slot). Eviction is the slow path — size
+    `max_streams` to the expected concurrency.
+
     Usage:
         sb = StreamBatcher(model, params, max_streams=8)
         a = sb.open(); b = sb.open()
@@ -502,25 +578,37 @@ class StreamBatcher:
     """
 
     def __init__(self, model, params, max_streams: int = 8, vocab=None,
-                 store_memory: bool = False):
+                 store_memory: bool = False, defer_s: float = 0.0):
         self.cfg = model.cfg
         self.step, self._init_caches = make_stream_step(model, params)
         self.max_streams = max_streams
         self.vocab = vocab
         self.store_memory = store_memory
+        # dynamic batching: with defer_s > 0, push() holds a ready chunk
+        # back (up to defer_s seconds) until every live stream has one,
+        # so concurrent streams pushing independently coalesce into FULL
+        # batched rounds instead of one solo round per push (a solo
+        # round costs the same dispatch floor as a full one). 0 = every
+        # push schedules immediately (exact single-stream cadence).
+        self.defer_s = float(defer_s)
+        self._oldest_ready_t = None
         self._streams: dict[int, _StreamState] = {}
-        # finished streams move here with their caches freed, so a
-        # long-running server's drain() cost and memory stay bounded by
-        # the number of LIVE streams; `release(sid)` drops the results
+        # finished streams move here, so a long-running server's drain()
+        # cost and memory stay bounded by the number of LIVE streams;
+        # `release(sid)` drops the results
         self._finished: dict[int, _StreamState] = {}
         self._next_id = 0
-        # idle-row template (reused for padding every round)
-        self._idle = self._init_caches(1)
+        self.caches = self._init_caches(max_streams)  # device-resident
+        self._slot_sid: list = [None] * max_streams  # row -> sid
+        self._feat_dim = None
 
     def open(self) -> int:
         sid = self._next_id
         self._next_id += 1
-        self._streams[sid] = _StreamState(self.cfg, self._init_caches(1))
+        self._streams[sid] = _StreamState(self.cfg)
+        slot = self._free_slot()
+        if slot is not None:
+            self._take_slot(sid, slot)
         return sid
 
     def release(self, sid: int) -> None:
@@ -530,6 +618,63 @@ class StreamBatcher:
     @property
     def chunk(self):
         return self.cfg.attn_chunk
+
+    # -- slot management -------------------------------------------------
+
+    def _free_slot(self):
+        try:
+            return self._slot_sid.index(None)
+        except ValueError:
+            return None
+
+    def _take_slot(self, sid: int, slot: int):
+        st = self._streams[sid]
+        self._slot_sid[slot] = sid
+        st.slot = slot
+        if st.saved is not None:  # evicted earlier: restore its row
+            self.caches = _set_row(
+                self.caches, jnp.int32(slot),
+                jax.tree.map(jnp.asarray, st.saved),
+            )
+            st.saved = None
+        else:  # fresh stream: zero the row (stale cache from a past owner)
+            mask = np.zeros((self.max_streams,), bool)
+            mask[slot] = True
+            self.caches = _reset_rows(self.caches, jnp.asarray(mask))
+
+    def _drop_slot(self, sid: int, save: bool):
+        st = self._streams[sid]
+        if st.slot is None:
+            return
+        if save:
+            st.saved = jax.device_get(
+                _get_row(self.caches, jnp.int32(st.slot))
+            )
+        self._slot_sid[st.slot] = None
+        st.slot = None
+
+    def _ensure_slot(self, sid: int):
+        """Give `sid` a cache row, evicting a non-ready slotted stream if
+        the tree is full (save/restore round-trips the row via the host —
+        the oversubscription slow path)."""
+        st = self._streams[sid]
+        if st.slot is not None:
+            return
+        slot = self._free_slot()
+        if slot is None:
+            victims = [
+                s for s in self._slot_sid
+                if s is not None and s != sid
+            ]
+            not_ready = [
+                s for s in victims if not self._ready(self._streams[s])
+            ]
+            victim = (not_ready or victims)[0]
+            self._drop_slot(victim, save=True)
+            slot = self._free_slot()
+        self._take_slot(sid, slot)
+
+    # -- scheduling ------------------------------------------------------
 
     def _ready(self, st: _StreamState) -> bool:
         return st.n_buf >= st.n_consumed + 4 * self.chunk + 3
@@ -542,36 +687,33 @@ class StreamBatcher:
         return sl
 
     def _run_round(self, jobs):
-        """jobs: list of (sid, n_valid). Runs ONE padded batched step."""
+        """jobs: list of (sid, n_valid), each sid holding a slot. Runs ONE
+        batched step; idle rows ride along with n_valid=0, update=False."""
         B = self.max_streams
         assert jobs and len(jobs) <= B
         chunk, adim = self.chunk, self.cfg.adim
-        D = self._streams[jobs[0][0]].buf.shape[1]
+        D = self._feat_dim
         x = np.zeros((B, 4 * chunk + 3, D), np.float32)
         pe = np.zeros((B, chunk, adim), np.float32)
         nv = np.zeros((B,), np.int32)
-        caches = []
-        for r, (sid, n_valid) in enumerate(jobs):
+        up = np.zeros((B,), bool)
+        rows = []
+        for sid, n_valid in jobs:
             st = self._streams[sid]
+            r = st.slot
             x[r] = self._slice(st, 4 * chunk + 3)
             pe[r] = _posenc_rows(st.pos, chunk, adim)
             nv[r] = n_valid
-            caches.append(st.caches)
-        caches += [self._idle] * (B - len(jobs))
-        batched = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=0), *caches
+            up[r] = n_valid == chunk  # partial tails don't advance caches
+            rows.append((sid, r, n_valid))
+        h, ctc, self.caches = self.step(
+            jnp.asarray(x), jnp.asarray(pe), jnp.asarray(nv),
+            jnp.asarray(up), self.caches,
         )
-        h, ctc, new_caches = self.step(
-            jnp.asarray(x), jnp.asarray(pe), jnp.asarray(nv), batched
-        )
-        h = np.asarray(h)
         ctc = np.asarray(ctc)
-        for r, (sid, n_valid) in enumerate(jobs):
+        h = np.asarray(h) if self.store_memory else None
+        for sid, r, n_valid in rows:
             st = self._streams[sid]
-            if n_valid == chunk:  # full chunk: keep the cache row
-                st.caches = jax.tree.map(
-                    lambda a: a[r : r + 1], new_caches
-                )
             row_ctc = ctc[r, :n_valid]
             if self.store_memory:
                 st.mem.append(h[r, :n_valid])
@@ -607,31 +749,82 @@ class StreamBatcher:
             frames if st.buf is None else np.concatenate([st.buf, frames])
         )
         st.n_buf += frames.shape[0]
-        self.drain()
+        if self._feat_dim is None:
+            self._feat_dim = int(st.buf.shape[1])
+        self._maybe_drain()
         return list(st.hyp)
+
+    def _maybe_drain(self):
+        """Dynamic-batching gate: drain now unless deferral is on and
+        waiting (bounded by defer_s) could coalesce more streams into
+        the round."""
+        if self.defer_s <= 0:
+            self.drain()
+            return
+        import time as _time
+
+        live = [
+            st for st in self._streams.values() if not st.finished
+        ]
+        n_ready = sum(1 for st in live if self._ready(st))
+        if n_ready == 0:
+            self._oldest_ready_t = None
+            return
+        if self._oldest_ready_t is None:
+            self._oldest_ready_t = _time.time()
+        if (
+            n_ready >= min(len(live), self.max_streams)
+            or _time.time() - self._oldest_ready_t >= self.defer_s
+        ):
+            self.drain()
+            self._oldest_ready_t = None
 
     def drain(self):
         """Process every ready chunk across all live streams, batching up
-        to max_streams chunks per round."""
+        to max_streams chunks per round. Ready slot-less streams acquire
+        slots (evicting non-ready holders) between rounds."""
         while True:
-            jobs = [
-                (sid, self.chunk)
-                for sid, st in self._streams.items()
+            ready = [
+                sid for sid, st in self._streams.items()
                 if not st.finished and self._ready(st)
-            ][: self.max_streams]
-            if not jobs:
+            ]
+            if not ready:
                 return
+            for sid in ready:
+                st = self._streams[sid]
+                if st.slot is not None:
+                    continue
+                slot = self._free_slot()
+                if slot is not None:
+                    self._take_slot(sid, slot)
+                    continue
+                # full: only evict non-ready holders (ready holders run
+                # this round and may stop being ready, freeing rows)
+                holders = [s for s in self._slot_sid if s is not None]
+                not_ready = [
+                    s for s in holders
+                    if not self._ready(self._streams[s])
+                ]
+                if not_ready:
+                    self._drop_slot(not_ready[0], save=True)
+                    self._take_slot(sid, self._free_slot())
+            jobs = [
+                (sid, self.chunk) for sid in ready
+                if self._streams[sid].slot is not None
+            ]
             self._run_round(jobs)
 
     def finish(self, sid: int) -> list[int]:
         """Flush stream `sid` (its partial tail rides a normal round with
-        n_valid < chunk; cache updates for it are discarded), free its
-        caches and move it to the finished set (drop with release())."""
+        n_valid < chunk; its cache row is not advanced), free its row and
+        move it to the finished set (drop with release())."""
         if sid in self._finished:
             return list(self._finished[sid].hyp)
         st = self._streams[sid]
         self.drain()
         total_sub = _total_subsampled(st.n_buf)
+        if total_sub - st.pos > 0:
+            self._ensure_slot(sid)
         while total_sub - st.pos > 0:
             n = min(total_sub - st.pos, self.chunk)
             self._run_round([(sid, n)])
@@ -646,7 +839,8 @@ class StreamBatcher:
             else np.zeros((0, self.cfg.vocab_size), np.float32)
         )
         st.buf = None
-        st.caches = None  # device arrays freed; results stay host-side
+        self._drop_slot(sid, save=False)
+        st.saved = None
         self._finished[sid] = self._streams.pop(sid)
         return list(st.hyp)
 
@@ -663,12 +857,18 @@ class StreamBatcher:
         st = self._streams[sid]
         self.drain()
         total_sub = _total_subsampled(st.n_buf)
+        if total_sub - st.pos > 0:
+            self._ensure_slot(sid)
         while total_sub - st.pos > 0:
             n = min(total_sub - st.pos, self.chunk)
             self._run_round([(sid, n)])
-        hyp, times = list(st.hyp), list(st.times)
-        self._streams[sid] = _StreamState(self.cfg, self._init_caches(1))
-        return hyp, times
+        slot = st.slot
+        if slot is not None:
+            self._slot_sid[slot] = None
+        self._streams[sid] = _StreamState(self.cfg)
+        if slot is not None:
+            self._take_slot(sid, slot)  # fresh state: zeroes the row
+        return list(st.hyp), list(st.times)
 
     def state(self, sid: int) -> _StreamState:
         return self._streams.get(sid) or self._finished[sid]
@@ -763,7 +963,7 @@ class OnlineASRPipeline:
 
     @classmethod
     def from_model_dir(cls, model_dir, ckpt="final_avg",
-                       block_frames: int = 8):
+                       block_frames: int = 8, int8: bool = False):
         """Build the full pipeline from a trained model directory alone.
 
         Reads the `serving.json` manifest that `recipes/run_corpus.py`
@@ -771,10 +971,17 @@ class OnlineASRPipeline:
         global CMVN stats), so deployment needs no side-channel config —
         the model dir is self-describing. Falls back to FdlpConfig()
         defaults and no CMVN when no manifest exists (hand-built dirs).
+        int8=True quantizes the encoder weights (infer/quantize.py).
         """
         from speech_recognition_tools_tpu.cli.recog_e2e import _load
 
         model, params, _cfg, vocab = _load(model_dir, ckpt)
+        if int8:
+            from speech_recognition_tools_tpu.infer.quantize import (
+                quantize_encoder,
+            )
+
+            params = quantize_encoder(params)
         manifest = read_serving_manifest(model_dir)
         fdlp_cfg, mean, std = None, None, None
         if manifest is not None:

@@ -232,6 +232,37 @@ def test_online_pipeline_audio_to_tokens():
     )[0]
 
 
+def test_batcher_defer_coalesces_rounds():
+    """Dynamic batching: with defer_s, a ready chunk waits for the other
+    live streams instead of running a solo round — and the coalesced
+    result is still exactly the single-stream one."""
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        StreamBatcher,
+        StreamingRecognizer,
+    )
+
+    cfg = _tiny_cfg("transformer", attn_chunk=4, attn_left_chunks=2)
+    model = TransformerASR(cfg)
+    _, params = _init(model, T=60, D=8, seed=13)
+    xs = [RS.randn(90, 8).astype(np.float32) for _ in range(2)]
+
+    singles = []
+    for x in xs:
+        sr = StreamingRecognizer(model, params)
+        sr.push(x)
+        singles.append(sr.finish())
+
+    # defer long enough that only the all-streams-ready trigger can fire
+    sb = StreamBatcher(model, params, max_streams=4, defer_s=60.0)
+    a, b = sb.open(), sb.open()
+    sb.push(a, xs[0])  # a is ready, but b (live) is not -> held back
+    assert sb.state(a).pos == 0
+    sb.push(b, xs[1])  # both ready -> one full batched round fires
+    assert sb.state(a).pos > 0 and sb.state(b).pos > 0
+    assert sb.finish(a) == singles[0]
+    assert sb.finish(b) == singles[1]
+
+
 def test_endpointing_segments_exactly():
     """Server-side endpointing: when the trailing blank run reaches the
     threshold, StreamBatcher.restart finalizes the utterance in place
