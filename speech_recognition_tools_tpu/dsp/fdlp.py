@@ -62,6 +62,7 @@ from speech_recognition_tools_tpu.ops.autocorr import (
 from speech_recognition_tools_tpu.ops.cepstrum import lpc_to_cepstrum
 from speech_recognition_tools_tpu.ops.dct import dct2
 from speech_recognition_tools_tpu.ops.framing import (
+    bucketed_min_samples,
     frame_count,
     frame_params,
     frame_signal,
@@ -436,15 +437,8 @@ def fdlp_spectrogram_batch(
     # function is itself called under jit (num_samples is a tracer, e.g.
     # featgen fused into a training step) the lengths are unknown at
     # trace time — fall back to the gather-fixup framing.
-    try:
-        mn = int(np.min(np.asarray(num_samples))) if num_samples.size else 0
-    except jax.errors.TracerArrayConversionError:
-        mn = -1
     fp = frame_params(cfg.srate, cfg.lfr, cfg.fduration)
-    if mn >= fp.extend + 2:
-        min_samples = fp.extend + 2
-    else:
-        min_samples = None
+    min_samples = bucketed_min_samples(num_samples, fp)
     return _fdlp_impl(
         signals, num_samples, jnp.asarray(fbank, fb_dtype), cfg,
         max_samples, jitter, shard=_shard, min_samples=min_samples,

@@ -10,7 +10,9 @@ import jax
 import jax.numpy as jnp
 
 from speech_recognition_tools_tpu.dsp.filterbanks import parse_fbank_type
-from speech_recognition_tools_tpu.ops.framing import frame_count, frame_params, frame_signal
+from speech_recognition_tools_tpu.ops.framing import (
+    bucketed_min_samples, frame_count, frame_params, frame_signal,
+)
 from speech_recognition_tools_tpu.ops.windows import WINDOWS
 
 
@@ -26,15 +28,17 @@ class MelConfig:
     window: str = "hamming"
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_samples"))
-def _mel_impl(signals, num_samples, cfg: MelConfig, max_samples: int):
+@partial(jax.jit, static_argnames=("cfg", "max_samples", "min_samples"))
+def _mel_impl(signals, num_samples, cfg: MelConfig, max_samples: int,
+              min_samples: int | None = None):
     fp = frame_params(cfg.srate, cfg.frate, cfg.fduration)
     dtype = signals.dtype
     fbank = parse_fbank_type(cfg.fbank_type, cfg.nfilters, cfg.nfft, cfg.srate)
     win = jnp.asarray(WINDOWS[cfg.window](fp.flength_samples), dtype)
 
     max_frames = int(frame_count(max_samples, fp))
-    frames, num_frames = frame_signal(signals, num_samples, fp, win, max_frames)
+    frames, num_frames = frame_signal(signals, num_samples, fp, win,
+                                      max_frames, min_samples=min_samples)
 
     nbins = cfg.nfft // 2 + 1
     mag = jnp.abs(jnp.fft.rfft(frames, n=cfg.nfft, axis=-1))[..., :nbins]
@@ -61,4 +65,6 @@ def mel_spectrum_batch(signals, num_samples, cfg: MelConfig = MelConfig(), *, dt
     """
     signals = jnp.asarray(signals, dtype)
     num_samples = jnp.asarray(num_samples, jnp.int32)
-    return _mel_impl(signals, num_samples, cfg, int(signals.shape[1]))
+    fp = frame_params(cfg.srate, cfg.frate, cfg.fduration)
+    return _mel_impl(signals, num_samples, cfg, int(signals.shape[1]),
+                     bucketed_min_samples(num_samples, fp))

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 from jax.scipy.fft import dct as jdct
 
 from speech_recognition_tools_tpu.dsp.filterbanks import mel_filterbank
-from speech_recognition_tools_tpu.ops.framing import frame_count, frame_params, frame_signal
+from speech_recognition_tools_tpu.ops.framing import (
+    bucketed_min_samples, frame_count, frame_params, frame_signal,
+)
 from speech_recognition_tools_tpu.ops.windows import WINDOWS
 from speech_recognition_tools_tpu.utils.splice import splice_feats
 
@@ -32,8 +34,9 @@ class MfccConfig:
     num_ceps: int = 13
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_samples"))
-def _mfcc_impl(signals, num_samples, cfg: MfccConfig, max_samples: int):
+@partial(jax.jit, static_argnames=("cfg", "max_samples", "min_samples"))
+def _mfcc_impl(signals, num_samples, cfg: MfccConfig, max_samples: int,
+               min_samples: int | None = None):
     fp = frame_params(cfg.srate, cfg.frate, cfg.fduration)
     dtype = signals.dtype
     fbank = mel_filterbank(cfg.nfilters, cfg.nfft, cfg.srate)
@@ -41,7 +44,8 @@ def _mfcc_impl(signals, num_samples, cfg: MfccConfig, max_samples: int):
 
     signals = signals / (2.0**15)
     max_frames = int(frame_count(max_samples, fp))
-    frames, num_frames = frame_signal(signals, num_samples, fp, win, max_frames)
+    frames, num_frames = frame_signal(signals, num_samples, fp, win,
+                                      max_frames, min_samples=min_samples)
 
     npts = int(cfg.nfft / 2 + 1)
     mag = jnp.abs(jnp.fft.fft(frames, n=npts, axis=-1))
@@ -63,4 +67,6 @@ def _mfcc_impl(signals, num_samples, cfg: MfccConfig, max_samples: int):
 def mfcc_batch(signals, num_samples, cfg: MfccConfig = MfccConfig(), *, dtype=jnp.float32):
     signals = jnp.asarray(signals, dtype)
     num_samples = jnp.asarray(num_samples, jnp.int32)
-    return _mfcc_impl(signals, num_samples, cfg, int(signals.shape[1]))
+    fp = frame_params(cfg.srate, cfg.frate, cfg.fduration)
+    return _mfcc_impl(signals, num_samples, cfg, int(signals.shape[1]),
+                      bucketed_min_samples(num_samples, fp))

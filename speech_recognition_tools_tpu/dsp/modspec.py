@@ -24,6 +24,7 @@ from speech_recognition_tools_tpu.dsp.filterbanks import parse_fbank_type
 from speech_recognition_tools_tpu.ops.autocorr import circular_autocorr
 from speech_recognition_tools_tpu.ops.cepstrum import lpc_to_cepstrum
 from speech_recognition_tools_tpu.ops.framing import (
+    bucketed_min_samples,
     frame_count,
     frame_params,
     frame_signal,
@@ -66,8 +67,9 @@ class ModSpecConfig:
         return self.coeff_num
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_samples"))
-def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int):
+@partial(jax.jit, static_argnames=("cfg", "max_samples", "min_samples"))
+def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int,
+                  min_samples: int | None = None):
     dtype = signals.dtype
     window = "square" if cfg.no_window else "hanning"
     fp = frame_params(cfg.srate, cfg.frate, cfg.fduration)
@@ -81,7 +83,8 @@ def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int):
 
     win = jnp.asarray(WINDOWS[window](fp.flength_samples), dtype)
     max_frames = int(frame_count(max_samples, fp))
-    frames, num_frames = frame_signal(signals, num_samples, fp, win, max_frames)
+    frames, num_frames = frame_signal(signals, num_samples, fp, win,
+                                      max_frames, min_samples=min_samples)
     B = signals.shape[0]
 
     if cfg.complex_modulation:
@@ -229,4 +232,6 @@ def modulation_spectrum_batch(
     """
     signals = jnp.asarray(signals, dtype)
     num_samples = jnp.asarray(num_samples, jnp.int32)
-    return _modspec_impl(signals, num_samples, cfg, int(signals.shape[1]))
+    fp = frame_params(cfg.srate, cfg.frate, cfg.fduration)
+    return _modspec_impl(signals, num_samples, cfg, int(signals.shape[1]),
+                         bucketed_min_samples(num_samples, fp))

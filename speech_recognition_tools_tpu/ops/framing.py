@@ -236,6 +236,26 @@ def frame_signal_time_sharded(
     ))
 
 
+def bucketed_min_samples(num_samples, params: FrameParams) -> int | None:
+    """Static length floor enabling frame_signal's gather-free path,
+    bucketed to the single value `params.extend + 2` so downstream jit
+    caches hold at most two variants per config.
+
+    Returns None when the lengths are traced (caller is itself under
+    jit, so the floor is unknown at trace time) or when some utterance
+    is shorter than the reflect pad (the gather-fixup path is then
+    required for exactness)."""
+    try:
+        mn = (
+            int(np.min(np.asarray(num_samples)))
+            if np.size(num_samples)
+            else 0
+        )
+    except jax.errors.TracerArrayConversionError:
+        return None
+    return params.extend + 2 if mn >= params.extend + 2 else None
+
+
 def frame_signal(
     signals: jax.Array,
     num_samples: jax.Array,
@@ -279,8 +299,12 @@ def frame_signal(
     B, nmax = signals.shape
     chunks_needed = b + a * (F - 1)
 
-    if min_samples is not None and min_samples >= ext + 2 and ext > 0:
+    def reflect_fast():
         # ---- gather-free: explicit reflect pad + strided slices ----
+        # exact whenever every utterance has n >= ext + 2 (single
+        # reflection); ~1.4 ms at the production FDLP config vs ~25 ms
+        # for the bulk+fixup form (whose _reflect_frame gathers are the
+        # cost — TPU general gathers run at a few hundred MB/s)
         W = max(chunks_needed * g, nmax + 2 * ext)
         W = -(-W // g) * g
         left = jnp.flip(signals[:, 1 : ext + 1], axis=1)
@@ -299,46 +323,63 @@ def frame_signal(
 
         spad = jax.vmap(rpad)(signals, spad, num_samples)
         chunks = spad.reshape(B, W // g, g)
+        return _strided_frames(chunks, B, F, a, b, g, flen)
+
+    def bulk_fixup():
+        # ---- bulk: zero-pad, reshape to g-chunks, b strided slices ----
+        # padded coordinate of frame k tap t is k*hop + t (pad 'extend'
+        # left); chunk index of (k, j-th g-block) is a*k + j.
+        total = chunks_needed * g
+        pad_right = total - ext - nmax
+        spad = jnp.pad(signals, ((0, 0), (ext, max(pad_right, 0))))
+        if pad_right < 0:
+            spad = spad[:, :total]
+        chunks = spad.reshape(B, chunks_needed, g)
         frames = _strided_frames(chunks, B, F, a, b, g, flen)
-        frames = frames * window[None, None, :]
-        return frames, frame_count(num_samples, params)
 
-    # ---- bulk: zero-pad, reshape to g-chunks, b strided slices ----
-    # padded coordinate of frame k tap t is k*hop + t (pad 'extend' left);
-    # chunk index of (k, j-th g-block) is a*k + j.
-    total = chunks_needed * g
-    pad_right = total - ext - nmax
-    spad = jnp.pad(signals, ((0, 0), (ext, max(pad_right, 0))))
-    if pad_right < 0:
-        spad = spad[:, :total]
-    chunks = spad.reshape(B, chunks_needed, g)
-    frames = _strided_frames(chunks, B, F, a, b, g, flen)
+        # ---- fixups: taps in the reflect-pad regions, exact via gather
+        # (handles utterances shorter than the reflect pad, where the
+        # single-reflection construction above is wrong) ----
+        # left region: frames k with k*hop < extend (static set)
+        n_left = min(-(-params.extend // hop), F) if params.extend > 0 else 0
+        if n_left:
+            kl = jnp.broadcast_to(jnp.arange(n_left)[None, :], (B, n_left))
+            left = _reflect_frame(signals, num_samples, params, kl)
+            frames = jax.lax.dynamic_update_slice(frames, left, (0, 0, 0))
+        # right region: per-utterance last frames whose taps reach past n.
+        # frame k touches g >= n iff k*hop >= n + extend - flen + 1; with
+        # nframes = ceil((n + 2*extend - flen + 1)/hop) the affected count
+        # is <= ceil(extend/hop) + 1 (static bound); recompute that
+        # contiguous dynamic window of frames exactly and write it back
+        # via a broadcast gather + select (a vmapped dynamic_update_slice
+        # lowers to a full-size scatter).
+        nf = frame_count(num_samples, params)
+        n_right = min(-(-params.extend // hop) + 1, F)
+        if n_right:
+            k0 = jnp.maximum(nf - n_right, 0)  # (B,)
+            kr = k0[:, None] + jnp.arange(n_right)[None, :]  # contiguous
+            right = _reflect_frame(signals, num_samples, params, kr)
+            k = jnp.arange(F)[None, :]  # (1, F)
+            j = jnp.clip(k - k0[:, None], 0, n_right - 1)  # (B, F)
+            aligned = jnp.take_along_axis(right, j[:, :, None], axis=1)
+            sel = (k >= k0[:, None]) & (k < k0[:, None] + n_right)
+            frames = jnp.where(sel[:, :, None], aligned, frames)
+        return frames
 
-    # ---- fixups: taps in the reflect-pad regions, exact via gather ----
-    # left region: frames k with k*hop < extend (static set)
-    n_left = min(-(-params.extend // hop), F) if params.extend > 0 else 0
-    if n_left:
-        kl = jnp.broadcast_to(jnp.arange(n_left)[None, :], (B, n_left))
-        left = _reflect_frame(signals, num_samples, params, kl)
-        frames = jax.lax.dynamic_update_slice(frames, left, (0, 0, 0))
-    # right region: per-utterance last frames whose taps reach past n.
-    # frame k touches g >= n iff k*hop >= n + extend - flen + 1; with
-    # nframes = ceil((n + 2*extend - flen + 1)/hop) the affected count is
-    # <= ceil(extend/hop) + 1 (static bound); recompute that contiguous
-    # dynamic window of frames exactly and write it back.
-    nframes = frame_count(num_samples, params)
-    n_right = min(-(-params.extend // hop) + 1, F)
-    if n_right:
-        k0 = jnp.maximum(nframes - n_right, 0)  # (B,)
-        kr = k0[:, None] + jnp.arange(n_right)[None, :]  # contiguous
-        right = _reflect_frame(signals, num_samples, params, kr)
-
-        def upd(fr, rt, s):
-            return jax.lax.dynamic_update_slice(
-                fr, rt, (s, jnp.zeros((), s.dtype))
-            )
-
-        frames = jax.vmap(upd)(frames, right, k0)
+    if min_samples is not None and min_samples >= ext + 2 and ext > 0:
+        # static guarantee: only the fast construction is traced
+        frames = reflect_fast()
+    elif ext > 0 and nmax >= ext + 2:
+        # lengths unknown at trace time (or some utterance too short):
+        # pick the construction at RUNTIME. Typical batches (every n >=
+        # ext+2) ride the gather-free branch even when num_samples is a
+        # tracer (featgen fused under an outer jit); only batches that
+        # genuinely contain sub-pad utterances pay for the gather fixups.
+        frames = jax.lax.cond(
+            jnp.all(num_samples >= ext + 2), reflect_fast, bulk_fixup
+        )
+    else:
+        frames = bulk_fixup()
 
     frames = frames * window[None, None, :]
-    return frames, nframes
+    return frames, frame_count(num_samples, params)
