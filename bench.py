@@ -703,6 +703,15 @@ def main():
             # budget=1000 ms means live serving keeps up with real time
             "serve_chunk_latency_ms": serve_lat or "skipped",
             "serve_chunk_latency_ms_int8": serve_lat8 or "skipped",
+            # measured (r4, in-process A/B at this geometry): the step is
+            # dispatch-bound through the tunneled chip (~6-8 ms/step for
+            # f32 == bf16 == int8 alike), so the int8 line tracks the f32
+            # one within tunnel variance. int8's value is the 4x smaller
+            # weight HBM footprint (production-size encoders / many
+            # resident models), not latency at this size.
+            "serve_int8_note": "weight-HBM compression, not a latency "
+                               "optimization; step is dispatch-bound at "
+                               "this geometry",
         },
     }
     watchdog.cancel()

@@ -192,6 +192,11 @@ class _Handler(socketserver.StreamRequestHandler):
             for raw in self.rfile:
                 try:
                     msg = json.loads(raw)
+                    if not isinstance(msg, dict):
+                        raise ValueError(
+                            f"message must be a JSON object, got "
+                            f"{type(msg).__name__}"
+                        )
                     if "config" in msg:
                         endpoint_blanks = int(
                             msg["config"].get("endpoint_blanks", 0)

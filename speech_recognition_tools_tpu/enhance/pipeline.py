@@ -55,25 +55,37 @@ def read_multichannel_scp(scp_path):
     return out
 
 
-def load_channels(entries, srate=None):
-    """Load scp entries into a (channels, samples) float64 stack."""
+def load_channels(entries, srate=None, with_scale=False):
+    """Load scp entries into a (channels, samples) float64 stack.
+
+    with_scale=True also returns whether the source samples are
+    float-scale IEEE audio ([-1, 1]) — decided from the wav dtype, NOT
+    from the amplitude, so a near-silent int16 utterance is never
+    misclassified (and then blown up to full scale) downstream. Shell
+    pipes lose the container dtype in transit; they fall back to the
+    amplitude heuristic (peak <= 1)."""
     from scipy.io.wavfile import read as wav_read
 
-    sigs = []
+    sigs, float_kinds = [], []
     for e in entries:
         if e.endswith("|"):
             _, s = read_wav_scp_entry(
                 e, expected_srate=srate, keep_channels=True
             )
             sigs.append(s.T if s.ndim > 1 else s[None])
+            float_kinds.append(np.max(np.abs(s)) <= 1.0 + 1e-6)
             continue
         sr, s = wav_read(e)
         if srate is not None and sr != srate:
             raise ValueError(f"{e}: sample rate {sr} != {srate}")
+        float_kinds.append(s.dtype.kind == "f")
         s = np.asarray(s, np.float64)
         sigs.append(s.T if s.ndim > 1 else s[None])
     n = min(s.shape[-1] for s in sigs)
-    return np.concatenate([s[:, :n] for s in sigs], axis=0)
+    stack = np.concatenate([s[:, :n] for s in sigs], axis=0)
+    if with_scale:
+        return stack, all(float_kinds)
+    return stack
 
 
 @functools.lru_cache(maxsize=8)
@@ -281,16 +293,18 @@ def run_enhancement(scp_path, out_dir, enh_cfg, srate, mask_fn=None,
     scp = read_multichannel_scp(scp_path)
     lines = []
     for utt, entries in scp.items():
-        sigs = load_channels(entries, srate)
+        sigs, float_scale = load_channels(entries, srate, with_scale=True)
         if sigs.shape[0] == 1:
             lines.append(f"{utt} {entries[0]}")
             continue
         y = enhance_utterance(sigs, enh_cfg, mask_fn=mask_fn)
         peak = np.max(np.abs(y)) + 1e-9
-        if np.max(np.abs(sigs)) <= 1.0 + 1e-6:
-            # float-scale input ([-1, 1] IEEE wavs): scale up to int16
-            # range, else the cast would truncate everything to silence
-            scale = 30000.0 / peak
+        if float_scale:
+            # float-scale input ([-1, 1] IEEE wavs): the standard
+            # float -> int16 mapping, clip-guarded against beamformer
+            # gain. NOT normalized to the output peak — a quiet
+            # utterance must stay quiet, not become full-scale noise.
+            scale = min(30000.0, 30000.0 / peak)
         else:
             scale = min(1.0, 30000.0 / peak)  # only attenuate int-scale
         path = os.path.join(out_dir, f"{utt}.wav")

@@ -88,13 +88,14 @@ def _check_frames(frames) -> np.ndarray:
 def _posenc_rows(pos0: int, n: int, dim: int) -> np.ndarray:
     """Rows [pos0, pos0+n) of the sinusoidal table — computed on the host
     per chunk so streams have NO position cap (a fixed in-jit table would
-    silently clamp and break offline parity on long streams)."""
-    pos = np.arange(pos0, pos0 + n)[:, None]
-    div = np.exp(np.arange(0, dim, 2) * (-np.log(10000.0) / dim))
-    pe = np.zeros((n, dim), np.float32)
-    pe[:, 0::2] = np.sin(pos * div)
-    pe[:, 1::2] = np.cos(pos * div)
-    return pe
+    silently clamp and break offline parity on long streams). Delegates
+    to the offline model's own constructor so the streamed-vs-offline
+    exactness contract is structural, not two copies kept in lockstep."""
+    from speech_recognition_tools_tpu.models.transformer_asr import (
+        posenc_host,
+    )
+
+    return posenc_host(n, dim, pos0=pos0)
 
 
 class _StreamMHABlock(nn.Module):
@@ -298,7 +299,9 @@ def make_stream_step(model, params):
                 nc["conv"] = jnp.where(up_row, new_conv, cache["conv"])
             new_caches[f"layer_{i}"] = nc
             h = out
-        h = nn.LayerNorm().apply({"params": enc_p["after_norm"]}, h)
+        h = nn.LayerNorm(dtype=c.cdtype).apply(
+            {"params": enc_p["after_norm"]}, h
+        )
         ctc = nn.Dense(c.vocab_size).apply({"params": p["ctc_head"]}, h)
         return h, ctc, new_caches
 
@@ -331,131 +334,75 @@ class StreamingRecognizer:
     """Online recognizer over one stream: push feature frames, read
     incremental greedy-CTC partials, `finish()` for the final text.
 
+    A thin single-stream facade over `StreamBatcher` (max_streams=1),
+    so the chunk-consume/flush arithmetic exists exactly ONCE — the
+    batcher's numerics-parity tests cover this class by construction.
+
     After `finish()`, `self.memory` / `self.enc_len` / `self.ctc_logits`
     hold the full (streamed) encoder output — identical to the offline
     `model.encode` — so a final attention/joint rescoring pass can run
-    on them (see cli/recog_e2e.py --streaming). For long-lived greedy-only
-    streams pass `store_memory=False`: nothing then grows with stream
-    length (the raw-feature buffer is trimmed to the unconsumed tail)."""
+    on them (see cli/recog_e2e.py --streaming). For long-lived
+    greedy-only streams pass `store_memory=False`: nothing then grows
+    with stream length (the raw-feature buffer is trimmed to the
+    unconsumed tail)."""
 
     def __init__(self, model, params, vocab=None, store_memory=True):
         self.cfg = model.cfg
-        self.step, init_caches = make_stream_step(model, params)
-        self._init_caches = init_caches
         self.vocab = vocab
         self.store_memory = store_memory
+        self._sb = StreamBatcher(
+            model, params, max_streams=1, vocab=vocab,
+            store_memory=store_memory,
+        )
+        self._sid = None
         self.reset()
 
     def reset(self):
-        self.caches = self._init_caches()
-        self._buf = None           # (T_kept, D) unconsumed feature tail
-        self._buf_start = 0        # absolute index of _buf[0]
-        self._n_buf = 0            # absolute frames received
-        self._n_consumed = 0       # raw frames consumed by emitted chunks
-        self._pos = 0              # subsampled frames emitted
-        self._mem = []
-        self._ctc = []
-        self._hyp: list[int] = []
-        self._last_id = self.cfg.blank_id
-        self._finished = False
-        self.blank_run = 0  # trailing blank-argmax frames (endpointing)
-        # emitting subsampled-frame index per token in _hyp (x4 feature
-        # frames / frontend frate seconds); parallel to _hyp
-        self.times: list[int] = []
+        if self._sid is not None:
+            self._sb.abort(self._sid)
+        self._sid = self._sb.open()
+        self.memory = None
+        self.ctc_logits = None
+        self.enc_len = 0
+
+    @property
+    def _st(self):
+        return self._sb.state(self._sid)
+
+    @property
+    def _hyp(self):
+        return self._st.hyp
+
+    @property
+    def times(self):
+        """Emitting subsampled-frame index per token (x4 feature frames
+        / frontend frate seconds); parallel to the hypothesis."""
+        return self._st.times
+
+    @property
+    def blank_run(self):
+        """Trailing blank-argmax frames (the endpointing signal)."""
+        return self._st.blank_run
 
     @property
     def chunk(self):
         return self.cfg.attn_chunk
 
-    def _slice(self, start, length):
-        """Absolute raw-frame slice [start, start+length) of the kept
-        buffer (zero-padded past the stream end)."""
-        lo = start - self._buf_start
-        return self._buf[lo : lo + length]
-
-    def _trim(self):
-        """Drop consumed frames — no future chunk reads before
-        _n_consumed, so the kept buffer stays O(chunk + push size)."""
-        drop = self._n_consumed - self._buf_start
-        if drop > 0:
-            self._buf = self._buf[drop:]
-            self._buf_start = self._n_consumed
-
-    def _emit(self, x_slice, n_valid, update_caches):
-        chunk = self.chunk
-        pad = 4 * chunk + 3 - x_slice.shape[0]
-        if pad > 0:
-            x_slice = np.pad(x_slice, ((0, pad), (0, 0)))
-        h, ctc, self.caches = self.step(
-            jnp.asarray(x_slice[None], jnp.float32),
-            jnp.asarray(_posenc_rows(self._pos, chunk, self.cfg.adim))[None],
-            jnp.asarray([n_valid], jnp.int32),
-            jnp.asarray([update_caches]), self.caches,
-        )
-        ctc = np.asarray(ctc)[0, :n_valid]
-        if self.store_memory:
-            self._mem.append(np.asarray(h)[0, :n_valid])
-            self._ctc.append(ctc)
-        self._pos += n_valid
-        self._last_id = _greedy_extend(
-            self.cfg.blank_id, self._hyp, self._last_id, ctc,
-            self.times, self._pos - n_valid,
-        )
-        self.blank_run = _blank_run_update(
-            self.cfg.blank_id, self.blank_run, ctc
-        )
-
     def push(self, frames) -> list[int]:
         """Feed (T, D) new feature frames; processes every completed
         chunk. Returns the current partial token hypothesis."""
-        assert not self._finished, "reset() before reusing a recognizer"
-        frames = _check_frames(frames)
-        self._buf = (
-            frames if self._buf is None
-            else np.concatenate([self._buf, frames])
-        )
-        self._n_buf += frames.shape[0]
-        chunk = self.chunk
-        # subsampled frame j is final once input 4j+6 exists
-        while self._n_buf >= self._n_consumed + 4 * chunk + 3:
-            self._emit(
-                self._slice(self._n_consumed, 4 * chunk + 3), chunk,
-                update_caches=True,
-            )
-            self._n_consumed += 4 * chunk
-        self._trim()
-        return list(self._hyp)
+        assert not self._st.finished, "reset() before reusing a recognizer"
+        return self._sb.push(self._sid, frames)
 
     def finish(self) -> list[int]:
         """Flush the final partial chunk; returns the final greedy token
         hypothesis and freezes `memory`/`enc_len`/`ctc_logits`."""
-        if self._finished:
-            return list(self._hyp)
-        remaining = _total_subsampled(self._n_buf) - self._pos
-        while remaining > 0:
-            n = min(remaining, self.chunk)
-            self._emit(
-                self._slice(self._n_consumed, 4 * self.chunk + 3), n,
-                update_caches=(n == self.chunk),
-            )
-            self._n_consumed += 4 * self.chunk
-            remaining -= n
-        self._finished = True
-        adim = self.cfg.adim
-        self.memory = (
-            np.concatenate(self._mem, axis=0)
-            if self._mem
-            else np.zeros((0, adim), np.float32)
-        )
-        self.ctc_logits = (
-            np.concatenate(self._ctc, axis=0)
-            if self._ctc
-            else np.zeros((0, self.cfg.vocab_size), np.float32)
-        )
-        # frames emitted — with store_memory=False, memory stays empty
-        # but the count is still meaningful
-        self.enc_len = self._pos
-        return list(self._hyp)
+        hyp = self._sb.finish(self._sid)
+        st = self._st
+        self.memory = st.memory
+        self.ctc_logits = st.ctc_logits
+        self.enc_len = st.pos
+        return hyp
 
     def text(self, tokens=None) -> str:
         from speech_recognition_tools_tpu.io.text import decode_tokens
@@ -463,7 +410,7 @@ class StreamingRecognizer:
         if self.vocab is None:
             raise ValueError("no vocab attached")
         return decode_tokens(
-            tokens if tokens is not None else self._hyp, self.vocab
+            tokens if tokens is not None else list(self._hyp), self.vocab
         )
 
     def rescored_partial(self, model, params, cfg, **beam_kwargs):
@@ -480,10 +427,11 @@ class StreamingRecognizer:
 
         if not self.store_memory:
             raise ValueError("rescored partials need store_memory=True")
-        mem = np.concatenate(self._mem, axis=0) if self._mem else None
+        st = self._st
+        mem = np.concatenate(st.mem, axis=0) if st.mem else None
         if mem is None or mem.shape[0] == 0:
             return []
-        ctc = np.concatenate(self._ctc, axis=0)
+        ctc = np.concatenate(st.ctc, axis=0)
         m = jnp.asarray(mem[None])
         e = jnp.asarray([mem.shape[0]])
         c = jnp.asarray(ctc[None])
@@ -615,6 +563,15 @@ class StreamBatcher:
         """Forget a finished stream's results (hyp/memory)."""
         self._finished.pop(sid, None)
 
+    def abort(self, sid: int) -> None:
+        """Drop a stream immediately — no tail flush, results discarded,
+        slot freed (a disconnected client / a recognizer reset)."""
+        if self._finished.pop(sid, None) is not None:
+            return
+        st = self._streams.pop(sid, None)
+        if st is not None and st.slot is not None:
+            self._slot_sid[st.slot] = None
+
     @property
     def chunk(self):
         return self.cfg.attn_chunk
@@ -744,6 +701,13 @@ class StreamBatcher:
             raise ValueError(
                 f"stream {sid}: feature dim changed "
                 f"{st.buf.shape[1]} -> {frames.shape[1]}"
+            )
+        # all streams share one batched round buffer — a mismatched dim
+        # must fail THIS push, not blow up a later round mid-flight
+        if self._feat_dim is not None and frames.shape[1] != self._feat_dim:
+            raise ValueError(
+                f"stream {sid}: feature dim {frames.shape[1]} != the "
+                f"batcher's established dim {self._feat_dim}"
             )
         st.buf = (
             frames if st.buf is None else np.concatenate([st.buf, frames])

@@ -787,10 +787,21 @@ def _convert_modnet(sd: dict, hyper: dict) -> tuple[dict, dict]:
     head_num = _count_layers(sd, "encoder.", r"regressors\.(\d+)\.weight")
     cls_n = _count_layers(sd, "classifier.", r"layers\.(\d+)\.weight")
     cls0 = _np(sd["classifier.layers.0.weight"])
+    if cls0.shape[1] % head_num != 0:
+        raise UnsupportedTorchModel(
+            f"modnet classifier input {cls0.shape[1]} is not divisible by "
+            f"head_num={head_num}; cannot derive the feature-bin count"
+        )
     H = cls0.shape[1] // head_num
     reg0 = _np(sd["encoder.regressors.0.weight"])
     freq_num = reg0.shape[0]
     Cp, Hp = outs[-1], H - n * (k - 1)
+    if Hp <= 0 or reg0.shape[1] % (Cp * Hp) != 0:
+        raise UnsupportedTorchModel(
+            f"modnet regressor input {reg0.shape[1]} is not divisible by "
+            f"C'*H' = {Cp}*{Hp} (H={H}, kernel={k}, conv layers={n}); "
+            f"patch geometry could not be derived"
+        )
     Wp = reg0.shape[1] // (Cp * Hp)
     W = Wp + n * (k - 1)
     perm = _chw3_perm(Cp, Hp, Wp)
@@ -836,8 +847,19 @@ def _convert_modnet_sigmoid(sd: dict, hyper: dict) -> tuple[dict, dict]:
     cls0 = _np(sd["classifier.layers.0.weight"])
     reg = dense_from_linear(sd, "encoder.regression.")
     freq_num = reg["bias"].shape[0]
+    if cls0.shape[1] % freq_num != 0:
+        raise UnsupportedTorchModel(
+            f"modnet classifier input {cls0.shape[1]} is not divisible by "
+            f"freq_num={freq_num}; cannot derive the feature-bin count"
+        )
     H = cls0.shape[1] // freq_num
     Cp, Hp = outs[-1], H - n * (k - 1)
+    if Hp <= 0 or reg["kernel"].shape[0] % (Cp * Hp) != 0:
+        raise UnsupportedTorchModel(
+            f"modnet regression input {reg['kernel'].shape[0]} is not "
+            f"divisible by C'*H' = {Cp}*{Hp} (H={H}, kernel={k}, conv "
+            f"layers={n}); patch geometry could not be derived"
+        )
     Wp = reg["kernel"].shape[0] // (Cp * Hp)
     W = Wp + n * (k - 1)
     reg["kernel"] = reg["kernel"][_chw3_perm(Cp, Hp, Wp)]

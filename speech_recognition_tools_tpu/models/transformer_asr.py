@@ -98,13 +98,21 @@ def chunk_attention_mask(T: int, chunk: int, left_chunks: int = -1):
     return jnp.asarray(allowed)
 
 
-def _posenc(length, dim, dtype=jnp.float32):
-    pos = np.arange(length)[:, None]
+def posenc_host(length, dim, pos0=0):
+    """Rows [pos0, pos0+length) of the sinusoidal table as float32
+    numpy — the ONE construction shared by the offline encoder/decoder
+    and the streaming step (infer/streaming_asr.py), whose exactness
+    contract requires byte-identical tables."""
+    pos = np.arange(pos0, pos0 + length)[:, None]
     div = np.exp(np.arange(0, dim, 2) * (-np.log(10000.0) / dim))
-    pe = np.zeros((length, dim))
+    pe = np.zeros((length, dim), np.float32)
     pe[:, 0::2] = np.sin(pos * div)
     pe[:, 1::2] = np.cos(pos * div)
-    return jnp.asarray(pe, dtype)
+    return pe
+
+
+def _posenc(length, dim, dtype=jnp.float32):
+    return jnp.asarray(posenc_host(length, dim), dtype)
 
 
 def _embed_scale(h, c):
@@ -438,7 +446,9 @@ def encode_pipelined(model, params, feats, lengths, mesh, *,
         mesh=mesh, axis=axis,
     )
     h = unmicrobatch(out_h)
-    h = nn.LayerNorm().apply({"params": enc_p["after_norm"]}, h)
+    h = nn.LayerNorm(dtype=c.cdtype).apply(
+        {"params": enc_p["after_norm"]}, h
+    )
     ctc = nn.Dense(c.vocab_size).apply(
         {"params": flax.core.unfreeze(params)["params"]["ctc_head"]}, h
     )
@@ -593,7 +603,9 @@ def encode_ring(model, params, feats, lengths, mesh, *,
             {"params": enc_p[f"layer_{i}"]}, h, out_len, mesh, time_axis
         )
     h = h[:, :T]
-    h = nn.LayerNorm().apply({"params": enc_p["after_norm"]}, h)
+    h = nn.LayerNorm(dtype=c.cdtype).apply(
+        {"params": enc_p["after_norm"]}, h
+    )
     ctc = nn.Dense(c.vocab_size).apply(
         {"params": flax.core.unfreeze(params)["params"]["ctc_head"]}, h
     )

@@ -133,6 +133,26 @@ class TestScpAndScores:
         assert np.isfinite(scores["sdr"])
         assert "nope" not in scores or scores["nope"] is None
 
+    def test_near_silent_int16_stays_silent(self, tmp_path):
+        """A near-silent integer-scale utterance (dead-mic dither,
+        samples in {-1, 0, 1}) must NOT be classified as float-scale
+        audio and normalized up to full int16 range — the enhanced wav
+        stays near-silent."""
+        from scipy.io.wavfile import read as wav_read
+
+        rs = np.random.RandomState(7)
+        paths = []
+        for c in range(3):
+            p = str(tmp_path / f"s0_c{c}.wav")
+            wav_write(p, SRATE,
+                      rs.randint(-1, 2, SRATE).astype(np.int16))
+            paths.append(p)
+        scp = tmp_path / "wav.scp"
+        scp.write_text(f"s0 {' '.join(paths)}\n")
+        out = run_enhancement(str(scp), str(tmp_path / "enh"), ENH, SRATE)
+        _, y = wav_read(read_multichannel_scp(out)["s0"][0])
+        assert np.max(np.abs(y)) <= 4  # dither-scale, not full-scale
+
     def test_single_channel_passthrough(self, tmp_path):
         rs = np.random.RandomState(4)
         p = str(tmp_path / "mono.wav")

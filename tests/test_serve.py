@@ -128,6 +128,18 @@ def test_serve_two_concurrent_streams(tmp_path):
         resp = json.loads(f.readline())
         assert "error" in resp
         s.close()
+
+        # so do syntactically valid but non-object frames (bare strings /
+        # arrays) — the wire contract is an error response, not a silent
+        # socket drop from an uncaught handler exception
+        for frame in (b'"hello"\n', b'[1, 2]\n'):
+            s = socket.create_connection(("127.0.0.1", port), timeout=60)
+            f = s.makefile("rwb")
+            f.write(frame)
+            f.flush()
+            resp = json.loads(f.readline())
+            assert "error" in resp, frame
+            s.close()
     finally:
         server.shutdown()
         server.server_close()

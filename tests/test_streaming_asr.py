@@ -129,7 +129,7 @@ def test_streaming_bounded_buffers_and_no_position_cap():
     for s in range(0, T, 53):
         sr.push(x[0, s : s + 53])
         # buffer never holds more than the unconsumed tail + one push
-        assert sr._buf.shape[0] <= 4 * sr.chunk + 3 + 53
+        assert sr._st.buf.shape[0] <= 4 * sr.chunk + 3 + 53
     hyp = sr.finish()
     assert sr.enc_len == n and sr.memory.shape[0] == 0  # nothing stored
     assert hyp == greedy_ctc(jnp.asarray(ctc[None]), jnp.asarray([n]))[0]
@@ -184,6 +184,33 @@ def test_stream_batcher_matches_single_streams(encoder_type):
         np.testing.assert_allclose(
             st.memory, want_mem, rtol=1e-4, atol=3e-5
         )
+
+
+def test_batcher_rejects_feat_dim_mismatch_and_abort_frees_slot():
+    """All streams share one batched round buffer: a stream pushing a
+    different feature dim must fail ITS push loudly (not blow up a later
+    round mid-flight for everyone). abort() drops a live stream without
+    a tail flush and frees its slot for reuse."""
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        StreamBatcher,
+    )
+
+    cfg = _tiny_cfg("transformer", attn_chunk=4, attn_left_chunks=2)
+    model = TransformerASR(cfg)
+    _, params = _init(model, T=60, D=8, seed=21)
+    sb = StreamBatcher(model, params, max_streams=2)
+    a, b = sb.open(), sb.open()
+    sb.push(a, RS.randn(10, 8).astype(np.float32))
+    with pytest.raises(ValueError, match="dim"):
+        sb.push(b, RS.randn(10, 4).astype(np.float32))
+    # abort a mid-stream: no flush, results gone, slot free
+    sb.push(a, RS.randn(30, 8).astype(np.float32))
+    slot_a = sb._streams[a].slot
+    sb.abort(a)
+    assert a not in sb._streams and sb._slot_sid[slot_a] is None
+    c = sb.open()  # reuses the freed slot
+    sb.push(c, RS.randn(60, 8).astype(np.float32))
+    assert sb.finish(c) is not None
 
 
 def test_online_pipeline_audio_to_tokens():
