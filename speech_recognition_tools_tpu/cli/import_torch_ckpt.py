@@ -32,6 +32,21 @@ def get_parser():
                         "the model was trained with — its Linear heads "
                         "bake this geometry in but the .model dict does "
                         "not record it (train_CNN_VAE.py:115-140)")
+    p.add_argument("--espnet_units",
+                   help="(ESPnet e2e checkpoints) the char dict the model "
+                        "was trained with ('token id' lines, data2json's "
+                        "dict file); converts model.acc.best / snapshots "
+                        "from the reference's e2e branch "
+                        "(e2e/wsj/run.sh via espnet) into a native e2e "
+                        "model dir for recog_e2e / srt-serve")
+    p.add_argument("--aheads", type=int, default=4,
+                   help="(--espnet_units) attention head count — not "
+                        "recoverable from the state_dict; read it from "
+                        "the training conf (train.yaml aheads; the "
+                        "reference's e2e configs use 4)")
+    p.add_argument("--mtlalpha", type=float, default=0.3,
+                   help="(--espnet_units) CTC weight recorded in the "
+                        "imported config (train.yaml mtlalpha)")
     return p
 
 
@@ -46,6 +61,19 @@ def main(argv=None):
                              num_targets=args.num_targets)
         print(f"imported egs {args.src} -> {out}")
         return
+    if args.espnet_units:
+        from speech_recognition_tools_tpu.io.torch_import import (
+            import_espnet_model,
+        )
+
+        path = import_espnet_model(
+            args.src, args.dest, args.espnet_units, args.aheads,
+            mtlalpha=args.mtlalpha,
+            tag="final_avg" if args.tag == "final" else args.tag,
+        )
+        print("detected family: espnet_e2e")
+        print(f"imported {args.src} -> {path}")
+        return
     from speech_recognition_tools_tpu.io.torch_import import (
         detect_family,
         import_state_dict,
@@ -53,6 +81,11 @@ def main(argv=None):
     )
 
     sd, hyper = load_torch_checkpoint(args.src)
+    if detect_family(sd) == "espnet_e2e":
+        get_parser().error(
+            "this is an ESPnet e2e transformer checkpoint (the reference's "
+            "e2e branch); rerun with --espnet_units DICT [--aheads N]"
+        )
     if args.input_hw:
         try:
             hw = tuple(int(v) for v in args.input_hw.split(","))

@@ -25,11 +25,13 @@ audio stream):
                                          an endpoint fired it also
                                          carries "endpoint": {"final":
                                          "<text>", "tokens": [...],
-                                         "times": [...]}
+                                         "times": [...], "confs": [...]}
   server -> {"final": "<text>", "tokens": [...], "times": [...],
-             "frames": N}
+             "confs": [...], "frames": N}
   ("times": per-token emit timestamps in seconds from the utterance
-   start — the first CTC frame of each collapsed token run)
+   start — the first CTC frame of each collapsed token run;
+   "confs": per-token confidence — the CTC softmax posterior of the
+   token at its emitting frame, in (0, 1])
   server -> {"error": "<message>"}       on a malformed message; the
                                          connection then closes (the
                                          stream's integrity is unknown)
@@ -153,8 +155,9 @@ class _ASRService:
             st = self.batcher.state(sid)
             if (endpoint_blanks > 0 and st.hyp
                     and st.blank_run >= endpoint_blanks):
-                toks, times = self.batcher.restart(sid)
-                endpoint = {"tokens": toks, "times": self.times_s(times)}
+                toks, times, confs = self.batcher.restart(sid)
+                endpoint = {"tokens": toks, "times": self.times_s(times),
+                            "confs": [round(c, 4) for c in confs]}
                 hyp = []
         return hyp, endpoint
 
@@ -166,7 +169,8 @@ class _ASRService:
             hyp = self.batcher.finish(sid)
             st = self.batcher.state(sid)
             frames, times = st.pos, self.times_s(st.times)
-        return hyp, frames, times
+            confs = [round(c, 4) for c in st.confs]
+        return hyp, frames, times, confs
 
     def release(self, sid):
         with self.lock:
@@ -204,9 +208,10 @@ class _Handler(socketserver.StreamRequestHandler):
                         self._send({"ok": True})
                         continue
                     if msg.get("eof"):
-                        hyp, frames, times = svc.finish(sid, featgen)
+                        hyp, frames, times, confs = svc.finish(sid, featgen)
                         self._send({"final": svc.text(hyp), "tokens": hyp,
-                                    "times": times, "frames": int(frames)})
+                                    "times": times, "confs": confs,
+                                    "frames": int(frames)})
                         finished = True
                         break
                     import numpy as np

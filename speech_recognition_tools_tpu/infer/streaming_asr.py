@@ -62,18 +62,31 @@ def _blank_run_update(blank_id: int, run: int, ctc) -> int:
 
 def _greedy_extend(blank_id: int, hyp: list, last_id: int,
                    ctc_rows: np.ndarray, times: list | None = None,
-                   pos0: int = 0) -> int:
+                   pos0: int = 0, confs: list | None = None) -> int:
     """Incremental greedy-CTC collapse: append new non-blank,
     non-repeated argmax ids to `hyp`; returns the new last id. When
     `times` is given, the emitting subsampled-frame index (`pos0` +
     row offset; x4 feature frames) of each appended token is recorded —
     token-level timestamps with an exact definition (the first frame of
-    each collapsed run)."""
-    for i, t in enumerate(np.argmax(ctc_rows, axis=-1)):
+    each collapsed run). When `confs` is given, each appended token also
+    records its confidence: the CTC softmax posterior of the token at
+    its emitting frame (exact definition; a 1.0 means the frame's whole
+    probability mass was on this token)."""
+    ids = np.argmax(ctc_rows, axis=-1)
+    if confs is not None and len(ids):
+        rows = np.asarray(ctc_rows, np.float64)
+        # log-softmax the argmax logit per frame (stable; only the
+        # emitting frames' values are consumed)
+        mx = rows.max(axis=-1)
+        lse = mx + np.log(np.exp(rows - mx[:, None]).sum(axis=-1))
+        probs = np.exp(rows[np.arange(len(ids)), ids] - lse)
+    for i, t in enumerate(ids):
         if t != blank_id and t != last_id:
             hyp.append(int(t))
             if times is not None:
                 times.append(pos0 + i)
+            if confs is not None:
+                confs.append(float(probs[i]))
         last_id = int(t)
     return last_id
 
@@ -385,6 +398,12 @@ class StreamingRecognizer:
         return self._st.blank_run
 
     @property
+    def confs(self):
+        """CTC posterior of each token at its emitting frame; parallel
+        to the hypothesis."""
+        return self._st.confs
+
+    @property
     def chunk(self):
         return self.cfg.attn_chunk
 
@@ -493,6 +512,10 @@ class _StreamState:
         self.finished = False
         self.blank_run = 0  # trailing blank-argmax frames (endpointing)
         self.times: list[int] = []  # emit frame index per token in hyp
+        # CTC posterior of each token at its emitting frame — parallel
+        # to hyp (serving-side confidence; exact definition in
+        # _greedy_extend)
+        self.confs: list[float] = []
 
 
 class StreamBatcher:
@@ -679,7 +702,7 @@ class StreamBatcher:
             st.n_consumed += 4 * chunk
             st.last_id = _greedy_extend(
                 self.cfg.blank_id, st.hyp, st.last_id, row_ctc,
-                st.times, st.pos - int(n_valid),
+                st.times, st.pos - int(n_valid), confs=st.confs,
             )
             st.blank_run = _blank_run_update(
                 self.cfg.blank_id, st.blank_run, row_ctc
@@ -808,11 +831,11 @@ class StreamBatcher:
         self._finished[sid] = self._streams.pop(sid)
         return list(st.hyp)
 
-    def restart(self, sid: int) -> tuple[list[int], list[int]]:
+    def restart(self, sid: int) -> tuple[list[int], list[int], list[float]]:
         """Finalize stream `sid`'s current utterance in place and reset
         its row for continued audio (endpointing): flushes the buffered
         tail exactly like finish() — which can still emit tokens, so the
-        (tokens, times) are taken AFTER the flush — and reinitializes
+        (tokens, times, confs) are taken AFTER the flush — and reinitializes
         caches/buffers so subsequent push() calls start a fresh utterance
         on the same stream id. Called at a detected endpoint
         (st.blank_run >= threshold), so the handful of raw frames below
@@ -832,7 +855,7 @@ class StreamBatcher:
         self._streams[sid] = _StreamState(self.cfg)
         if slot is not None:
             self._take_slot(sid, slot)  # fresh state: zeroes the row
-        return list(st.hyp), list(st.times)
+        return list(st.hyp), list(st.times), list(st.confs)
 
     def state(self, sid: int) -> _StreamState:
         return self._streams.get(sid) or self._finished[sid]
@@ -989,8 +1012,9 @@ class OnlineASRPipeline:
         self.recognizer.reset()
         self.segments: list[list[int]] = []
         # per-segment token emit times (subsampled frames, segment-
-        # relative), parallel to self.segments
+        # relative) and per-token confidences, parallel to self.segments
         self.segment_times: list[list[int]] = []
+        self.segment_confs: list[list[float]] = []
         self.frames_fed = 0  # feature frames fed to the CURRENT segment
 
     def _maybe_endpoint(self):
@@ -1004,6 +1028,7 @@ class OnlineASRPipeline:
         ):
             self.segments.append(self.recognizer.finish())
             self.segment_times.append(list(self.recognizer.times))
+            self.segment_confs.append(list(self.recognizer.confs))
             self.recognizer.reset()
             self.frames_fed = 0
             return True
@@ -1045,6 +1070,7 @@ class OnlineASRPipeline:
         if self.endpoint_blanks > 0 and hyp:
             self.segments.append(hyp)
             self.segment_times.append(list(self.recognizer.times))
+            self.segment_confs.append(list(self.recognizer.confs))
         return hyp
 
     def text(self) -> str:

@@ -279,6 +279,10 @@ def _vae_decoder(sd: dict, prefix: str) -> tuple[dict, dict]:
 def detect_family(sd: dict) -> str:
     keys = set(sd)
     tops = {k.split(".", 1)[0] for k in keys}
+    if "encoder.encoders.0.self_attn.linear_q.weight" in keys or (
+        "module.encoder.encoders.0.self_attn.linear_q.weight" in keys
+    ):
+        return "espnet_e2e"
     if "vae_model" in tops:
         return "vae_encoded"
     if "curl_model" in tops:
@@ -1244,3 +1248,233 @@ def import_state_dict(
         dest_dir, tag, variables, cfg,
         extra={"imported_from": src},
     )
+
+
+# ------------------------------------------------------------- espnet e2e
+# The reference's e2e branch does not train with this repo's trainers at
+# all — it calls out to ESPnet (e2e/wsj/path.sh:10 MAIN_ROOT=.../espnet;
+# conf/train.yaml model-module espnet.nets.pytorch_backend.
+# e2e_asr_transformer:E2E). Users migrating from the reference therefore
+# hold ESPnet transformer checkpoints (model.acc.best / snapshot.ep.N =
+# torch state_dicts), and TransformerASR here was deliberately built
+# geometry-compatible with that E2E class (same conv2d VALID subsampling,
+# pre-norm blocks, sinusoidal posenc with sqrt(adim) xscale, joint
+# CTC/attention heads), so the import is a pure weight mapping.
+#
+# ESPnet state_dict layout (espnet/nets/pytorch_backend/transformer/*):
+#   encoder.embed.conv.{0,2}.{weight,bias}        two stride-2 Conv2d
+#   encoder.embed.out.0.{weight,bias}             Linear(adim*f' -> adim)
+#   encoder.encoders.N.self_attn.linear_{q,k,v,out}.{weight,bias}
+#   encoder.encoders.N.feed_forward.w_{1,2}.{weight,bias}
+#   encoder.encoders.N.norm{1,2}.{weight,bias}    pre-norm LayerNorms
+#   encoder.after_norm.{weight,bias}
+#   ctc.ctc_lo.{weight,bias}                      Linear(adim -> odim)
+#   decoder.embed.0.weight                        Embedding(odim, adim)
+#   decoder.decoders.N.{self_attn,src_attn}.linear_*.…
+#   decoder.decoders.N.feed_forward.w_{1,2}.…  + norm{1,2,3}
+#   decoder.after_norm.…  decoder.output_layer.{weight,bias}
+#
+# Mapping notes:
+#   * torch per-head packing (adim = heads*hd rows, head-major) maps onto
+#     flax MultiHeadDotProductAttention DenseGeneral kernels by
+#     W.T.reshape(in, heads, hd) (q/k/v) and W.T.reshape(heads, hd, out)
+#     (out proj); both sides scale queries by 1/sqrt(hd).
+#   * ESPnet flattens the conv output .view(b, t, c*f) (channel-major);
+#     our NHWC reshape is (f-major, c-minor), so the embed Linear kernel
+#     rows are permuted with _chw_perm(C, f').
+#   * aheads is NOT recoverable from the state_dict (linear_q is always
+#     (adim, adim)); it must come from the training conf (train.yaml
+#     `aheads`), so the CLI requires --aheads.
+
+
+def _espnet_ln(sd: dict, prefix: str) -> dict:
+    return {"scale": _np(sd[prefix + "weight"]),
+            "bias": _np(sd[prefix + "bias"])}
+
+
+def mha_from_espnet(sd: dict, prefix: str, aheads: int) -> dict:
+    """espnet MultiHeadedAttention linear_{q,k,v,out} -> flax
+    MultiHeadDotProductAttention {query,key,value,out} params."""
+    wq = _np(sd[prefix + "linear_q.weight"])
+    adim = wq.shape[0]
+    if adim % aheads:
+        raise UnsupportedTorchModel(
+            f"adim {adim} not divisible by aheads={aheads} at {prefix}"
+        )
+    hd = adim // aheads
+
+    def qkv(nm):
+        w = _np(sd[prefix + f"linear_{nm}.weight"])  # (adim, in)
+        b = _np(sd[prefix + f"linear_{nm}.bias"])
+        return {"kernel": w.T.reshape(w.shape[1], aheads, hd),
+                "bias": b.reshape(aheads, hd)}
+
+    wo = _np(sd[prefix + "linear_out.weight"])  # (out, adim)
+    return {
+        "query": qkv("q"), "key": qkv("k"), "value": qkv("v"),
+        "out": {"kernel": wo.T.reshape(aheads, hd, wo.shape[0]),
+                "bias": _np(sd[prefix + "linear_out.bias"])},
+    }
+
+
+def _espnet_enc_layer(sd: dict, i: int, aheads: int) -> dict:
+    p = f"encoder.encoders.{i}."
+    return {
+        "LayerNorm_0": _espnet_ln(sd, p + "norm1."),
+        "MultiHeadDotProductAttention_0": mha_from_espnet(
+            sd, p + "self_attn.", aheads
+        ),
+        "LayerNorm_1": _espnet_ln(sd, p + "norm2."),
+        "Dense_0": dense_from_linear(sd, p + "feed_forward.w_1."),
+        "Dense_1": dense_from_linear(sd, p + "feed_forward.w_2."),
+    }
+
+
+def _espnet_dec_layer(sd: dict, i: int, aheads: int) -> dict:
+    p = f"decoder.decoders.{i}."
+    return {
+        "LayerNorm_0": _espnet_ln(sd, p + "norm1."),
+        "MultiHeadDotProductAttention_0": mha_from_espnet(
+            sd, p + "self_attn.", aheads
+        ),
+        "LayerNorm_1": _espnet_ln(sd, p + "norm2."),
+        "MultiHeadDotProductAttention_1": mha_from_espnet(
+            sd, p + "src_attn.", aheads
+        ),
+        "LayerNorm_2": _espnet_ln(sd, p + "norm3."),
+        "Dense_0": dense_from_linear(sd, p + "feed_forward.w_1."),
+        "Dense_1": dense_from_linear(sd, p + "feed_forward.w_2."),
+    }
+
+
+def convert_espnet_e2e(sd: dict, aheads: int,
+                       mtlalpha: float = 0.3) -> tuple[dict, dict]:
+    """ESPnet E2E transformer state_dict -> (flax variables, cfg dict)
+    loadable by cli/recog_e2e.py::_load (and every downstream consumer:
+    streaming, serving, ring/PP encode, CL fusion)."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    for req in ("encoder.embed.conv.0.weight", "encoder.embed.out.0.weight",
+                "decoder.embed.0.weight", "ctc.ctc_lo.weight"):
+        if req not in sd:
+            raise UnsupportedTorchModel(
+                f"missing {req!r} — not an ESPnet conv2d-input transformer "
+                "E2E state_dict (only transformer-input-layer: conv2d "
+                "models are supported)"
+            )
+    n_enc = _count_layers(sd, "encoder.",
+                          r"encoders\.(\d+)\.norm1\.weight")
+    n_dec = _count_layers(sd, "decoder.",
+                          r"decoders\.(\d+)\.norm1\.weight")
+    adim = _np(sd["encoder.embed.conv.0.weight"]).shape[0]
+    eunits = _np(sd["encoder.encoders.0.feed_forward.w_1.weight"]).shape[0]
+    dunits = _np(sd["decoder.decoders.0.feed_forward.w_1.weight"]).shape[0]
+    odim = _np(sd["ctc.ctc_lo.weight"]).shape[0]
+
+    # embed Linear: espnet flattens (b, c, t, f) -> (b, t, c*f'); ours is
+    # (f'-major, c-minor), so permute the kernel rows
+    w_out = _np(sd["encoder.embed.out.0.weight"])  # (adim, C*f')
+    if w_out.shape[1] % adim:
+        raise UnsupportedTorchModel(
+            f"embed.out.0 input dim {w_out.shape[1]} is not a multiple of "
+            f"adim={adim}; unexpected subsampling geometry"
+        )
+    fprime = w_out.shape[1] // adim
+    embed = {
+        "Conv_0": conv2d_from_torch(sd, "encoder.embed.conv.0.",
+                                    same_padding=False),
+        "Conv_1": conv2d_from_torch(sd, "encoder.embed.conv.2.",
+                                    same_padding=False),
+        "Dense_0": {
+            "kernel": w_out.T[_chw_perm(adim, fprime)],
+            "bias": _np(sd["encoder.embed.out.0.bias"]),
+        },
+    }
+    encoder = {"embed": embed,
+               "after_norm": _espnet_ln(sd, "encoder.after_norm.")}
+    for i in range(n_enc):
+        encoder[f"layer_{i}"] = _espnet_enc_layer(sd, i, aheads)
+    decoder = {
+        "embed": {"embedding": _np(sd["decoder.embed.0.weight"])},
+        "after_norm": _espnet_ln(sd, "decoder.after_norm."),
+        "output": dense_from_linear(sd, "decoder.output_layer."),
+    }
+    for i in range(n_dec):
+        decoder[f"layer_{i}"] = _espnet_dec_layer(sd, i, aheads)
+    variables = {"params": {
+        "encoder": encoder,
+        "decoder": decoder,
+        "ctc_head": dense_from_linear(sd, "ctc.ctc_lo."),
+    }}
+    cfg = {
+        "model_class": "TransformerASR",
+        "arch": "espnet_e2e",
+        "vocab_size": odim,
+        "adim": adim, "aheads": aheads,
+        "elayers": n_enc, "eunits": eunits,
+        "dlayers": n_dec, "dunits": dunits,
+        "mtlalpha": float(mtlalpha), "lsm_weight": 0.1,
+        "encoder_type": "transformer",
+    }
+    return variables, cfg
+
+
+def espnet_vocab_from_units(units_path: str, odim: int) -> dict:
+    """ESPnet char dict ('token id' lines, ids from 1; 0 is the implicit
+    CTC <blank>, odim-1 the implicit <sos/eos>) -> our vocab.json dict."""
+    vocab = {"<blank>": 0}
+    with open(units_path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) != 2:
+                raise UnsupportedTorchModel(
+                    f"bad units line {line!r} (want 'token id')"
+                )
+            tok, idx = parts[0], int(parts[1])
+            vocab[tok] = idx
+    vocab.setdefault("<sos/eos>", odim - 1)
+    ids = sorted(vocab.values())
+    if ids != list(range(odim)):
+        raise UnsupportedTorchModel(
+            f"units file covers ids {ids[:3]}..{ids[-3:]} but the model's "
+            f"odim is {odim}; pass the dict the model was trained with"
+        )
+    return vocab
+
+
+def load_espnet_checkpoint(path: str) -> dict:
+    """torch.load an ESPnet model file (model.acc.best = bare state_dict,
+    or a snapshot dict carrying one under 'model')."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(blob, "state_dict"):
+        blob = blob.state_dict()
+    if isinstance(blob, dict) and "model" in blob and isinstance(
+        blob["model"], dict
+    ):
+        blob = blob["model"]
+    if not isinstance(blob, dict):
+        raise UnsupportedTorchModel(f"cannot read a state_dict from {path}")
+    return blob
+
+
+def import_espnet_model(src: str, dest_dir: str, units: str, aheads: int,
+                        mtlalpha: float = 0.3,
+                        tag: str = "final_avg") -> str:
+    """ESPnet E2E checkpoint + char dict -> a native e2e model directory
+    (checkpoint under `tag` + vocab.json) that recog_e2e/srt-serve load
+    exactly like a train_e2e-produced one."""
+    import os
+
+    from speech_recognition_tools_tpu.io.text import save_vocab
+    from speech_recognition_tools_tpu.train.checkpoint import save_checkpoint
+
+    sd = load_espnet_checkpoint(src)
+    variables, cfg = convert_espnet_e2e(sd, aheads, mtlalpha=mtlalpha)
+    vocab = espnet_vocab_from_units(units, cfg["vocab_size"])
+    path = save_checkpoint(dest_dir, tag, variables, cfg,
+                           extra={"imported_from": src})
+    save_vocab(vocab, os.path.join(dest_dir, "vocab.json"))
+    return path

@@ -327,8 +327,9 @@ def test_endpointing_segments_exactly():
         fed = min(off + 16, T)
         st = sb.state(sid)
         if st.hyp and st.blank_run >= THRESH:
-            toks, times = sb.restart(sid)
-            assert len(times) == len(toks)
+            toks, times, confs = sb.restart(sid)
+            assert len(times) == len(toks) == len(confs)
+            assert all(0 < c <= 1 for c in confs)
             segments.append(toks)
             cuts.append(fed)
     final = sb.finish(sid)
@@ -389,6 +390,48 @@ def test_token_times_match_offline_definition():
         sb.push(sid, x[0, off : off + 16])
     sb.finish(sid)
     assert sb.state(sid).times == want_times
+
+
+def test_token_confidences_match_offline_definition():
+    """Per-token confidences: the streamed `confs` equal the exact
+    offline definition — the CTC softmax posterior of the token at its
+    emitting frame — and live in (0, 1]."""
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        StreamBatcher,
+    )
+
+    cfg = _tiny_cfg("transformer", attn_chunk=4, attn_left_chunks=2)
+    model = TransformerASR(cfg)
+    T = 200
+    x = np.random.RandomState(107).randn(1, T, 8).astype(np.float32)
+    params = model.init(
+        {"params": jax.random.key(7), "dropout": jax.random.key(8)},
+        jnp.asarray(x), jnp.asarray([T]), jnp.zeros((1, 4), jnp.int32),
+    )
+    _, ctc, n = _offline(model, params, x, T)
+    ids = np.argmax(ctc, -1)
+    logp = ctc - np.log(np.exp(
+        ctc - ctc.max(-1, keepdims=True)
+    ).sum(-1, keepdims=True)) - ctc.max(-1, keepdims=True)
+    want, last = [], cfg.blank_id
+    for i, t in enumerate(ids):
+        if t != cfg.blank_id and t != last:
+            want.append(float(np.exp(logp[i, t])))
+        last = int(t)
+
+    sr = StreamingRecognizer(model, params)
+    sr.push(x[0])
+    hyp = sr.finish()
+    assert len(hyp) == len(want) > 0
+    assert all(0 < c <= 1 for c in sr.confs)
+    np.testing.assert_allclose(sr.confs, want, rtol=2e-3)
+
+    sb = StreamBatcher(model, params, max_streams=2)
+    sid = sb.open()
+    for off in range(0, T, 16):
+        sb.push(sid, x[0, off : off + 16])
+    sb.finish(sid)
+    np.testing.assert_allclose(sb.state(sid).confs, want, rtol=2e-3)
 
 
 def test_rescored_partial_equals_final_beam():
