@@ -86,6 +86,15 @@ def main(argv=None):
             "this is an ESPnet e2e transformer checkpoint (the reference's "
             "e2e branch); rerun with --espnet_units DICT [--aheads N]"
         )
+    if detect_family(sd) == "espnet_lm":
+        from speech_recognition_tools_tpu.io.torch_import import (
+            import_espnet_lm,
+        )
+
+        path = import_espnet_lm(args.src, args.dest, tag=args.tag)
+        print("detected family: espnet_lm")
+        print(f"imported {args.src} -> {path} (use with srt-recog-e2e --lm)")
+        return
     if args.input_hw:
         try:
             hw = tuple(int(v) for v in args.input_hw.split(","))

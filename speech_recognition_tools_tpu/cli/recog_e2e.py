@@ -77,6 +77,7 @@ def _load_lm(lm_dir, ckpt="final"):
     model = RNNLM(
         vocab_size=cfg_d["vocab_size"], embed_dim=cfg_d["embed_dim"],
         hidden=cfg_d["hidden"], layers=cfg_d["layers"],
+        cell=cfg_d.get("cell", "gru"),
     )
     template = model.init(
         {"params": jax.random.key(0)}, jnp.zeros((1, 4), jnp.int32),

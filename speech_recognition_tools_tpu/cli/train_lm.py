@@ -23,6 +23,9 @@ def get_parser():
     p.add_argument("--embed_dim", type=int, default=256)
     p.add_argument("--hidden", type=int, default=1000)
     p.add_argument("--layers", type=int, default=1)
+    p.add_argument("--cell", default="gru", choices=["gru", "lstm"],
+                   help="recurrent cell (lstm matches ESPnet's default "
+                        "LM; imported ESPnet LMs record this themselves)")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--learning_rate", type=float, default=1e-3)
@@ -84,7 +87,7 @@ def main(argv=None):
 
     model = RNNLM(
         vocab_size=len(vocab), embed_dim=args.embed_dim,
-        hidden=args.hidden, layers=args.layers,
+        hidden=args.hidden, layers=args.layers, cell=args.cell,
     )
     t0, l0 = next(lm_batches(texts, vocab, args.batch_size, args.bptt_len))
     params = model.init(

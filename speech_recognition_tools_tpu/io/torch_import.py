@@ -89,17 +89,18 @@ def _np(t) -> np.ndarray:
 # ---------------------------------------------------------------- low level
 
 
-def gru_cell_from_torch(sd: dict, prefix: str) -> dict:
-    """torch nn.GRU (single layer) -> flax GRUCell param dict.
+def gru_cell_from_torch(sd: dict, prefix: str, suffix: str = "_l0") -> dict:
+    """torch nn.GRU (single layer; suffix '_l0') or nn.GRUCell
+    (suffix '') -> flax GRUCell param dict.
 
     torch gate stacking order is (reset | update | new) per the torch docs;
     flax GRUCell submodules are ir/iz/in (input path, with bias) and
     hr/hz/hn (hidden path, bias only on hn).
     """
-    w_ih = _np(sd[prefix + "weight_ih_l0"])  # (3H, D)
-    w_hh = _np(sd[prefix + "weight_hh_l0"])  # (3H, H)
-    b_ih = _np(sd[prefix + "bias_ih_l0"])  # (3H,)
-    b_hh = _np(sd[prefix + "bias_hh_l0"])  # (3H,)
+    w_ih = _np(sd[prefix + "weight_ih" + suffix])  # (3H, D)
+    w_hh = _np(sd[prefix + "weight_hh" + suffix])  # (3H, H)
+    b_ih = _np(sd[prefix + "bias_ih" + suffix])  # (3H,)
+    b_hh = _np(sd[prefix + "bias_hh" + suffix])  # (3H,)
     H = w_hh.shape[1]
     wr, wz, wn = w_ih[:H], w_ih[H : 2 * H], w_ih[2 * H :]
     ur, uz, un = w_hh[:H], w_hh[H : 2 * H], w_hh[2 * H :]
@@ -188,14 +189,15 @@ def conv_transpose2d_from_torch(sd: dict, prefix: str) -> dict:
     }
 
 
-def lstm_cell_from_torch(sd: dict, prefix: str) -> dict:
-    """torch nn.LSTM (single layer; gate blocks i|f|g|o) -> flax
-    (Optimized)LSTMCell params (input denses ii/if/ig/io bias-free,
-    hidden denses hi/hf/hg/ho carry the folded bias)."""
-    w_ih = _np(sd[prefix + "weight_ih_l0"])  # (4H, D)
-    w_hh = _np(sd[prefix + "weight_hh_l0"])  # (4H, H)
-    b_ih = _np(sd[prefix + "bias_ih_l0"])
-    b_hh = _np(sd[prefix + "bias_hh_l0"])
+def lstm_cell_from_torch(sd: dict, prefix: str, suffix: str = "_l0") -> dict:
+    """torch nn.LSTM (single layer; suffix '_l0') or nn.LSTMCell
+    (suffix ''); gate blocks i|f|g|o -> flax (Optimized)LSTMCell params
+    (input denses ii/if/ig/io bias-free, hidden denses hi/hf/hg/ho carry
+    the folded bias)."""
+    w_ih = _np(sd[prefix + "weight_ih" + suffix])  # (4H, D)
+    w_hh = _np(sd[prefix + "weight_hh" + suffix])  # (4H, H)
+    b_ih = _np(sd[prefix + "bias_ih" + suffix])
+    b_hh = _np(sd[prefix + "bias_hh" + suffix])
     H = w_hh.shape[1]
     out = {}
     for gi, g in enumerate("ifgo"):
@@ -283,6 +285,8 @@ def detect_family(sd: dict) -> str:
         "module.encoder.encoders.0.self_attn.linear_q.weight" in keys
     ):
         return "espnet_e2e"
+    if "predictor.lo.weight" in keys or "module.predictor.lo.weight" in keys:
+        return "espnet_lm"
     if "vae_model" in tops:
         return "vae_encoded"
     if "curl_model" in tops:
@@ -1478,3 +1482,79 @@ def import_espnet_model(src: str, dest_dir: str, units: str, aheads: int,
                            extra={"imported_from": src})
     save_vocab(vocab, os.path.join(dest_dir, "vocab.json"))
     return path
+
+
+# ------------------------------------------------------------- espnet lm
+# The reference trains its fusion LMs with ESPnet lm_train.py too
+# (e2e/wsj/run_fdlp_e1.sh:405-417; conf/lm.yaml 1x1000). ESPnet's
+# DefaultRNNLM (espnet/nets/pytorch_backend/lm/default.py) is
+# ClassifierWithState(RNNLM(embed -> ModuleList of LSTMCell/GRUCell ->
+# Linear lo)), so its state_dicts carry:
+#   predictor.embed.weight                     Embedding(n_vocab, n_embed)
+#   predictor.rnn.N.{weight,bias}_{ih,hh}      nn.LSTMCell / nn.GRUCell
+#   predictor.lo.{weight,bias}                 Linear(n_units, n_vocab)
+# The cell type is derived from the gate-block count (4H rows = LSTM,
+# 3H = GRU). Our RNNLM(cell=...) rebuilds either exactly; only
+# CHARACTER LMs make sense to import (token ids must be the e2e model's
+# char-dict ids — the reference's word-LM fusion is a different,
+# multi-level mechanism).
+
+
+def convert_espnet_lm(sd: dict) -> tuple[dict, dict]:
+    """ESPnet DefaultRNNLM state_dict -> (flax variables, cfg dict)
+    loadable by cli/recog_e2e.py::_load_lm for shallow fusion."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    if "predictor.embed.weight" not in sd:
+        raise UnsupportedTorchModel(
+            "missing predictor.embed.weight — not an ESPnet DefaultRNNLM "
+            "state_dict (sequential RNNLM variants are unsupported)"
+        )
+    n = _count_layers(sd, "predictor.", r"rnn\.(\d+)\.weight_ih")
+    emb = _np(sd["predictor.embed.weight"])  # (n_vocab, n_embed)
+    w_ih0 = _np(sd["predictor.rnn.0.weight_ih"])
+    w_hh0 = _np(sd["predictor.rnn.0.weight_hh"])
+    hidden = w_hh0.shape[1]
+    gates = w_ih0.shape[0] // hidden
+    if gates == 4:
+        cell = "lstm"
+        params = {
+            f"rnn_{i}": {"cell": lstm_cell_from_torch(
+                sd, f"predictor.rnn.{i}.", suffix=""
+            )}
+            for i in range(n)
+        }
+    elif gates == 3:
+        cell = "gru"
+        params = {"rnn": {
+            f"gru_{i}": {"cell": gru_cell_from_torch(
+                sd, f"predictor.rnn.{i}.", suffix=""
+            )}
+            for i in range(n)
+        }}  # GRUStack scope: rnn/gru_i/cell
+    else:
+        raise UnsupportedTorchModel(
+            f"rnn.0.weight_ih has {w_ih0.shape[0]} rows for hidden "
+            f"{hidden} — neither LSTM (4H) nor GRU (3H)"
+        )
+    tree = {
+        "embed": {"embedding": emb},
+        "output": dense_from_linear(sd, "predictor.lo."),
+    }
+    tree.update(params)
+    cfg = {
+        "model_class": "RNNLM", "arch": "espnet_lm",
+        "vocab_size": emb.shape[0], "embed_dim": emb.shape[1],
+        "hidden": hidden, "layers": n, "cell": cell,
+    }
+    return {"params": tree}, cfg
+
+
+def import_espnet_lm(src: str, dest_dir: str, tag: str = "final") -> str:
+    """ESPnet LM checkpoint (rnnlm.model.best / snapshots) -> a native
+    LM directory for `srt-recog-e2e --lm`."""
+    sd = load_espnet_checkpoint(src)
+    variables, cfg = convert_espnet_lm(sd)
+    from speech_recognition_tools_tpu.train.checkpoint import save_checkpoint
+
+    return save_checkpoint(dest_dir, tag, variables, cfg,
+                           extra={"imported_from": src})

@@ -15,10 +15,15 @@ from speech_recognition_tools_tpu.models.recurrent import GRUStack
 
 
 class RNNLM(nn.Module):
+    """cell='gru' (native default) or 'lstm' — the latter matches
+    ESPnet's default LM cell, so imported ESPnet LMs
+    (io/torch_import.py::convert_espnet_lm) rebuild exactly."""
+
     vocab_size: int
     embed_dim: int = 256
     hidden: int = 1000
     layers: int = 1
+    cell: str = "gru"
 
     @nn.compact
     def __call__(self, tokens, lengths=None):
@@ -28,7 +33,15 @@ class RNNLM(nn.Module):
         h = nn.Embed(self.vocab_size, self.embed_dim, name="embed")(
             jnp.maximum(tokens, 0)
         )
-        h = GRUStack(self.layers, self.hidden, name="rnn")(h, lengths)
+        if self.cell == "lstm":
+            from speech_recognition_tools_tpu.models.cnn import (
+                MaskedLSTMLayer,
+            )
+
+            for i in range(self.layers):
+                h = MaskedLSTMLayer(self.hidden, name=f"rnn_{i}")(h, lengths)
+        else:
+            h = GRUStack(self.layers, self.hidden, name="rnn")(h, lengths)
         return nn.Dense(self.vocab_size, name="output")(h)
 
 

@@ -313,3 +313,89 @@ def test_plain_import_points_to_espnet_flag(tmp_path):
     torch.save(_E2E().state_dict(), src)
     with pytest.raises(SystemExit):
         main([src, str(tmp_path / "out")])
+
+
+# ------------------------------------------------------------- espnet LM
+# (reconstruction of espnet/nets/pytorch_backend/lm/default.py RNNLM —
+# ClassifierWithState prefixes everything with 'predictor.')
+
+
+class _EspnetLM(tnn.Module):
+    def __init__(self, n_vocab, n_embed, n_units, n_layers, typ="lstm"):
+        super().__init__()
+        self.typ = typ
+        self.embed = tnn.Embedding(n_vocab, n_embed)
+        mk = tnn.LSTMCell if typ == "lstm" else tnn.GRUCell
+        self.rnn = tnn.ModuleList(
+            [mk(n_embed, n_units)]
+            + [mk(n_units, n_units) for _ in range(n_layers - 1)]
+        )
+        self.lo = tnn.Linear(n_units, n_vocab)
+
+    def forward(self, tokens):
+        B, U = tokens.shape
+        emb = self.embed(tokens)
+        hs = [torch.zeros(B, c.hidden_size) for c in self.rnn]
+        cs = [torch.zeros(B, c.hidden_size) for c in self.rnn]
+        outs = []
+        for t in range(U):
+            x = emb[:, t]
+            for i, cell in enumerate(self.rnn):
+                if self.typ == "lstm":
+                    hs[i], cs[i] = cell(x, (hs[i], cs[i]))
+                else:
+                    hs[i] = cell(x, hs[i])
+                x = hs[i]
+            outs.append(self.lo(x))
+        return torch.stack(outs, dim=1)
+
+
+class _Classifier(tnn.Module):
+    def __init__(self, predictor):
+        super().__init__()
+        self.predictor = predictor
+
+
+@pytest.mark.parametrize("typ", ["lstm", "gru"])
+def test_espnet_lm_forward_parity(typ):
+    from speech_recognition_tools_tpu.io.torch_import import (
+        convert_espnet_lm,
+    )
+    from speech_recognition_tools_tpu.models.rnnlm import RNNLM
+
+    torch.manual_seed(7)
+    lm_t = _Classifier(_EspnetLM(13, 6, 10, 2, typ=typ)).eval()
+    sd = lm_t.state_dict()
+    assert detect_family(sd) == "espnet_lm"
+    variables, cfg = convert_espnet_lm(sd)
+    assert cfg["cell"] == typ and cfg["layers"] == 2
+    assert (cfg["vocab_size"], cfg["embed_dim"], cfg["hidden"]) == (13, 6, 10)
+    model = RNNLM(vocab_size=13, embed_dim=6, hidden=10, layers=2, cell=typ)
+    tokens = RS.randint(0, 13, (3, 9))
+    with torch.no_grad():
+        want = lm_t.predictor(torch.from_numpy(tokens)).numpy()
+    got = model.apply(jax.tree.map(jnp.asarray, variables),
+                      jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_espnet_lm_import_cli(tmp_path):
+    from speech_recognition_tools_tpu.cli.import_torch_ckpt import main
+    from speech_recognition_tools_tpu.cli.recog_e2e import _load_lm
+    from speech_recognition_tools_tpu.models.rnnlm import make_fusion_scorer
+
+    torch.manual_seed(9)
+    lm_t = _Classifier(_EspnetLM(13, 6, 10, 1)).eval()
+    src = str(tmp_path / "rnnlm.model.best")
+    torch.save(lm_t.state_dict(), src)
+    dest = str(tmp_path / "lm")
+    main([src, dest])
+    model, params = _load_lm(dest)
+    score = make_fusion_scorer(model, params)
+    prefix = jnp.asarray(RS.randint(0, 13, (2, 5)))
+    lp = np.asarray(score(prefix))
+    with torch.no_grad():
+        want = torch.log_softmax(
+            lm_t.predictor(torch.from_numpy(np.array(prefix)))[:, -1], -1
+        ).numpy()
+    np.testing.assert_allclose(lp, want, rtol=1e-4, atol=1e-5)

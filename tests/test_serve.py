@@ -145,6 +145,44 @@ def test_serve_two_concurrent_streams(tmp_path):
         server.server_close()
 
 
+def test_serve_client_cli_streams_wav(tmp_path):
+    """srt-serve-client: streams a wav to a live server and returns the
+    same final (tokens + times + confs) as the direct pipeline; the
+    confs are valid probabilities parallel to the tokens."""
+    from scipy.io.wavfile import write as wav_write
+
+    from speech_recognition_tools_tpu.cli.serve import make_server
+    from speech_recognition_tools_tpu.cli.serve_client import stream_wav
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        OnlineASRPipeline,
+    )
+
+    d, model, params, vocab = _make_model_dir(tmp_path)
+    server, port = make_server(d, max_streams=2, fdlp_cfg=FCFG)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        sig = _audio(9)
+        wav = str(tmp_path / "in.wav")
+        wav_write(wav, 8000, sig)
+        lines = []
+        final, events = stream_wav(wav, port=port, chunk_s=0.25,
+                                   pace=False, log=lines.append)
+        pipe = OnlineASRPipeline(model, params, fdlp_cfg=FCFG, vocab=vocab)
+        pipe.push(sig)
+        want = pipe.finish()
+        assert final["tokens"] == want
+        assert len(final["confs"]) == len(final["tokens"]) == len(
+            final["times"]
+        )
+        assert all(0 < c <= 1 for c in final["confs"])
+        assert any(e.get("partial") for e in events)
+        assert lines and lines[-1].startswith("[final")
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_serving_manifest_autodiscovery(tmp_path):
     """A model dir carrying serving.json (as run_corpus stage 4 writes)
     serves with the trained frontend + CMVN and no manual flags, equal to
