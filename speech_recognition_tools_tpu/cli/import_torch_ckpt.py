@@ -18,8 +18,10 @@ def get_parser():
     p.add_argument("src", help="reference .model file (torch.save dict), "
                                "or an egs directory with --egs")
     p.add_argument("dest", help="native checkpoint / egs directory to create")
-    p.add_argument("--tag", default="final",
-                   help="checkpoint tag (subdirectory name)")
+    p.add_argument("--tag", default=None,
+                   help="checkpoint tag (subdirectory name; default "
+                        "'final', or 'final_avg' for ESPnet e2e models "
+                        "so recog_e2e finds them without --ckpt)")
     p.add_argument("--egs", action="store_true",
                    help="src is a reference egs directory (per-utt .pt + "
                         "lengths.pkl [+ labels.pkl]); convert the DATA "
@@ -38,7 +40,8 @@ def get_parser():
                         "dict file); converts model.acc.best / snapshots "
                         "from the reference's e2e branch "
                         "(e2e/wsj/run.sh via espnet) into a native e2e "
-                        "model dir for recog_e2e / srt-serve")
+                        "model dir for recog_e2e (add --attn_chunk to "
+                        "also serve it online)")
     p.add_argument("--aheads", type=int, default=4,
                    help="(--espnet_units) attention head count — not "
                         "recoverable from the state_dict; read it from "
@@ -47,6 +50,16 @@ def get_parser():
     p.add_argument("--mtlalpha", type=float, default=0.3,
                    help="(--espnet_units) CTC weight recorded in the "
                         "imported config (train.yaml mtlalpha)")
+    p.add_argument("--attn_chunk", type=int, default=0,
+                   help="(ESPnet e2e) record a decode-time chunked-"
+                        "attention geometry so srt-serve / recog_e2e "
+                        "--streaming can run the imported model. ESPnet "
+                        "models are trained full-context, so this is an "
+                        "APPROXIMATION (offline recog then applies the "
+                        "same chunk mask); omit for exact offline-only "
+                        "decoding")
+    p.add_argument("--attn_left_chunks", type=int, default=4,
+                   help="(--attn_chunk) left-context chunks")
     return p
 
 
@@ -61,39 +74,42 @@ def main(argv=None):
                              num_targets=args.num_targets)
         print(f"imported egs {args.src} -> {out}")
         return
-    if args.espnet_units:
-        from speech_recognition_tools_tpu.io.torch_import import (
-            import_espnet_model,
-        )
-
-        path = import_espnet_model(
-            args.src, args.dest, args.espnet_units, args.aheads,
-            mtlalpha=args.mtlalpha,
-            tag="final_avg" if args.tag == "final" else args.tag,
-        )
-        print("detected family: espnet_e2e")
-        print(f"imported {args.src} -> {path}")
-        return
     from speech_recognition_tools_tpu.io.torch_import import (
         detect_family,
+        import_espnet_lm,
+        import_espnet_model,
         import_state_dict,
         load_torch_checkpoint,
     )
 
+    # one load + one detection; load_torch_checkpoint unwraps ESPnet
+    # snapshot wrappers ({'model': sd}) and DataParallel prefixes, so
+    # snapshots detect the same as model.acc.best files
     sd, hyper = load_torch_checkpoint(args.src)
-    if detect_family(sd) == "espnet_e2e":
-        get_parser().error(
-            "this is an ESPnet e2e transformer checkpoint (the reference's "
-            "e2e branch); rerun with --espnet_units DICT [--aheads N]"
+    family = detect_family(sd)
+    if family == "espnet_e2e":
+        if not args.espnet_units:
+            get_parser().error(
+                "this is an ESPnet e2e transformer checkpoint (the "
+                "reference's e2e branch); rerun with --espnet_units DICT "
+                "[--aheads N]"
+            )
+        path = import_espnet_model(
+            args.src, args.dest, args.espnet_units, args.aheads,
+            mtlalpha=args.mtlalpha, tag=args.tag or "final_avg",
+            attn_chunk=args.attn_chunk,
+            attn_left_chunks=args.attn_left_chunks, sd=sd,
         )
-    if detect_family(sd) == "espnet_lm":
-        from speech_recognition_tools_tpu.io.torch_import import (
-            import_espnet_lm,
-        )
-
-        path = import_espnet_lm(args.src, args.dest, tag=args.tag)
+        print("detected family: espnet_e2e")
+        print(f"imported {args.src} -> {path}")
+        return
+    if family == "espnet_lm":
+        path = import_espnet_lm(args.src, args.dest,
+                                tag=args.tag or "final",
+                                units=args.espnet_units, sd=sd)
         print("detected family: espnet_lm")
-        print(f"imported {args.src} -> {path} (use with srt-recog-e2e --lm)")
+        print(f"imported {args.src} -> {path} "
+              "(use with srt-recog-e2e --lm_dir)")
         return
     if args.input_hw:
         try:
@@ -106,8 +122,8 @@ def main(argv=None):
                 f"(two comma-separated integers), got {args.input_hw!r}"
             )
         hyper["input_hw"] = hw
-    family = detect_family(sd)
-    path = import_state_dict(sd, hyper, args.dest, tag=args.tag, src=args.src)
+    path = import_state_dict(sd, hyper, args.dest,
+                             tag=args.tag or "final", src=args.src)
     print(f"detected family: {family}")
     print(f"imported {args.src} -> {path}")
 

@@ -77,8 +77,11 @@ def stream_wav(wav, host="127.0.0.1", port=8973, chunk_s=0.25,
         t0 = time.time()
         for i, off in enumerate(range(0, len(sig), step)):
             if pace:
-                # pace the NEXT chunk to its real-time arrival moment
-                lag = (i * step / srate) - (time.time() - t0)
+                # a chunk covering [i*step, (i+1)*step) only exists once
+                # its LAST sample was captured — pace to that moment, so
+                # the client never runs ahead of real time
+                end = min(off + step, len(sig))
+                lag = (end / srate) - (time.time() - t0)
                 if lag > 0:
                     time.sleep(lag)
             send({"pcm": sig[off : off + step].tolist()})

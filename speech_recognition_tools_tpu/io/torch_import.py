@@ -1202,10 +1202,17 @@ def load_torch_checkpoint(path: str) -> tuple[dict, dict]:
         sd = blob["model_state_dict"]
         hyper = {k: v for k, v in blob.items() if k != "model_state_dict"}
         hyper.pop("optimizer_state_dict", None)
+    elif isinstance(blob, dict) and isinstance(blob.get("model"), dict):
+        # ESPnet-style snapshot: the state_dict rides under 'model'
+        sd = blob["model"]
+        hyper = {k: v for k, v in blob.items()
+                 if k != "model" and isinstance(v, (int, float, str))}
     elif isinstance(blob, dict):
         sd, hyper = blob, {}
     else:  # a pickled nn.Module
         sd, hyper = blob.state_dict(), {}
+    if sd and all(k.startswith("module.") for k in sd):
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
     return sd, hyper
 
 
@@ -1351,8 +1358,9 @@ def _espnet_dec_layer(sd: dict, i: int, aheads: int) -> dict:
     }
 
 
-def convert_espnet_e2e(sd: dict, aheads: int,
-                       mtlalpha: float = 0.3) -> tuple[dict, dict]:
+def convert_espnet_e2e(sd: dict, aheads: int, mtlalpha: float = 0.3,
+                       attn_chunk: int = 0,
+                       attn_left_chunks: int = -1) -> tuple[dict, dict]:
     """ESPnet E2E transformer state_dict -> (flax variables, cfg dict)
     loadable by cli/recog_e2e.py::_load (and every downstream consumer:
     streaming, serving, ring/PP encode, CL fusion)."""
@@ -1419,6 +1427,13 @@ def convert_espnet_e2e(sd: dict, aheads: int,
         "mtlalpha": float(mtlalpha), "lsm_weight": 0.1,
         "encoder_type": "transformer",
     }
+    if attn_chunk > 0:
+        # decode-time chunked attention: an APPROXIMATION for a model
+        # trained with full context, recorded so srt-serve / --streaming
+        # can run it; offline recog then applies the same chunk mask,
+        # keeping every decode path self-consistent
+        cfg["attn_chunk"] = int(attn_chunk)
+        cfg["attn_left_chunks"] = int(attn_left_chunks)
     return variables, cfg
 
 
@@ -1465,18 +1480,27 @@ def load_espnet_checkpoint(path: str) -> dict:
 
 
 def import_espnet_model(src: str, dest_dir: str, units: str, aheads: int,
-                        mtlalpha: float = 0.3,
-                        tag: str = "final_avg") -> str:
+                        mtlalpha: float = 0.3, tag: str = "final_avg",
+                        attn_chunk: int = 0, attn_left_chunks: int = -1,
+                        sd: dict | None = None) -> str:
     """ESPnet E2E checkpoint + char dict -> a native e2e model directory
-    (checkpoint under `tag` + vocab.json) that recog_e2e/srt-serve load
-    exactly like a train_e2e-produced one."""
+    (checkpoint under `tag` + vocab.json) that recog_e2e loads exactly
+    like a train_e2e-produced one. ESPnet models are trained with FULL
+    encoder context, so streaming/serving them needs a decode-time chunk
+    geometry recorded at import (`attn_chunk`/`attn_left_chunks` — an
+    approximation, not the exact offline result); without it the import
+    is offline-decode only."""
     import os
 
     from speech_recognition_tools_tpu.io.text import save_vocab
     from speech_recognition_tools_tpu.train.checkpoint import save_checkpoint
 
-    sd = load_espnet_checkpoint(src)
-    variables, cfg = convert_espnet_e2e(sd, aheads, mtlalpha=mtlalpha)
+    if sd is None:
+        sd = load_espnet_checkpoint(src)
+    variables, cfg = convert_espnet_e2e(
+        sd, aheads, mtlalpha=mtlalpha, attn_chunk=attn_chunk,
+        attn_left_chunks=attn_left_chunks,
+    )
     vocab = espnet_vocab_from_units(units, cfg["vocab_size"])
     path = save_checkpoint(dest_dir, tag, variables, cfg,
                            extra={"imported_from": src})
@@ -1549,12 +1573,25 @@ def convert_espnet_lm(sd: dict) -> tuple[dict, dict]:
     return {"params": tree}, cfg
 
 
-def import_espnet_lm(src: str, dest_dir: str, tag: str = "final") -> str:
+def import_espnet_lm(src: str, dest_dir: str, tag: str = "final",
+                     units: str | None = None,
+                     sd: dict | None = None) -> str:
     """ESPnet LM checkpoint (rnnlm.model.best / snapshots) -> a native
-    LM directory for `srt-recog-e2e --lm`."""
-    sd = load_espnet_checkpoint(src)
+    LM directory for `srt-recog-e2e --lm_dir` shallow fusion. Pass the
+    char dict as `units` to also write vocab.json, making the directory
+    a full train_lm drop-in (decode_wfst --rescore_lm_dir needs it)."""
+    import os
+
+    if sd is None:
+        sd = load_espnet_checkpoint(src)
     variables, cfg = convert_espnet_lm(sd)
     from speech_recognition_tools_tpu.train.checkpoint import save_checkpoint
 
-    return save_checkpoint(dest_dir, tag, variables, cfg,
+    path = save_checkpoint(dest_dir, tag, variables, cfg,
                            extra={"imported_from": src})
+    if units:
+        from speech_recognition_tools_tpu.io.text import save_vocab
+
+        vocab = espnet_vocab_from_units(units, cfg["vocab_size"])
+        save_vocab(vocab, os.path.join(dest_dir, "vocab.json"))
+    return path

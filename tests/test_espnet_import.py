@@ -16,6 +16,7 @@ tests/test_transformer_asr.py.
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -399,3 +400,58 @@ def test_espnet_lm_import_cli(tmp_path):
             lm_t.predictor(torch.from_numpy(np.array(prefix)))[:, -1], -1
         ).numpy()
     np.testing.assert_allclose(lp, want, rtol=1e-4, atol=1e-5)
+
+
+def test_espnet_lm_snapshot_and_units_vocab(tmp_path):
+    """Regression: LM snapshots ({'model': sd, ...}) import with NO
+    flags (the CLI detects through the wrapper), and passing
+    --espnet_units also writes vocab.json so the dir is a full train_lm
+    drop-in."""
+    from speech_recognition_tools_tpu.cli.import_torch_ckpt import main
+
+    torch.manual_seed(4)
+    lm_t = _Classifier(_EspnetLM(11, 6, 10, 1)).eval()
+    snap = str(tmp_path / "snapshot.ep.7")
+    torch.save({"model": lm_t.state_dict(), "epoch": 7}, snap)
+    dest = str(tmp_path / "lm")
+    main([snap, dest])  # no flags: family detected through the wrapper
+    assert os.path.exists(os.path.join(dest, "final"))
+    assert not os.path.exists(os.path.join(dest, "vocab.json"))
+
+    units = tmp_path / "units.txt"
+    toks = ["<unk>", "<space>"] + [chr(ord("a") + i) for i in range(7)]
+    units.write_text("".join(f"{t} {i + 1}\n" for i, t in enumerate(toks)))
+    dest2 = str(tmp_path / "lm2")
+    main([snap, dest2, "--espnet_units", str(units)])
+    import json
+    v = json.load(open(os.path.join(dest2, "vocab.json")))
+    assert v["<blank>"] == 0 and v["<sos/eos>"] == 10
+
+
+def test_espnet_e2e_attn_chunk_and_tag(tmp_path):
+    """--attn_chunk records a decode-time chunk geometry (so the
+    imported model constructs a StreamingRecognizer) and an explicit
+    --tag is honored verbatim."""
+    from speech_recognition_tools_tpu.cli.import_torch_ckpt import main
+    from speech_recognition_tools_tpu.cli.recog_e2e import _load
+    from speech_recognition_tools_tpu.infer.streaming_asr import (
+        StreamingRecognizer,
+    )
+
+    torch.manual_seed(6)
+    e2e = _E2E().eval()
+    src = str(tmp_path / "model.acc.best")
+    torch.save(e2e.state_dict(), src)
+    units = tmp_path / "units.txt"
+    toks = ["<unk>", "<space>"] + [chr(ord("a") + i) for i in range(ODIM - 4)]
+    units.write_text("".join(f"{t} {i + 1}\n" for i, t in enumerate(toks)))
+    dest = str(tmp_path / "imported")
+    main([src, dest, "--espnet_units", str(units), "--aheads", str(AHEADS),
+          "--attn_chunk", "4", "--attn_left_chunks", "2",
+          "--tag", "final"])
+    assert os.path.exists(os.path.join(dest, "final"))  # verbatim tag
+    model, params, cfg, _ = _load(dest, "final")
+    assert cfg.attn_chunk == 4 and cfg.attn_left_chunks == 2
+    sr = StreamingRecognizer(model, params)  # constructs: chunked cfg
+    sr.push(RS.randn(40, D_FEAT).astype(np.float32))
+    assert sr.finish() is not None
