@@ -64,6 +64,21 @@ def get_parser():
     p.add_argument("--vocab", help="existing vocab.json (e.g. built at "
                                    "data-prep time and shared with the "
                                    "RNNLM); default: build from text")
+    p.add_argument("--init_from",
+                   help="warm-start fine-tuning from an existing model "
+                        "dir or checkpoint (e.g. an srt-import-torch "
+                        "--espnet_units import): params + architecture "
+                        "geometry (adim/aheads/elayers/eunits/dlayers/"
+                        "dunits/encoder_type/conv_kernel) and vocab.json "
+                        "come from the source — the geometry flags above "
+                        "are ignored — while training knobs (--attn_chunk/"
+                        "--attn_left_chunks/--dropout/--mtlalpha/"
+                        "--lsm_weight) come from this command line; the "
+                        "optimizer starts fresh. This is the exact-"
+                        "streaming recipe: import an offline ESPnet "
+                        "model, then fine-tune under the chunk mask it "
+                        "will be served with. Ignored once store_path "
+                        "holds epoch checkpoints (resume wins)")
     p.add_argument("--data_parallel", action="store_true",
                    help="shard each batch over the mesh 'data' axis "
                         "(XLA inserts the gradient all-reduce over ICI; "
@@ -191,6 +206,24 @@ def make_train_step(model, cfg, tx, use_specaug=False, param_sh=None):
     return step
 
 
+def resolve_init_checkpoint(path):
+    """`--init_from` accepts a checkpoint dir (holds state.msgpack) or a
+    model dir (picks final_avg / final / newest epoch checkpoint).
+    Returns (checkpoint_path, model_dir)."""
+    from speech_recognition_tools_tpu.train import latest_checkpoint
+
+    if os.path.exists(os.path.join(path, "state.msgpack")):
+        return path, os.path.dirname(path.rstrip("/"))
+    for tag in ("final_avg", "final"):
+        p = os.path.join(path, tag)
+        if os.path.exists(os.path.join(p, "state.msgpack")):
+            return p, path
+    newest = latest_checkpoint(path)
+    if newest:
+        return newest, path
+    raise FileNotFoundError(f"--init_from {path}: no checkpoint found")
+
+
 def main(argv=None):
     args = get_parser().parse_args(argv)
     import jax
@@ -217,6 +250,20 @@ def main(argv=None):
     )
 
     texts = read_text_file(args.text)
+    init_ckpt = None
+    icfg = {}
+    if args.init_from:
+        init_ckpt, init_dir = resolve_init_checkpoint(args.init_from)
+        with open(os.path.join(init_ckpt, "config.json")) as f:
+            import json
+
+            icfg = json.load(f)
+        # token ids must match the source embedding — inherit its vocab
+        # unless the caller explicitly points at one
+        if not args.vocab:
+            src_vocab = os.path.join(init_dir, "vocab.json")
+            if os.path.exists(src_vocab):
+                args.vocab = src_vocab
     if args.vocab:
         vocab = load_vocab(args.vocab)
     else:
@@ -224,12 +271,24 @@ def main(argv=None):
     os.makedirs(args.store_path, exist_ok=True)
     save_vocab(vocab, os.path.join(args.store_path, "vocab.json"))
 
+    if init_ckpt:
+        assert len(vocab) == icfg["vocab_size"], (
+            f"--init_from vocab_size {icfg['vocab_size']} != "
+            f"vocab size {len(vocab)}"
+        )
     cfg = TransformerASRConfig(
-        vocab_size=len(vocab), adim=args.adim, aheads=args.aheads,
-        elayers=args.elayers, eunits=args.eunits, dlayers=args.dlayers,
-        dunits=args.dunits, dropout=args.dropout, mtlalpha=args.mtlalpha,
-        lsm_weight=args.lsm_weight, encoder_type=args.encoder_type,
-        conv_kernel=args.conv_kernel, attn_chunk=args.attn_chunk,
+        vocab_size=len(vocab),
+        adim=icfg.get("adim", args.adim),
+        aheads=icfg.get("aheads", args.aheads),
+        elayers=icfg.get("elayers", args.elayers),
+        eunits=icfg.get("eunits", args.eunits),
+        dlayers=icfg.get("dlayers", args.dlayers),
+        dunits=icfg.get("dunits", args.dunits),
+        dropout=args.dropout, mtlalpha=args.mtlalpha,
+        lsm_weight=args.lsm_weight,
+        encoder_type=icfg.get("encoder_type", args.encoder_type),
+        conv_kernel=icfg.get("conv_kernel", args.conv_kernel),
+        attn_chunk=args.attn_chunk,
         attn_left_chunks=args.attn_left_chunks,
         compute_dtype=args.compute_dtype,
     )
@@ -309,6 +368,11 @@ def main(argv=None):
                 pay, _ = load_checkpoint(p, template={"params": params})
                 recent.append(pay["params"])
         print(f"resumed from {newest} at epoch {start_epoch}")
+    elif init_ckpt:
+        payload, _ = load_checkpoint(init_ckpt, template={"params": params})
+        params = payload["params"]
+        print(f"initialized from {init_ckpt} (architecture geometry from "
+              "the checkpoint; optimizer state fresh)")
 
     if pp:
         # split the loop-layout checkpoint into (rest, stacked-blocks);
@@ -440,8 +504,13 @@ def main(argv=None):
             return b
 
     hyper = dict(vars(args))
+    # record the EFFECTIVE architecture (under --init_from the geometry
+    # comes from the source checkpoint, not the CLI flags)
     hyper.update(model_class="TransformerASR", vocab_size=len(vocab),
-                 feature_dim=int(first["feats"].shape[-1]))
+                 feature_dim=int(first["feats"].shape[-1]),
+                 adim=cfg.adim, aheads=cfg.aheads, elayers=cfg.elayers,
+                 eunits=cfg.eunits, dlayers=cfg.dlayers, dunits=cfg.dunits,
+                 encoder_type=cfg.encoder_type, conv_kernel=cfg.conv_kernel)
     rng = jax.random.key(args.seed + 2 + start_epoch)
     for epoch in range(start_epoch, args.epochs):
         losses = []

@@ -455,3 +455,90 @@ def test_espnet_e2e_attn_chunk_and_tag(tmp_path):
     sr = StreamingRecognizer(model, params)  # constructs: chunked cfg
     sr.push(RS.randn(40, D_FEAT).astype(np.float32))
     assert sr.finish() is not None
+
+
+def test_espnet_finetune_exact_streaming_recipe(tmp_path, capsys):
+    """The exact-streaming migration recipe (recipes/README.md): import
+    an offline ESPnet model, then `srt-train-e2e --init_from IMPORTED
+    --attn_chunk N` fine-tunes it under the chunk mask it will be served
+    with. Pins that --init_from (a) takes the architecture geometry +
+    vocab from the imported checkpoint (the CLI geometry defaults would
+    not even load the params), (b) actually warm-starts from the
+    imported weights (zero-LR epoch leaves them bit-identical), and
+    (c) records the CLI's chunk geometry so the result streams."""
+    from speech_recognition_tools_tpu.cli import train_e2e
+    from speech_recognition_tools_tpu.cli.import_torch_ckpt import main
+    from speech_recognition_tools_tpu.cli.recog_e2e import _load
+    from speech_recognition_tools_tpu.io import build_egs
+    from speech_recognition_tools_tpu.io.text import load_vocab
+
+    torch.manual_seed(7)
+    e2e = _E2E().eval()
+    src = str(tmp_path / "model.acc.best")
+    torch.save(e2e.state_dict(), src)
+    units = tmp_path / "units.txt"
+    toks = ["<unk>", "<space>"] + [chr(ord("a") + i) for i in range(ODIM - 4)]
+    units.write_text("".join(f"{t} {i + 1}\n" for i, t in enumerate(toks)))
+    imported = str(tmp_path / "imported")
+    main([src, imported, "--espnet_units", str(units),
+          "--aheads", str(AHEADS)])
+
+    feats = {f"u{i}": RS.randn(36, D_FEAT).astype(np.float32)
+             for i in range(2)}
+    egs = str(tmp_path / "egs")
+    build_egs(iter(feats.items()), egs)
+    text = tmp_path / "text"
+    text.write_text("u0 ab c\nu1 ba\n")
+
+    out = str(tmp_path / "finetuned")
+    train_e2e.main(
+        [egs, str(text), out, "--init_from", imported,
+         "--attn_chunk", "4", "--attn_left_chunks", "1",
+         "--epochs", "1", "--batch_size", "2", "--warmup_steps", "5",
+         "--average_last", "1", "--transformer_lr", "0"]
+    )
+    assert "initialized from" in capsys.readouterr().out
+
+    model, params, cfg, vocab = _load(out, "final_avg")
+    # geometry inherited from the checkpoint, chunk mask from the CLI
+    assert (cfg.adim, cfg.aheads, cfg.elayers) == (ADIM, AHEADS, ELAYERS)
+    assert cfg.attn_chunk == 4 and cfg.attn_left_chunks == 1
+    assert vocab == load_vocab(os.path.join(imported, "vocab.json"))
+    # zero-LR epoch: final_avg params == imported params, bit-exact
+    _, src_params, _, _ = _load(imported, "final_avg")
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(src_params)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resolve_init_checkpoint(tmp_path):
+    """--init_from accepts a checkpoint dir, a model dir (final_avg >
+    final > newest epoch), and fails loud on an empty dir."""
+    from speech_recognition_tools_tpu.cli.train_e2e import (
+        resolve_init_checkpoint,
+    )
+
+    mdir = tmp_path / "model"
+    for tag in ("epoch_1", "epoch_2", "final", "final_avg"):
+        d = mdir / tag
+        d.mkdir(parents=True)
+        (d / "state.msgpack").write_bytes(b"")
+        (d / "config.json").write_text("{}")
+    # direct checkpoint path
+    ckpt, root = resolve_init_checkpoint(str(mdir / "epoch_1"))
+    assert ckpt == str(mdir / "epoch_1") and root == str(mdir)
+    # model dir: final_avg preferred
+    ckpt, root = resolve_init_checkpoint(str(mdir))
+    assert ckpt == os.path.join(str(mdir), "final_avg") and root == str(mdir)
+    # without final_avg: final; without both: newest epoch
+    import shutil
+
+    shutil.rmtree(mdir / "final_avg")
+    assert resolve_init_checkpoint(str(mdir))[0].endswith("final")
+    shutil.rmtree(mdir / "final")
+    assert resolve_init_checkpoint(str(mdir))[0].endswith("epoch_2")
+    with pytest.raises(FileNotFoundError):
+        resolve_init_checkpoint(str(tmp_path / "nope"))
