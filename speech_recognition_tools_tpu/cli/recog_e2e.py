@@ -32,6 +32,20 @@ def get_parser():
     p.add_argument("--lm_dir", help="train_lm checkpoint dir for RNNLM "
                                     "shallow fusion (decode.yaml lm-weight)")
     p.add_argument("--lm_weight", type=float, default=1.0)
+    p.add_argument("--word_lm_dir",
+                   help="WORD RNNLM dir (e.g. an srt-import-torch ESPnet "
+                        "LM import) fused via lexical-prefix-tree "
+                        "look-ahead (decode/wordlm.py) — the reference's "
+                        "use_wordlm=true decode "
+                        "(e2e/wsj/run_fdlp_e1.sh:516-517). Host beam "
+                        "paths only; exclusive with --lm_dir")
+    p.add_argument("--word_lm_dict",
+                   help="(--word_lm_dir) ESPnet-style word list "
+                        "('word id' lines, wordlist_65000.txt); default: "
+                        "vocab.json inside --word_lm_dir")
+    p.add_argument("--oov_penalty", type=float, default=1e-4,
+                   help="(--word_lm_dir) per-char penalty factor for "
+                        "out-of-lexicon words")
     p.add_argument("--streaming", action="store_true",
                    help="online decode: feed features chunk-by-chunk "
                         "through the incremental encoder "
@@ -149,6 +163,37 @@ def main(argv=None):
         lm_model, lm_params = _load_lm(args.lm_dir)
         lm_apply_host = make_fusion_scorer(lm_model, lm_params)
         lm_apply_jit = make_jit_fusion_scorer(lm_model, lm_params)
+    if args.word_lm_dir:
+        assert not args.lm_dir, (
+            "--word_lm_dir and --lm_dir are exclusive (the look-ahead "
+            "word LM already yields per-char fusion scores)"
+        )
+        assert args.api != "cl" and not args.jit_decode, (
+            "--word_lm_dir fusion is a host decode path (no cl/jit)"
+        )
+        from speech_recognition_tools_tpu.decode.wordlm import (
+            LookaheadWordLM,
+            word_vocab_from_dict,
+        )
+
+        wlm_model, wlm_params = _load_lm(args.word_lm_dir)
+        if args.word_lm_dict:
+            wvocab = word_vocab_from_dict(
+                args.word_lm_dict, n_vocab=wlm_model.vocab_size
+            )
+        else:
+            from speech_recognition_tools_tpu.io.text import load_vocab
+
+            wvocab = load_vocab(os.path.join(args.word_lm_dir, "vocab.json"))
+            if max(wvocab.values()) >= wlm_model.vocab_size:
+                raise ValueError(
+                    "word vocab ids exceed the word LM's "
+                    f"{wlm_model.vocab_size} embedding rows"
+                )
+        lm_apply_host = LookaheadWordLM(
+            wlm_model, wlm_params, wvocab, vocab,
+            oov_penalty=args.oov_penalty,
+        )
 
     recognizer = None
     if args.streaming:

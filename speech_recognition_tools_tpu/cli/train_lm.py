@@ -1,12 +1,16 @@
-"""Character RNNLM training CLI.
+"""RNNLM training CLI (character or word units).
 
 Reference behaviour: the e2e recipes train an external RNNLM with ESPnet's
 lm_train.py (e2e/reverb/run_fdlp_e1.sh:405-417, conf/lm.yaml: 1 layer /
-1000 units, SGD, char level) and fuse it at decode time with lm-weight 1.0
+1000 units, SGD; wsj defaults to a WORD LM capped at lm_vocabsize 65000,
+run_fdlp_e1.sh:36-39) and fuses it at decode time with lm-weight 1.0
 (conf/decode.yaml). This trains the native models.rnnlm.RNNLM on a Kaldi
-text file, sharing the ASR char vocabulary so the fusion token spaces
-match; checkpoints are the toolkit's self-describing format so
-recog_e2e --lm_dir restores it without side files.
+text file. --unit char shares the ASR char vocabulary so the fusion token
+spaces match (recog_e2e --lm_dir); --unit word builds a frequency-capped
+word vocabulary and the result fuses through the look-ahead prefix-tree
+scorer (recog_e2e --word_lm_dir, decode/wordlm.py). Checkpoints are the
+toolkit's self-describing format so recog restores them without side
+files.
 """
 
 import argparse
@@ -20,6 +24,16 @@ def get_parser():
     p.add_argument("--vocab", help="vocab.json from train_e2e (default: "
                                    "build from the text, which matches "
                                    "train_e2e on the same text)")
+    p.add_argument("--unit", default="char", choices=["char", "word"],
+                   help="token unit. 'word' trains the reference's "
+                        "use_wordlm=true LM (run_fdlp_e1.sh:36-39): "
+                        "vocab = top --word_vocab_size words + "
+                        "<eos>/<unk>, fused at decode time via "
+                        "srt-recog-e2e --word_lm_dir (look-ahead "
+                        "prefix-tree scoring, decode/wordlm.py)")
+    p.add_argument("--word_vocab_size", type=int, default=65000,
+                   help="(--unit word) vocabulary cap (reference "
+                        "lm_vocabsize)")
     p.add_argument("--embed_dim", type=int, default=256)
     p.add_argument("--hidden", type=int, default=1000)
     p.add_argument("--layers", type=int, default=1)
@@ -35,16 +49,24 @@ def get_parser():
     return p
 
 
-def lm_batches(texts, vocab, batch_size, bptt_len, seed=None):
-    """Yield (tokens (B, U), lengths (B,)) batches of sos+chars+eos."""
+def lm_batches(texts, vocab, batch_size, bptt_len, seed=None, unit="char"):
+    """Yield (tokens (B, U), lengths (B,)) batches of bos+tokens+eos.
+    char: <sos/eos> (last id) bounds the sequence, matching train_e2e's
+    token space. word: <eos> (id 0) is both BOS and EOS — the convention
+    decode/wordlm.py's history scoring uses."""
     import numpy as np
 
-    from speech_recognition_tools_tpu.io.text import encode_text
+    from speech_recognition_tools_tpu.io.text import encode_text, encode_words
 
-    sos = len(vocab) - 1
+    if unit == "word":
+        sos = vocab["<eos>"]
+        encode = encode_words
+    else:
+        sos = len(vocab) - 1
+        encode = encode_text
     seqs = []
     for t in texts.values():
-        ids = encode_text(t, vocab)
+        ids = encode(t, vocab)
         for off in range(0, len(ids), bptt_len - 2):
             chunk = ids[off : off + bptt_len - 2]
             seqs.append([sos] + chunk + [sos])  # sos/eos share the id
@@ -79,9 +101,16 @@ def main(argv=None):
     from speech_recognition_tools_tpu.train import save_checkpoint
 
     texts = read_text_file(args.text)
-    vocab = (
-        load_vocab(args.vocab) if args.vocab else build_char_vocab(texts.values())
-    )
+    if args.vocab:
+        vocab = load_vocab(args.vocab)
+        if args.unit == "word" and "<unk>" not in vocab:
+            raise ValueError("--unit word needs a vocab with <unk>/<eos>")
+    elif args.unit == "word":
+        from speech_recognition_tools_tpu.io.text import build_word_vocab
+
+        vocab = build_word_vocab(texts.values(), args.word_vocab_size)
+    else:
+        vocab = build_char_vocab(texts.values())
     os.makedirs(args.store_path, exist_ok=True)
     save_vocab(vocab, os.path.join(args.store_path, "vocab.json"))
 
@@ -89,7 +118,8 @@ def main(argv=None):
         vocab_size=len(vocab), embed_dim=args.embed_dim,
         hidden=args.hidden, layers=args.layers, cell=args.cell,
     )
-    t0, l0 = next(lm_batches(texts, vocab, args.batch_size, args.bptt_len))
+    t0, l0 = next(lm_batches(texts, vocab, args.batch_size, args.bptt_len,
+                             unit=args.unit))
     params = model.init(
         {"params": jax.random.key(args.seed)}, jnp.asarray(t0),
         jnp.asarray(l0),
@@ -134,7 +164,8 @@ def main(argv=None):
     for ep in range(start_ep, args.epochs):
         losses = []
         for toks, lens in lm_batches(
-            texts, vocab, args.batch_size, args.bptt_len, seed=args.seed + ep
+            texts, vocab, args.batch_size, args.bptt_len,
+            seed=args.seed + ep, unit=args.unit,
         ):
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(toks), jnp.asarray(lens)

@@ -22,3 +22,8 @@ from speech_recognition_tools_tpu.decode.graph import (
     build_decoding_graph,
 )
 from speech_recognition_tools_tpu.decode.wfst import WfstDecoder
+from speech_recognition_tools_tpu.decode.wordlm import (
+    LookaheadWordLM,
+    make_lexical_tree,
+    word_vocab_from_dict,
+)
