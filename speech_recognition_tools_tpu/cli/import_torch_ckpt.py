@@ -109,7 +109,9 @@ def main(argv=None):
                                 units=args.espnet_units, sd=sd)
         print("detected family: espnet_lm")
         print(f"imported {args.src} -> {path} "
-              "(use with srt-recog-e2e --lm_dir)")
+              "(char LM: srt-recog-e2e --lm_dir; WORD LM "
+              "(use_wordlm=true, large vocab): --word_lm_dir "
+              "--word_lm_dict wordlist.txt)")
         return
     if args.input_hw:
         try:

@@ -264,6 +264,16 @@ def main(argv=None):
             src_vocab = os.path.join(init_dir, "vocab.json")
             if os.path.exists(src_vocab):
                 args.vocab = src_vocab
+            else:
+                # never silently build a vocab from the new text: a
+                # same-SIZE but reordered char set would pass the
+                # vocab_size assert below yet pair the imported
+                # embedding rows with permuted token ids
+                raise SystemExit(
+                    f"--init_from: {init_dir} has no vocab.json; pass "
+                    "--vocab with the id assignment the source "
+                    "embedding was trained on"
+                )
     if args.vocab:
         vocab = load_vocab(args.vocab)
     else:

@@ -103,7 +103,9 @@ def main(argv=None):
     texts = read_text_file(args.text)
     if args.vocab:
         vocab = load_vocab(args.vocab)
-        if args.unit == "word" and "<unk>" not in vocab:
+        if args.unit == "word" and not (
+            "<unk>" in vocab and "<eos>" in vocab
+        ):
             raise ValueError("--unit word needs a vocab with <unk>/<eos>")
     elif args.unit == "word":
         from speech_recognition_tools_tpu.io.text import build_word_vocab

@@ -38,6 +38,8 @@ probability (the beam search has no separate final() hook — the eos
 column IS the final score).
 """
 
+from collections import OrderedDict
+
 import numpy as np
 
 import jax
@@ -116,7 +118,7 @@ class LookaheadWordLM:
     beam_search's `lm_apply` hook — host beam search only)."""
 
     def __init__(self, model, params, word_vocab: dict, char_vocab: dict,
-                 oov_penalty: float = 1e-4):
+                 oov_penalty: float = 1e-4, cache_size: int = 2048):
         self.model, self.params = model, params
         self.word_vocab = word_vocab
         self.unk_w = word_vocab["<unk>"]
@@ -130,7 +132,11 @@ class LookaheadWordLM:
         if self.root.ids.size == 0:
             raise ValueError("no lexicon word is spellable in the char "
                              "vocabulary — check the word dict")
-        self._dist = {}  # word-history tuple -> np.ndarray (Vw,)
+        # word-history tuple -> np.ndarray (Vw,) f32 probs, LRU-bounded:
+        # a full-test-set decode visits unboundedly many histories and a
+        # 65k-word row is ~260 KB, so an uncapped memo would grow to GBs
+        self._dist = OrderedDict()
+        self._cache_size = int(cache_size)
         self._score = jax.jit(self._score_dev)
 
     def _score_dev(self, tokens):
@@ -141,10 +147,14 @@ class LookaheadWordLM:
         out = self._dist.get(hist)
         if out is None:
             toks = jnp.asarray([(self.eos_w,) + hist], jnp.int32)
-            out = np.exp(
-                np.asarray(self._score(toks)[0], dtype=np.float64)
+            out = np.exp(np.asarray(self._score(toks)[0])).astype(
+                np.float32
             )
             self._dist[hist] = out
+            if len(self._dist) > self._cache_size:
+                self._dist.popitem(last=False)
+        else:
+            self._dist.move_to_end(hist)
         return out
 
     def _parse(self, chars):
@@ -180,13 +190,15 @@ class LookaheadWordLM:
         probs = self._probs(hist)
         unk_p = max(probs[self.unk_w], 1e-30)
         log_oov = np.log(unk_p) + np.log(self.oov_penalty)
-        y = np.full(self.n_char, NEG, np.float32)
+        y = np.empty(self.n_char, np.float32)
         if in_tree:
             # entering OOV mode is allowed from any in-tree node
             y[:] = log_oov
-            z = max(probs[node.ids].sum(), 1e-30)
+            z = max(probs[node.ids].sum(dtype=np.float64), 1e-30)
             for c, child in node.children.items():
-                y[c] = np.log(max(probs[child.ids].sum(), 1e-30)) - np.log(z)
+                y[c] = np.log(
+                    max(probs[child.ids].sum(dtype=np.float64), 1e-30)
+                ) - np.log(z)
             if node.wid >= 0:
                 end = np.log(max(probs[node.wid], 1e-30)) - np.log(z)
                 closing = node.wid

@@ -542,3 +542,21 @@ def test_resolve_init_checkpoint(tmp_path):
     assert resolve_init_checkpoint(str(mdir))[0].endswith("epoch_2")
     with pytest.raises(FileNotFoundError):
         resolve_init_checkpoint(str(tmp_path / "nope"))
+
+
+def test_init_from_requires_source_vocab(tmp_path):
+    """--init_from with no vocab.json in the source dir and no --vocab
+    must fail loud: a text-built vocab of the same SIZE would pass the
+    vocab_size check while permuting which char each embedding row
+    means."""
+    from speech_recognition_tools_tpu.cli.train_e2e import main
+
+    mdir = tmp_path / "model" / "final"
+    mdir.mkdir(parents=True)
+    (mdir / "state.msgpack").write_bytes(b"")
+    (mdir / "config.json").write_text('{"vocab_size": 5}')
+    text = tmp_path / "text"
+    text.write_text("utt1 ab\n")
+    with pytest.raises(SystemExit, match="vocab.json"):
+        main([str(tmp_path / "egs"), str(text), str(tmp_path / "out"),
+              "--init_from", str(tmp_path / "model")])

@@ -127,6 +127,21 @@ def test_oov_costs():
     assert r_b[CVOCAB["<blank>"]] < -1e29
 
 
+def test_dist_cache_is_lru_bounded():
+    """The per-history distribution memo must not grow without bound
+    over a long decode (a 65k-word row is ~260 KB); eviction must not
+    change scores."""
+    s = _scorer()
+    s._cache_size = 3
+    hists = [(), (2,), (3,), (2, 3), (4, 2)]
+    first = {h: s._probs(h).copy() for h in hists}
+    assert len(s._dist) <= 3
+    # re-querying an evicted history recomputes the identical row
+    for h in hists:
+        np.testing.assert_array_equal(s._probs(h), first[h])
+    assert len(s._dist) <= 3
+
+
 def test_word_vocab_from_dict(tmp_path):
     f = tmp_path / "wordlist.txt"
     f.write_text("<unk> 1\nhello 2\nworld 3\n")
