@@ -651,6 +651,84 @@ def main():
         min_left=200.0, partial_key="s_serve_8x10s",
     )
 
+    # e2e training step (the production wsj geometry, bf16 compute):
+    # full value_and_grad + adam update through the SAME make_train_step
+    # the train_e2e CLI jits. Reported as steps/s + analytic matmul MFU
+    # (this is the MXU-bound workload, unlike the VPU-bound featgen).
+    train_tflops = [0.0]
+
+    def run_train_step():
+        import optax
+
+        from speech_recognition_tools_tpu.cli.train_e2e import (
+            make_train_step,
+        )
+        from speech_recognition_tools_tpu.models.transformer_asr import (
+            TransformerASR,
+            TransformerASRConfig,
+            noam_schedule,
+        )
+
+        tcfg = TransformerASRConfig(
+            vocab_size=52, adim=256, aheads=4, elayers=12, eunits=2048,
+            dlayers=6, dunits=2048, dropout=0.1, mtlalpha=0.3,
+            compute_dtype="bfloat16",
+        )
+        tmodel = TransformerASR(tcfg)
+        Bt, Tt, Ut = 16, 800, 100
+        rs_t = np.random.RandomState(7)
+        batch = {
+            "feats": jnp.asarray(rs_t.randn(Bt, Tt, 80).astype(np.float32)),
+            "lengths": jnp.full((Bt,), Tt, jnp.int32),
+            "tokens": jnp.asarray(
+                rs_t.randint(1, 50, (Bt, Ut)).astype(np.int32)
+            ),
+            "token_lengths": jnp.full((Bt,), Ut, jnp.int32),
+        }
+        params = tmodel.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch["feats"][:1], batch["lengths"][:1], batch["tokens"][:1],
+        )
+        tx = optax.chain(
+            optax.clip_by_global_norm(5.0),
+            optax.adam(noam_schedule(tcfg.adim, 25000, 10.0)),
+        )
+        opt_state = tx.init(params)
+        step = make_train_step(tmodel, tcfg, tx)
+        rng = jax.random.PRNGKey(2)
+
+        # analytic fwd matmul flops (2mn k per GEMM), x3 for fwd+bwd
+        a, e, d_u = tcfg.adim, tcfg.eunits, tcfg.dunits
+        Te = Tt // 4  # conv2d subsampling
+        enc = tcfg.elayers * (8 * Te * a * a + 4 * Te * Te * a
+                              + 4 * Te * a * e)
+        dec = tcfg.dlayers * (
+            8 * Ut * a * a + 4 * Ut * Ut * a        # self-attn
+            + 4 * Ut * a * a + 4 * Ut * Te * a      # cross-attn
+            + 4 * Ut * a * d_u
+        )
+        train_tflops[0] = 3.0 * Bt * (enc + dec) / 1e12
+
+        # dependency-chained: params/opt_state thread through the loop,
+        # so the tunnel runtime cannot memoize; fetch loss at the end
+        params, opt_state, loss, _ = step(params, opt_state, batch, rng)
+        float(loss)  # compile + sync
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            for i in range(4):
+                params, opt_state, loss, _ = step(
+                    params, opt_state, batch, jax.random.fold_in(rng, i)
+                )
+            float(loss)
+            best = min(best, (time.time() - t0) / 4)
+        return best
+
+    dt_train = guarded(
+        "e2e train step (wsj geometry, bf16)", run_train_step,
+        min_left=300.0, partial_key="s_train_step_e2e",
+    )
+
     rt = audio_seconds / dt_prod
 
     def xrt(dt, seconds=audio_seconds):
@@ -701,6 +779,24 @@ def main():
             # wall latency to advance all 8 streams by 1 s of audio (one
             # scheduling round over the batched chunked encoder); under
             # budget=1000 ms means live serving keeps up with real time
+            "train_step_e2e": (
+                {
+                    "geometry": "B16 x 800 frames, elayers 12 / dlayers 6, "
+                                "adim 256, units 2048, bf16 compute, adam "
+                                "+ noam (the train_e2e CLI's step)",
+                    "ms_per_step": round(dt_train * 1000, 1),
+                    "steps_per_s": round(1.0 / dt_train, 2),
+                    "analytic_matmul_tflops_per_step": round(
+                        train_tflops[0], 2
+                    ),
+                    "achieved_tflops": round(train_tflops[0] / dt_train, 1),
+                    "mxu_util_pct_of_197tflops_bf16": round(
+                        100.0 * train_tflops[0] / dt_train / 197.0, 1
+                    ),
+                }
+                if dt_train
+                else "skipped"
+            ),
             "serve_chunk_latency_ms": serve_lat or "skipped",
             "serve_chunk_latency_ms_int8": serve_lat8 or "skipped",
             # measured (r4, in-process A/B at this geometry): the step is

@@ -109,7 +109,7 @@ def load_signals(args, srate):
 
 
 def run_batched(signals, batch_fn, batch_size=32, bucket_multiple=16000,
-                data_parallel=False):
+                data_parallel=False, meter=None, srate=None):
     """Bucket signals by length and run the jitted featgen per bucket batch.
 
     batch_fn(padded (B, Nmax), lens (B,)) -> (feats (B, T, D), nframes (B,)).
@@ -161,10 +161,18 @@ def run_batched(signals, batch_fn, batch_size=32, bucket_multiple=16000,
         nframes = np.asarray(nframes)
         for j, (key, _) in enumerate(group):
             feats[key] = out[j, : int(nframes[j])]
+        if meter is not None:
+            meter.update(
+                items=len(group),
+                audio_seconds=(
+                    float(np.sum(lens[: len(group)])) / srate
+                    if srate else 0.0
+                ),
+            )
     return feats
 
 
-def finish(args, feats, lens_attr="write_utt2num_frames"):
+def finish(args, feats, lens_attr="write_utt2num_frames", meter=None):
     """Write ark/scp (+ optional .len) like the reference CLIs."""
     write_ark_scp(feats, args.outfile)
     if getattr(args, lens_attr.replace("-", "_"), False):
@@ -172,3 +180,24 @@ def finish(args, feats, lens_attr="write_utt2num_frames"):
             for key, mat in feats.items():
                 f.write(f"{key} {mat.shape[0]}\n")
     print(f"{sys.argv[0]}: wrote {len(feats)} utterances -> {args.outfile}.ark")
+    if meter is not None:
+        print(f"{sys.argv[0]}: {meter.summary()}")
+
+
+def profiled_extraction(args):
+    """Observability wrapper shared by the featgen CLIs (SURVEY §5: the
+    reference's only instrumentation is a wall-clock print,
+    computeFDLPSpectrogram.py:264-271 — the TPU-era equivalents are a
+    jax.profiler trace and utterances/sec / realtime-factor counters).
+    Returns (context_manager, ThroughputMeter): the context captures an
+    xprof trace into --profile_dir when given, else is a no-op."""
+    import contextlib
+
+    from speech_recognition_tools_tpu.utils.profiling import (
+        ThroughputMeter,
+        trace,
+    )
+
+    profile_dir = getattr(args, "profile_dir", None)
+    ctx = trace(profile_dir) if profile_dir else contextlib.nullcontext()
+    return ctx, ThroughputMeter()

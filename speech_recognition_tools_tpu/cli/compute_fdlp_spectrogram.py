@@ -39,6 +39,9 @@ def get_parser():
                         choices=["fast", "mixed", "high"])
     parser.add_argument("--random_jitter", action="store_true",
                         help="enable the reference's +-1 frame OLA jitter")
+    parser.add_argument("--profile_dir",
+                        help="capture a jax.profiler (xprof) trace of the "
+                             "extraction into this dir")
     return parser
 
 
@@ -55,6 +58,7 @@ def main(argv=None):
     from speech_recognition_tools_tpu.cli.common import (
         finish,
         load_signals,
+        profiled_extraction,
         run_batched,
     )
     from speech_recognition_tools_tpu.dsp import FdlpConfig, fdlp_spectrogram_batch
@@ -87,9 +91,12 @@ def main(argv=None):
     def batch_fn(batch, lens):
         return fdlp_spectrogram_batch(batch, lens, cfg, jitter_key=key)
 
-    feats = run_batched(signals, batch_fn, batch_size=args.batch_size,
-                        data_parallel=args.data_parallel)
-    finish(args, feats)
+    ctx, meter = profiled_extraction(args)
+    with ctx:
+        feats = run_batched(signals, batch_fn, batch_size=args.batch_size,
+                            data_parallel=args.data_parallel,
+                            meter=meter, srate=args.srate)
+    finish(args, feats, meter=meter)
     print(f"Execution Time: {time.time() - start:.3f} seconds")
 
 

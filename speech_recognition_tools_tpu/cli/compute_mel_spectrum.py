@@ -26,6 +26,9 @@ def get_parser():
                         help="shard each batch over all devices (one "
                              "program replaces the reference's queue.pl "
                              "scp-shard fan-out)")
+    parser.add_argument("--profile_dir",
+                        help="capture a jax.profiler (xprof) trace of the "
+                             "extraction into this dir")
     return parser
 
 
@@ -35,6 +38,7 @@ def main(argv=None):
     from speech_recognition_tools_tpu.cli.common import (
         finish,
         load_signals,
+        profiled_extraction,
         run_batched,
     )
     from speech_recognition_tools_tpu.dsp import MelConfig, mel_spectrum_batch
@@ -49,13 +53,16 @@ def main(argv=None):
         fbank_type=args.fbank_type,
     )
     signals = load_signals(args, args.srate)
-    feats = run_batched(
-        signals,
-        lambda b, l: mel_spectrum_batch(b, l, cfg),
-        batch_size=args.batch_size,
-        data_parallel=args.data_parallel,
-    )
-    finish(args, feats)
+    ctx, meter = profiled_extraction(args)
+    with ctx:
+        feats = run_batched(
+            signals,
+            lambda b, l: mel_spectrum_batch(b, l, cfg),
+            batch_size=args.batch_size,
+            data_parallel=args.data_parallel,
+            meter=meter, srate=args.srate,
+        )
+    finish(args, feats, meter=meter)
     print(f"Execution Time: {time.time() - start:.3f} seconds")
 
 

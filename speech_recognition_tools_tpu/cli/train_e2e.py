@@ -521,9 +521,12 @@ def main(argv=None):
                  adim=cfg.adim, aheads=cfg.aheads, elayers=cfg.elayers,
                  eunits=cfg.eunits, dlayers=cfg.dlayers, dunits=cfg.dunits,
                  encoder_type=cfg.encoder_type, conv_kernel=cfg.conv_kernel)
+    from speech_recognition_tools_tpu.utils.profiling import ThroughputMeter
+
     rng = jax.random.key(args.seed + 2 + start_epoch)
     for epoch in range(start_epoch, args.epochs):
         losses = []
+        meter = ThroughputMeter()
         for batch in token_batches(args.egs_dir, texts, vocab, args.batch_size,
                                args.min_io_ratio, args.min_io_delta):
             batch = pp_trim({k: jnp.asarray(v) for k, v in batch.items()})
@@ -533,7 +536,14 @@ def main(argv=None):
             rng, sub = jax.random.split(rng)
             params, opt_state, loss, aux = step(params, opt_state, batch, sub)
             losses.append(float(loss))
-        print(f"epoch {epoch + 1}: loss {sum(losses)/max(len(losses),1):.4f}")
+            # frames at 100 Hz -> audio seconds (SURVEY §5 throughput
+            # counters; the float(loss) above already synchronised)
+            meter.update(
+                items=int(batch["feats"].shape[0]),
+                audio_seconds=float(jnp.sum(batch["lengths"])) / 100.0,
+            )
+        print(f"epoch {epoch + 1}: loss {sum(losses)/max(len(losses),1):.4f} "
+              f"({meter.summary()})")
         # checkpoints are ALWAYS loop-layout (recog/resume-compatible);
         # PP merges its stacked blocks AND optimizer moments back
         save_p = to_loop_layout(params)

@@ -53,6 +53,24 @@ class TestFdlpCli:
         assert int(lens["utt0"]) == got["utt0"].shape[0]
 
 
+class TestObservability:
+    def test_meter_and_profile_trace(self, tmp_path, capsys):
+        """--profile_dir captures an xprof trace and the CLI prints the
+        ThroughputMeter utt/s + realtime-factor line (SURVEY §5: the
+        reference's only instrumentation is a wall-clock print)."""
+        scp, sigs = _make_wavs(tmp_path, n_utts=2)
+        out = str(tmp_path / "mel")
+        trace_dir = str(tmp_path / "trace")
+        compute_mel_spectrum.main(
+            [scp, out, "--nfilters", "10", "--profile_dir", trace_dir]
+        )
+        got = dict(read_mat_scp(out + ".scp"))
+        assert set(got) == set(sigs)
+        stdout = capsys.readouterr().out
+        assert "x RT)" in stdout and "items in" in stdout
+        assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
+
+
 class TestDataParallelCli:
     @pytest.mark.slow
     def test_fdlp_data_parallel_matches_single(self, tmp_path):
