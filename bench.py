@@ -77,7 +77,27 @@ def _load_last_good():
         with open(_LAST_GOOD_PATH) as f:
             return json.load(f)
     except Exception:
-        return None
+        pass
+    # .cache/ does not survive an environment recycle; the committed
+    # bench_captures/ hardware JSONs do. Newest one is the last tier
+    # before null.
+    try:
+        import glob
+
+        caps = sorted(glob.glob(
+            os.path.join(_REPO, "bench_captures", "*_hardware*.json")))
+        if caps:
+            with open(caps[-1]) as f:
+                result = json.load(f)
+            if isinstance(result, dict) and result.get("value"):
+                name = os.path.basename(caps[-1])
+                return {"captured_utc": name.split("_")[0],
+                        "bench_rc": 0, "result": result,
+                        "source": f"bench_captures/{name} (committed "
+                                  "mid-round hardware capture)"}
+    except Exception:
+        pass
+    return None
 
 
 def _left():
@@ -107,7 +127,8 @@ def _emit_best_available(reason):
         r = dict(lg["result"])
         det = dict(r.get("detail") or {})
         det["capture"] = (
-            f"mid-round hardware capture persisted by tunnel_watch.sh at "
+            f"mid-round hardware capture "
+            f"({lg.get('source', '.cache/bench_last_good.json')}) from "
             f"{lg.get('captured_utc')} (tunnel down again at round-end "
             f"capture: {reason})"
         )
@@ -561,10 +582,7 @@ def main():
     # 12-layer chunked-attention encoder). Reported as AGGREGATE
     # x-realtime = streams * audio_seconds / wall — host scheduling
     # included, i.e. honest serving throughput, not a kernel number.
-    def run_streaming_serve():
-        from speech_recognition_tools_tpu.infer.streaming_asr import (
-            StreamBatcher,
-        )
+    def _serving_model():
         from speech_recognition_tools_tpu.models.transformer_asr import (
             TransformerASR,
             TransformerASRConfig,
@@ -582,61 +600,67 @@ def main():
             jnp.zeros((1, 80, 80), jnp.float32), jnp.asarray([80]),
             jnp.zeros((1, 4), jnp.int32),
         )
-        rs_s = np.random.RandomState(5)
-        n_streams, frames = 8, 1000  # 8 x 10 s of 100 Hz 80-dim features
-        featss = rs_s.randn(n_streams, frames, 80).astype(np.float32)
+        return smodel, sparams
 
-        def bench_batcher(params):
-            # ONE batcher for warmup + timing: its jitted step compiles
-            # on the first drive; the timed drive reuses the compiled
-            # program (finished streams are released, no state build-up).
-            # defer_s enables dynamic batching (the serve.py default):
-            # per-stream pushes coalesce into FULL batched rounds.
-            sb = StreamBatcher(
-                smodel, params, max_streams=n_streams, store_memory=False,
-                defer_s=0.03,
+    def _drive_streams(smodel, params, n_streams, frames=1000):
+        # ONE batcher for warmup + timing: its jitted step compiles
+        # on the first drive; the timed drive reuses the compiled
+        # program (finished streams are released, no state build-up).
+        # defer_s enables dynamic batching (the serve.py default):
+        # per-stream pushes coalesce into FULL batched rounds.
+        from speech_recognition_tools_tpu.infer.streaming_asr import (
+            StreamBatcher,
+        )
+
+        rs_s = np.random.RandomState(5)
+        featss = rs_s.randn(n_streams, frames, 80).astype(np.float32)
+        sb = StreamBatcher(
+            smodel, params, max_streams=n_streams, store_memory=False,
+            defer_s=0.03,
+        )
+
+        def drive(lat=None):
+            sids = [sb.open() for _ in range(n_streams)]
+            for off in range(0, frames, 100):
+                t0 = time.time()
+                for i, sid in enumerate(sids):
+                    sb.push(sid, featss[i, off : off + 100])
+                if lat is not None:
+                    lat.append(time.time() - t0)
+            for sid in sids:
+                sb.finish(sid)
+                sb.release(sid)
+
+        drive()  # compile + warm
+        lat = []  # per-round (1 s of audio x n_streams) latency
+        t0 = time.time()
+        drive(lat)
+        dt = time.time() - t0
+        lat_ms = np.sort(np.asarray(lat)) * 1000
+        n = len(lat_ms)
+
+        def pct(q):  # nearest-rank percentile
+            return round(
+                float(lat_ms[min(n - 1, max(0, -(-q * n // 100) - 1))]), 1
             )
 
-            def drive(lat=None):
-                sids = [sb.open() for _ in range(n_streams)]
-                for off in range(0, frames, 100):
-                    t0 = time.time()
-                    for i, sid in enumerate(sids):
-                        sb.push(sid, featss[i, off : off + 100])
-                    if lat is not None:
-                        lat.append(time.time() - t0)
-                for sid in sids:
-                    sb.finish(sid)
-                    sb.release(sid)
+        return dt, {
+            "p50": pct(50),
+            "p90": pct(90),
+            "max": round(float(lat_ms[-1]), 1),
+            "budget": 1000.0,
+        }
 
-            drive()  # compile + warm
-            lat = []  # per-round (1 s of audio x 8 streams) latency
-            t0 = time.time()
-            drive(lat)
-            dt = time.time() - t0
-            lat_ms = np.sort(np.asarray(lat)) * 1000
-            n = len(lat_ms)
-
-            def pct(q):  # nearest-rank percentile
-                return round(
-                    float(lat_ms[min(n - 1, max(0, -(-q * n // 100) - 1))]), 1
-                )
-
-            return dt, {
-                "p50": pct(50),
-                "p90": pct(90),
-                "max": round(float(lat_ms[-1]), 1),
-                "budget": 1000.0,
-            }
-
-        dt, lat = bench_batcher(sparams)
+    def run_streaming_serve():
+        smodel, sparams = _serving_model()
+        dt, lat = _drive_streams(smodel, sparams, 8)
         # weight-only int8 encoder (infer/quantize.py): same stack, the
         # big matmul weights stay int8 in HBM (dequant fused per use)
         from speech_recognition_tools_tpu.infer.quantize import (
             quantize_encoder,
         )
 
-        dt8, lat8 = bench_batcher(quantize_encoder(sparams))
+        dt8, lat8 = _drive_streams(smodel, quantize_encoder(sparams), 8)
         return dt, lat, dt8, lat8
 
     serve_lat = serve_lat8 = dt_serve8 = None
@@ -649,6 +673,23 @@ def main():
     dt_serve = guarded(
         "online serving (8-stream StreamBatcher, f32+int8)", run_serve_outer,
         min_left=200.0, partial_key="s_serve_8x10s",
+    )
+
+    # serving CAPACITY: how many live real-time streams one chip
+    # sustains. 64 concurrent streams through one batcher; the chip
+    # keeps up as long as each 1-s-of-audio scheduling round stays
+    # under 1 s wall (p90 < budget). f32 only; lowest budget priority.
+    serve_cap_lat = None
+
+    def run_serving_capacity():
+        nonlocal serve_cap_lat
+        smodel, sparams = _serving_model()
+        dt, serve_cap_lat = _drive_streams(smodel, sparams, 64)
+        return dt
+
+    dt_serve64 = guarded(
+        "serving capacity (64-stream StreamBatcher)", run_serving_capacity,
+        min_left=400.0, partial_key="s_serve_64x10s",
     )
 
     # e2e training step (the production wsj geometry, bf16 compute):
@@ -799,6 +840,19 @@ def main():
             ),
             "serve_chunk_latency_ms": serve_lat or "skipped",
             "serve_chunk_latency_ms_int8": serve_lat8 or "skipped",
+            # capacity: 64 live streams on one chip; sustained iff p90
+            # round latency stays under the 1 s budget
+            "serve_capacity_64stream": (
+                {
+                    "aggregate_x_realtime": xrt(dt_serve64, 64 * 10.0),
+                    "round_latency_ms": serve_cap_lat,
+                    "sustains_realtime": bool(
+                        serve_cap_lat and serve_cap_lat["p90"] < 1000.0
+                    ),
+                }
+                if dt_serve64
+                else "skipped"
+            ),
             # measured (r4, in-process A/B at this geometry): the step is
             # dispatch-bound through the tunneled chip (~6-8 ms/step for
             # f32 == bf16 == int8 alike), so the int8 line tracks the f32
