@@ -9,6 +9,7 @@ per-epoch checkpoints and final checkpoint averaging
 
 import argparse
 import os
+from functools import partial
 
 
 def get_parser():
@@ -183,7 +184,10 @@ def make_train_step(model, cfg, tx, use_specaug=False, param_sh=None):
     )
     from speech_recognition_tools_tpu.models.transformer_asr import asr_loss
 
-    @jax.jit
+    # params/opt_state are donated: XLA updates them in place, so the
+    # step holds one live copy of the training state instead of two
+    # (callers rebind both from the return value every step)
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         if use_specaug:
             rng, sa = jax.random.split(rng)
@@ -432,7 +436,7 @@ def main(argv=None):
             spec_augment,
         )
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, batch, rng):
             if args.specaug:
                 rng, sa = jax.random.split(rng)
@@ -558,7 +562,9 @@ def main(argv=None):
         save_checkpoint(args.store_path, f"epoch_{epoch + 1}", save_p, hyper,
                         opt_state=save_opt,
                         extra={"epoch": epoch + 1})
-        recent.append(jax.tree.map(lambda x: x, save_p))
+        # host copy: the live param buffers are donated to the next
+        # step, so the averaging window must own its own memory
+        recent.append(jax.device_get(save_p))
         if len(recent) > args.average_last:
             recent.pop(0)
     avg = average_checkpoints(recent)

@@ -14,6 +14,7 @@ the reference makes it.
 """
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -65,7 +66,11 @@ class Trainer:
             )
         )(learning_rate=config.learning_rate)
 
-        @jax.jit
+        # donated: XLA reuses the param/moment buffers for the outputs,
+        # so the step keeps one live copy of the training state. The
+        # revert snapshot (best_params) is a HOST copy (fit()), never an
+        # alias of the donated device buffers.
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, rng):
             (loss, aux), grads = jax.value_and_grad(
                 lambda p: self.loss_fn(p, batch, rng, True), has_aux=True
@@ -142,7 +147,9 @@ class Trainer:
             # LR-halve-and-revert (reference :248-262)
             if dev_loss > state.best_dev_loss * (1.0 + cfg.lr_tol):
                 state.lr = max(state.lr * cfg.lrr, cfg.min_lr)
-                state.params = state.best_params
+                # best_params is a host snapshot (the device buffers were
+                # donated away); re-place it on device for the next epoch
+                state.params = jax.device_put(state.best_params)
                 state.opt_state = self._set_lr(state.opt_state, state.lr)
                 log_fn(
                     f"epoch {state.epoch}: dev regressed "
@@ -151,7 +158,7 @@ class Trainer:
                 )
             else:
                 state.best_dev_loss = dev_loss
-                state.best_params = state.params
+                state.best_params = jax.device_get(state.params)
                 log_fn(
                     f"epoch {state.epoch}: train {tr_loss:.5f} "
                     f"dev {dev_loss:.5f} lr {state.lr:.2e}"
