@@ -745,7 +745,8 @@ def main():
                               + 4 * Te * a * e)
         dec = tcfg.dlayers * (
             8 * Ut * a * a + 4 * Ut * Ut * a        # self-attn
-            + 4 * Ut * a * a + 4 * Ut * Te * a      # cross-attn
+            + 4 * Ut * a * a + 4 * Te * a * a       # cross-attn q/o + k/v
+            + 4 * Ut * Te * a                       # cross scores+context
             + 4 * Ut * a * d_u
         )
         train_tflops[0] = 3.0 * Bt * (enc + dec) / 1e12

@@ -184,6 +184,15 @@ def finish(args, feats, lens_attr="write_utt2num_frames", meter=None):
         print(f"{sys.argv[0]}: {meter.summary()}")
 
 
+def add_profiling_arg(parser):
+    """The shared --profile_dir flag of the four featgen CLIs (kept in
+    one place so help text and behavior cannot drift)."""
+    parser.add_argument("--profile_dir",
+                        help="capture a jax.profiler (xprof) trace of the "
+                             "extraction into this dir")
+    return parser
+
+
 def profiled_extraction(args):
     """Observability wrapper shared by the featgen CLIs (SURVEY §5: the
     reference's only instrumentation is a wall-clock print,

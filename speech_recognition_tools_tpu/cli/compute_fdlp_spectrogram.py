@@ -39,9 +39,9 @@ def get_parser():
                         choices=["fast", "mixed", "high"])
     parser.add_argument("--random_jitter", action="store_true",
                         help="enable the reference's +-1 frame OLA jitter")
-    parser.add_argument("--profile_dir",
-                        help="capture a jax.profiler (xprof) trace of the "
-                             "extraction into this dir")
+    from speech_recognition_tools_tpu.cli.common import add_profiling_arg
+
+    add_profiling_arg(parser)
     return parser
 
 

@@ -26,9 +26,9 @@ def get_parser():
                         help="shard each batch over all devices (one "
                              "program replaces the reference's queue.pl "
                              "scp-shard fan-out)")
-    parser.add_argument("--profile_dir",
-                        help="capture a jax.profiler (xprof) trace of the "
-                             "extraction into this dir")
+    from speech_recognition_tools_tpu.cli.common import add_profiling_arg
+
+    add_profiling_arg(parser)
     return parser
 
 

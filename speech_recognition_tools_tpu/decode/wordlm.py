@@ -56,10 +56,16 @@ def word_vocab_from_dict(path: str, n_vocab: int | None = None) -> dict:
     (the LM embedding rows) the ids are validated against it."""
     vocab = {}
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             parts = line.split()
-            if len(parts) != 2:
+            if not parts:
                 continue
+            if len(parts) != 2:
+                raise ValueError(
+                    f"word dict {path}:{lineno}: expected 'word id', got "
+                    f"{line.rstrip()!r} (a silently skipped line would "
+                    "turn every affected word into an OOV)"
+                )
             vocab[parts[0]] = int(parts[1])
     if "<unk>" not in vocab:
         raise ValueError(f"word dict {path} has no <unk> entry")
@@ -121,8 +127,16 @@ class LookaheadWordLM:
                  oov_penalty: float = 1e-4, cache_size: int = 2048):
         self.model, self.params = model, params
         self.word_vocab = word_vocab
-        self.unk_w = word_vocab["<unk>"]
-        self.eos_w = word_vocab["<eos>"]
+        self.unk_w = word_vocab.get("<unk>")
+        # tolerate the char-vocab eos spelling ("<sos/eos>") so an
+        # imported LM dir's vocab.json works when it is a real word map
+        self.eos_w = word_vocab.get("<eos>", word_vocab.get("<sos/eos>"))
+        if self.unk_w is None or self.eos_w is None:
+            raise ValueError(
+                "word vocab lacks <unk> and/or <eos> — an imported LM "
+                "dir's vocab.json may be char-convention; pass the LM's "
+                "training wordlist via --word_lm_dict instead"
+            )
         self.space_c = char_vocab.get("<space>")
         self.eos_c = char_vocab["<sos/eos>"]
         self.blank_c = char_vocab.get("<blank>", 0)
@@ -139,17 +153,26 @@ class LookaheadWordLM:
         self._cache_size = int(cache_size)
         self._score = jax.jit(self._score_dev)
 
-    def _score_dev(self, tokens):
+    def _score_dev(self, tokens, last):
+        # tokens are right-padded to a pow2 bucket so decode compiles
+        # O(log max_history) programs instead of one per history length;
+        # the RNN is causal, so positions <= `last` ignore the padding
         logits = self.model.apply(self.params, tokens)
-        return jax.nn.log_softmax(logits[:, -1], axis=-1)
+        return jax.nn.log_softmax(logits[0, last], axis=-1)
 
     def _probs(self, hist: tuple) -> np.ndarray:
         out = self._dist.get(hist)
         if out is None:
-            toks = jnp.asarray([(self.eos_w,) + hist], jnp.int32)
-            out = np.exp(np.asarray(self._score(toks)[0])).astype(
-                np.float32
-            )
+            length = len(hist) + 1
+            cap = 1 << (length - 1).bit_length()  # next pow2 >= length
+            toks = np.zeros((1, cap), np.int32)
+            toks[0, 0] = self.eos_w
+            toks[0, 1:length] = hist
+            out = np.exp(
+                np.asarray(
+                    self._score(jnp.asarray(toks), length - 1)
+                )
+            ).astype(np.float32)
             self._dist[hist] = out
             if len(self._dist) > self._cache_size:
                 self._dist.popitem(last=False)

@@ -45,6 +45,10 @@ class TrainState:
     best_params: Any = None
     best_dev_loss: float = float("inf")
     history: list = field(default_factory=list)
+    # per-leaf Sharding tree captured with best_params, so a revert can
+    # re-place the host snapshot exactly where the live params were
+    # (e.g. expert-parallel NamedShardings) instead of the default device
+    best_shardings: Any = None
 
 
 class Trainer:
@@ -148,8 +152,13 @@ class Trainer:
             if dev_loss > state.best_dev_loss * (1.0 + cfg.lr_tol):
                 state.lr = max(state.lr * cfg.lrr, cfg.min_lr)
                 # best_params is a host snapshot (the device buffers were
-                # donated away); re-place it on device for the next epoch
-                state.params = jax.device_put(state.best_params)
+                # donated away); re-place it on device with the shardings
+                # it had when snapshotted
+                state.params = (
+                    jax.device_put(state.best_params, state.best_shardings)
+                    if state.best_shardings is not None
+                    else jax.device_put(state.best_params)
+                )
                 state.opt_state = self._set_lr(state.opt_state, state.lr)
                 log_fn(
                     f"epoch {state.epoch}: dev regressed "
@@ -159,6 +168,14 @@ class Trainer:
             else:
                 state.best_dev_loss = dev_loss
                 state.best_params = jax.device_get(state.params)
+                # step outputs are jax.Arrays; params can still be host
+                # numpy if no step ran (resume + empty epoch)
+                state.best_shardings = (
+                    jax.tree.map(lambda x: x.sharding, state.params)
+                    if all(hasattr(leaf, "sharding")
+                           for leaf in jax.tree.leaves(state.params))
+                    else None
+                )
                 log_fn(
                     f"epoch {state.epoch}: train {tr_loss:.5f} "
                     f"dev {dev_loss:.5f} lr {state.lr:.2e}"
