@@ -950,7 +950,8 @@ class OnlineASRPipeline:
 
     @classmethod
     def from_model_dir(cls, model_dir, ckpt="final_avg",
-                       block_frames: int = 8, int8: bool = False):
+                       block_frames: int = 8, int8: bool = False,
+                       **kwargs):
         """Build the full pipeline from a trained model directory alone.
 
         Reads the `serving.json` manifest that `recipes/run_corpus.py`
@@ -979,11 +980,12 @@ class OnlineASRPipeline:
             if cmvn is not None:
                 mean, std = cmvn
         return cls(model, params, fdlp_cfg=fdlp_cfg, vocab=vocab,
-                   cmvn_mean=mean, cmvn_std=std, block_frames=block_frames)
+                   cmvn_mean=mean, cmvn_std=std, block_frames=block_frames,
+                   **kwargs)
 
     def __init__(self, model, params, fdlp_cfg=None, vocab=None,
                  cmvn_mean=None, cmvn_std=None, block_frames: int = 8,
-                 endpoint_blanks: int = 0):
+                 endpoint_blanks: int = 0, store_memory: bool = True):
         from speech_recognition_tools_tpu.dsp.fdlp import FdlpConfig
         from speech_recognition_tools_tpu.dsp.streaming import StreamingFdlp
 
@@ -991,7 +993,11 @@ class OnlineASRPipeline:
         self._mk_featgen = lambda: StreamingFdlp(
             self.fdlp_cfg, block_frames=block_frames
         )
-        self.recognizer = StreamingRecognizer(model, params, vocab=vocab)
+        # store_memory=False bounds recognizer memory on hour-long audio
+        # (greedy tokens only — no encoder memory for a final beam pass)
+        self.recognizer = StreamingRecognizer(
+            model, params, vocab=vocab, store_memory=store_memory
+        )
         self.cmvn_mean = (
             np.asarray(cmvn_mean, np.float32) if cmvn_mean is not None
             else None
@@ -1016,6 +1022,13 @@ class OnlineASRPipeline:
         self.segment_times: list[list[int]] = []
         self.segment_confs: list[list[float]] = []
         self.frames_fed = 0  # feature frames fed to the CURRENT segment
+        # absolute feature-frame index at which each finished segment's
+        # recognizer started (parallel to self.segments); token times are
+        # recognizer-relative, so absolute seconds =
+        # segment_start_frames[k]/frate + times[k][i]*4/frate
+        self.segment_start_frames: list[int] = []
+        self.total_frames_fed = 0
+        self._cur_seg_start = 0
 
     def _maybe_endpoint(self):
         """Close the current utterance at a detected endpoint: flush the
@@ -1029,8 +1042,10 @@ class OnlineASRPipeline:
             self.segments.append(self.recognizer.finish())
             self.segment_times.append(list(self.recognizer.times))
             self.segment_confs.append(list(self.recognizer.confs))
+            self.segment_start_frames.append(self._cur_seg_start)
             self.recognizer.reset()
             self.frames_fed = 0
+            self._cur_seg_start = self.total_frames_fed
             return True
         return False
 
@@ -1048,6 +1063,7 @@ class OnlineASRPipeline:
         feats = self.featgen.process(samples)
         if feats.shape[0]:
             self.frames_fed += feats.shape[0]
+            self.total_frames_fed += feats.shape[0]
             hyp = self.recognizer.push(self._norm(feats))
         else:
             hyp = self.recognizer.push(
@@ -1065,12 +1081,14 @@ class OnlineASRPipeline:
         feats = self.featgen.finish()
         if feats.shape[0]:
             self.frames_fed += feats.shape[0]
+            self.total_frames_fed += feats.shape[0]
             self.recognizer.push(self._norm(feats))
         hyp = self.recognizer.finish()
         if self.endpoint_blanks > 0 and hyp:
             self.segments.append(hyp)
             self.segment_times.append(list(self.recognizer.times))
             self.segment_confs.append(list(self.recognizer.confs))
+            self.segment_start_frames.append(self._cur_seg_start)
         return hyp
 
     def text(self) -> str:
