@@ -81,22 +81,32 @@ def _load_last_good():
     # .cache/ does not survive an environment recycle; the committed
     # bench_captures/ hardware JSONs do. Newest one is the last tier
     # before null.
-    try:
-        import glob
+    import glob
 
-        caps = sorted(glob.glob(
-            os.path.join(_REPO, "bench_captures", "*_hardware*.json")))
-        if caps:
-            with open(caps[-1]) as f:
-                result = json.load(f)
-            if isinstance(result, dict) and result.get("value"):
-                name = os.path.basename(caps[-1])
-                return {"captured_utc": name.split("_")[0],
-                        "bench_rc": 0, "result": result,
-                        "source": f"bench_captures/{name} (committed "
-                                  "mid-round hardware capture)"}
-    except Exception:
-        pass
+    # Newest usable capture wins; accept both shapes — a bare result
+    # line and the wrapped {captured_utc, bench_rc, result} form that
+    # tunnel_watch.sh persists (and we commit verbatim).
+    caps = sorted(glob.glob(
+        os.path.join(_REPO, "bench_captures", "*_hardware*.json")))
+    for path in reversed(caps):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(doc, dict):
+            continue
+        wrapped = isinstance(doc.get("result"), dict)
+        result = doc["result"] if wrapped else doc
+        if not result.get("value"):
+            continue
+        name = os.path.basename(path)
+        return {"captured_utc": doc.get("captured_utc",
+                                        name.split("_")[0]) if wrapped
+                else name.split("_")[0],
+                "bench_rc": 0, "result": result,
+                "source": f"bench_captures/{name} (committed "
+                          "mid-round hardware capture)"}
     return None
 
 
@@ -582,7 +592,14 @@ def main():
     # 12-layer chunked-attention encoder). Reported as AGGREGATE
     # x-realtime = streams * audio_seconds / wall — host scheduling
     # included, i.e. honest serving throughput, not a kernel number.
+    _serving_model_cache = []
+
     def _serving_model():
+        # built once, shared by the 8-stream and 64-stream lines — a
+        # second init would pay another tunneled forward pass for the
+        # identical (model, params) pair
+        if _serving_model_cache:
+            return _serving_model_cache[0]
         from speech_recognition_tools_tpu.models.transformer_asr import (
             TransformerASR,
             TransformerASRConfig,
@@ -600,6 +617,7 @@ def main():
             jnp.zeros((1, 80, 80), jnp.float32), jnp.asarray([80]),
             jnp.zeros((1, 4), jnp.int32),
         )
+        _serving_model_cache.append((smodel, sparams))
         return smodel, sparams
 
     def _drive_streams(smodel, params, n_streams, frames=1000):
@@ -673,23 +691,6 @@ def main():
     dt_serve = guarded(
         "online serving (8-stream StreamBatcher, f32+int8)", run_serve_outer,
         min_left=200.0, partial_key="s_serve_8x10s",
-    )
-
-    # serving CAPACITY: how many live real-time streams one chip
-    # sustains. 64 concurrent streams through one batcher; the chip
-    # keeps up as long as each 1-s-of-audio scheduling round stays
-    # under 1 s wall (p90 < budget). f32 only; lowest budget priority.
-    serve_cap_lat = None
-
-    def run_serving_capacity():
-        nonlocal serve_cap_lat
-        smodel, sparams = _serving_model()
-        dt, serve_cap_lat = _drive_streams(smodel, sparams, 64)
-        return dt
-
-    dt_serve64 = guarded(
-        "serving capacity (64-stream StreamBatcher)", run_serving_capacity,
-        min_left=400.0, partial_key="s_serve_64x10s",
     )
 
     # e2e training step (the production wsj geometry, bf16 compute):
@@ -769,6 +770,24 @@ def main():
     dt_train = guarded(
         "e2e train step (wsj geometry, bf16)", run_train_step,
         min_left=300.0, partial_key="s_train_step_e2e",
+    )
+
+    # serving CAPACITY: how many live real-time streams one chip
+    # sustains. 64 concurrent streams through one batcher; the chip
+    # keeps up as long as each 1-s-of-audio scheduling round stays
+    # under 1 s wall (p90 < budget). f32 only; lowest budget priority,
+    # so it runs LAST — a hang here cannot starve any headline line.
+    serve_cap_lat = None
+
+    def run_serving_capacity():
+        nonlocal serve_cap_lat
+        smodel, sparams = _serving_model()
+        dt, serve_cap_lat = _drive_streams(smodel, sparams, 64)
+        return dt
+
+    dt_serve64 = guarded(
+        "serving capacity (64-stream StreamBatcher)", run_serving_capacity,
+        min_left=400.0, partial_key="s_serve_64x10s",
     )
 
     rt = audio_seconds / dt_prod

@@ -62,6 +62,10 @@ def get_parser():
                         "drop samples with subsampled-enc-len - "
                         "tokens*ratio < delta")
     p.add_argument("--min_io_delta", type=int, default=0)
+    p.add_argument("--frame_rate", type=float, default=100.0,
+                   help="feature frame rate in Hz (FdlpConfig.frate) — "
+                        "only used to convert frames to audio seconds "
+                        "in the per-epoch throughput log")
     p.add_argument("--vocab", help="existing vocab.json (e.g. built at "
                                    "data-prep time and shared with the "
                                    "RNNLM); default: build from text")
@@ -540,11 +544,12 @@ def main(argv=None):
             rng, sub = jax.random.split(rng)
             params, opt_state, loss, aux = step(params, opt_state, batch, sub)
             losses.append(float(loss))
-            # frames at 100 Hz -> audio seconds (SURVEY §5 throughput
-            # counters; the float(loss) above already synchronised)
+            # frames -> audio seconds at --frame_rate (SURVEY §5
+            # throughput counters; float(loss) above already synchronised)
             meter.update(
                 items=int(batch["feats"].shape[0]),
-                audio_seconds=float(jnp.sum(batch["lengths"])) / 100.0,
+                audio_seconds=float(jnp.sum(batch["lengths"]))
+                / args.frame_rate,
             )
         print(f"epoch {epoch + 1}: loss {sum(losses)/max(len(losses),1):.4f} "
               f"({meter.summary()})")

@@ -110,6 +110,14 @@ def main(argv=None):
                 for w in args.wavs]
     if not entries:
         p.error("no input: give WAV paths and/or --scp")
+    seen, dups = set(), set()
+    for utt, _ in entries:
+        if utt in seen:
+            dups.add(utt)
+        seen.add(utt)
+    if dups:
+        p.error(f"duplicate utterance ids (basename clash or scp "
+                f"overlap): {sorted(dups)}")
 
     pipe = OnlineASRPipeline.from_model_dir(
         args.model_dir, ckpt=args.ckpt, block_frames=args.block_frames,
@@ -133,7 +141,8 @@ def main(argv=None):
             meter.update(items=1, audio_seconds=len(sig) / srate)
             print(f"{utt} {text}".rstrip(), file=out_f)
             out_f.flush()
-            results[utt] = {"text": text, "segments": segments}
+            if args.json_out:  # only then keep per-utt detail in memory
+                results[utt] = {"text": text, "segments": segments}
     finally:
         if out_f is not sys.stdout:
             out_f.close()

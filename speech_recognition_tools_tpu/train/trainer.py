@@ -4,8 +4,10 @@ One trainer + a task loss function replaces the reference's 23 cloned
 train_*.py scripts. The schedule replicates
 train_rnn_nnet_classifier.py:248-262: after each epoch, if the dev loss
 regresses by more than `lr_tol` (relative), multiply the learning rate by
-`lrr` and *revert the weights* (and optimizer state) to the best epoch so
-far.
+`lrr` and *revert the weights* to the best epoch so far. Like the
+reference (which only calls model.load_state_dict and keeps the torch
+optimizer's momentum buffers), the optimizer moments are deliberately NOT
+reverted — only the learning rate changes.
 
 TPU design: the epoch body is a single jitted train_step (donated state,
 mesh-shardable by the caller via parallel.apply_data_parallel); the
