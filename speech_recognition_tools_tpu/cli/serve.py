@@ -88,14 +88,25 @@ class _ASRService:
     """Shared state: one batcher + per-connection featgen. The batcher is
     single-threaded by design; a lock serialises scheduling rounds (the
     batching across streams happens *inside* a round, so concurrent
-    connections still share one padded step per round)."""
+    connections still share one padded step per round).
+
+    This is deliberately a sibling of OnlineASRPipeline, not a wrapper
+    around it: the pipeline runs ONE stream through the device per step,
+    while the service schedules MANY streams into one padded batched
+    round. The semantics both must agree on (CMVN, the endpoint
+    predicate) live in infer/streaming_asr.py (`apply_cmvn`,
+    `endpoint_due`) so the two paths cannot drift."""
 
     def __init__(self, model, params, vocab, fdlp_cfg, max_streams,
                  cmvn=None, defer_s=0.0):
         from speech_recognition_tools_tpu.dsp.streaming import StreamingFdlp
         from speech_recognition_tools_tpu.infer.streaming_asr import (
             StreamBatcher,
+            apply_cmvn,
+            endpoint_due,
         )
+
+        self._apply_cmvn, self._endpoint_due = apply_cmvn, endpoint_due
 
         self.batcher = StreamBatcher(
             model, params, max_streams=max_streams, store_memory=False,
@@ -135,9 +146,8 @@ class _ASRService:
         feats = (
             featgen.finish() if samples is None else featgen.process(samples)
         )
-        if self.cmvn is not None and feats.shape[0]:
-            mean, std = self.cmvn
-            feats = (feats - mean[None, :]) / std[None, :]
+        if self.cmvn is not None:
+            feats = self._apply_cmvn(feats, *self.cmvn)
         return feats
 
     def push_audio(self, sid, featgen, samples, endpoint_blanks=0):
@@ -153,8 +163,7 @@ class _ASRService:
             else:
                 hyp = list(self.batcher.state(sid).hyp)
             st = self.batcher.state(sid)
-            if (endpoint_blanks > 0 and st.hyp
-                    and st.blank_run >= endpoint_blanks):
+            if self._endpoint_due(endpoint_blanks, st.blank_run, st.hyp):
                 toks, times, confs = self.batcher.restart(sid)
                 endpoint = {"tokens": toks, "times": self.times_s(times),
                             "confs": [round(c, 4) for c in confs]}

@@ -137,6 +137,17 @@ class LookaheadWordLM:
                 "dir's vocab.json may be char-convention; pass the LM's "
                 "training wordlist via --word_lm_dict instead"
             )
+        # a char-convention map (e.g. an imported ESPnet CHAR LM's
+        # vocab.json) also carries <unk>/<sos/eos>, so it passes the
+        # guard above — but fusing a 'lexicon' of single characters is
+        # silent garbage. <blank>/<space> never appear in a real word
+        # list; their presence identifies the char convention.
+        if "<blank>" in word_vocab or "<space>" in word_vocab:
+            raise ValueError(
+                "word vocab contains <blank>/<space> — this is a CHAR-"
+                "convention map, not a word lexicon; pass the word LM's "
+                "training wordlist via --word_lm_dict instead"
+            )
         self.space_c = char_vocab.get("<space>")
         self.eos_c = char_vocab["<sos/eos>"]
         self.blank_c = char_vocab.get("<blank>", 0)

@@ -28,17 +28,24 @@ import numpy as np
 # marker keys for a quantized leaf (a dict node replacing the array)
 _QKEYS = frozenset({"int8_q", "int8_scale"})
 _QUANT_NAMES = ("kernel", "embedding")
+# flax MultiHeadDotProductAttention q/k/v kernels are (in, heads,
+# head_dim): BOTH trailing axes are output channels (contraction is
+# axis 0 only), unlike Dense (in, out) / the attention out-projection
+# (heads, head_dim, out) where only the last axis is
+_MHA_QKV = frozenset({"query", "key", "value"})
 
 
 def _is_qleaf(node):
     return isinstance(node, dict) and set(node.keys()) == _QKEYS
 
 
-def quantize_leaf(w):
-    """Symmetric per-output-channel (last axis) int8 quantization.
-    Returns the marker dict {'int8_q', 'int8_scale'}."""
+def quantize_leaf(w, n_out_axes: int = 1):
+    """Symmetric per-output-channel int8 quantization: one f32 scale per
+    slice of the trailing `n_out_axes` axes (the output channels), abs-max
+    over the leading contraction axes. Returns the marker dict
+    {'int8_q', 'int8_scale'}."""
     w = np.asarray(w, np.float32)
-    red = tuple(range(w.ndim - 1))
+    red = tuple(range(w.ndim - n_out_axes))
     amax = np.max(np.abs(w), axis=red, keepdims=True)
     scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
     q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
@@ -48,8 +55,11 @@ def quantize_leaf(w):
 def quantize_tree(tree, min_size: int = 1024):
     """Replace every float kernel/embedding leaf (ndim >= 2, size >=
     min_size) in a nested params dict with its int8 form. Returns a new
-    nested dict; the input is not mutated."""
-    def rec(node):
+    nested dict; the input is not mutated. Attention q/k/v kernels
+    (3-D, under a query/key/value module) get per-(head, head_dim)
+    scales so one outlier weight in a head cannot inflate the step for
+    the same column of every other head."""
+    def rec(node, parent=None):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
@@ -59,9 +69,10 @@ def quantize_tree(tree, min_size: int = 1024):
                     and v.size >= min_size
                     and jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating)
                 ):
-                    out[k] = quantize_leaf(v)
+                    n_out = 2 if (parent in _MHA_QKV and v.ndim == 3) else 1
+                    out[k] = quantize_leaf(v, n_out_axes=n_out)
                 else:
-                    out[k] = rec(v)
+                    out[k] = rec(v, parent=k)
             return out
         return node
 

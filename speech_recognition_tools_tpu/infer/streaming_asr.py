@@ -801,12 +801,12 @@ class StreamBatcher:
             ]
             self._run_round(jobs)
 
-    def finish(self, sid: int) -> list[int]:
-        """Flush stream `sid` (its partial tail rides a normal round with
-        n_valid < chunk; its cache row is not advanced), free its row and
-        move it to the finished set (drop with release())."""
-        if sid in self._finished:
-            return list(self._finished[sid].hyp)
+    def _flush_tail(self, sid: int):
+        """Drain queued rounds, then run stream `sid`'s buffered tail
+        through partial rounds (n_valid <= chunk) until every subsampled
+        frame is consumed. The single flush implementation shared by
+        finish() and restart() — the tail arithmetic must not diverge
+        between ended and endpointed streams."""
         st = self._streams[sid]
         self.drain()
         total_sub = _total_subsampled(st.n_buf)
@@ -815,6 +815,15 @@ class StreamBatcher:
         while total_sub - st.pos > 0:
             n = min(total_sub - st.pos, self.chunk)
             self._run_round([(sid, n)])
+
+    def finish(self, sid: int) -> list[int]:
+        """Flush stream `sid` (its partial tail rides a normal round with
+        n_valid < chunk; its cache row is not advanced), free its row and
+        move it to the finished set (drop with release())."""
+        if sid in self._finished:
+            return list(self._finished[sid].hyp)
+        st = self._streams[sid]
+        self._flush_tail(sid)
         st.finished = True
         adim = self.cfg.adim
         st.memory = (
@@ -842,13 +851,7 @@ class StreamBatcher:
         one subsampling step that a flush cannot consume are trailing
         silence and are safely dropped."""
         st = self._streams[sid]
-        self.drain()
-        total_sub = _total_subsampled(st.n_buf)
-        if total_sub - st.pos > 0:
-            self._ensure_slot(sid)
-        while total_sub - st.pos > 0:
-            n = min(total_sub - st.pos, self.chunk)
-            self._run_round([(sid, n)])
+        self._flush_tail(sid)
         slot = st.slot
         if slot is not None:
             self._slot_sid[slot] = None
@@ -933,6 +936,27 @@ def load_manifest_cmvn(model_dir, manifest):
         np.asarray(blob["mean"], np.float32),
         np.asarray(blob["std"], np.float32),
     )
+
+
+def apply_cmvn(feats, mean=None, std=None):
+    """Global CMVN on a (T, D) feature block (no-op on empty input or
+    absent stats). The single normalization used by every serving
+    consumer — OnlineASRPipeline and srt-serve's batched service must
+    normalize identically or their transcripts diverge."""
+    if feats.shape[0] == 0:
+        return feats
+    if mean is not None:
+        feats = feats - mean[None, :]
+    if std is not None:
+        feats = feats / std[None, :]
+    return feats
+
+
+def endpoint_due(endpoint_blanks: int, blank_run: int, hyp) -> bool:
+    """The endpoint predicate (trailing blank run long enough AND the
+    current utterance is non-empty), shared by OnlineASRPipeline and
+    srt-serve so the two serving paths segment identically."""
+    return endpoint_blanks > 0 and bool(hyp) and blank_run >= endpoint_blanks
 
 
 class OnlineASRPipeline:
@@ -1034,11 +1058,8 @@ class OnlineASRPipeline:
         """Close the current utterance at a detected endpoint: flush the
         recognizer (trailing frames are blank by construction), record
         the segment, and restart the recognizer on the running featgen."""
-        if (
-            self.endpoint_blanks > 0
-            and self.recognizer.blank_run >= self.endpoint_blanks
-            and self.recognizer._hyp
-        ):
+        if endpoint_due(self.endpoint_blanks, self.recognizer.blank_run,
+                        self.recognizer._hyp):
             self.segments.append(self.recognizer.finish())
             self.segment_times.append(list(self.recognizer.times))
             self.segment_confs.append(list(self.recognizer.confs))
@@ -1050,11 +1071,7 @@ class OnlineASRPipeline:
         return False
 
     def _norm(self, feats):
-        if self.cmvn_mean is not None:
-            feats = feats - self.cmvn_mean[None, :]
-        if self.cmvn_std is not None:
-            feats = feats / self.cmvn_std[None, :]
-        return feats
+        return apply_cmvn(feats, self.cmvn_mean, self.cmvn_std)
 
     def push(self, samples) -> list[int]:
         """Feed raw audio samples; returns the current partial tokens

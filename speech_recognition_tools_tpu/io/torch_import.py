@@ -362,13 +362,17 @@ def _convert_feedforward(sd: dict, hyper: dict) -> tuple[dict, dict]:
         for i in range(hidden_n)
     }
     params["out"] = dense_from_linear(sd, f"layers.{hidden_n}.")
+    # a single-Linear checkpoint (hidden_n == 0) has no dense_0; the
+    # "first" layer is then the output head (same convention as
+    # _convert_linear below)
+    first = params.get("dense_0", params["out"])
     cfg = {
         "arch": "feedforward",
         "model_class": "FeedforwardClassifier",
         "num_layers": hidden_n,
-        "hidden_dim": params["dense_0"]["bias"].shape[0],
+        "hidden_dim": first["bias"].shape[0],
         "num_classes": params["out"]["bias"].shape[0],
-        "feature_dim": params["dense_0"]["kernel"].shape[0],
+        "feature_dim": first["kernel"].shape[0],
     }
     return params, cfg
 

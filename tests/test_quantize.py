@@ -56,6 +56,30 @@ def test_quantize_leaf_error_bound():
     assert np.asarray(q["int8_q"]).dtype == np.int8
 
 
+def test_attention_qkv_scales_are_per_head():
+    """3-D q/k/v kernels (in, heads, head_dim) must get one scale per
+    (head, head_dim) output channel: an outlier weight in head 0 must
+    not inflate the quantization step of the same column in head 1."""
+    w = RS.randn(64, 4, 16).astype(np.float32)
+    w[0, 0, 3] = 100.0  # outlier in head 0 only
+    tree = {"query": {"kernel": jnp.asarray(w)}}
+    q = quantize_tree(tree, min_size=1)
+    scale = np.asarray(q["query"]["kernel"]["int8_scale"])
+    assert scale.shape == (1, 4, 16)  # per-(head, head_dim)
+    assert scale[0, 0, 3] > 10 * scale[0, 1, 3]  # outlier stays in head 0
+    deq = (
+        np.asarray(q["query"]["kernel"]["int8_q"], np.float32) * scale
+    )
+    assert np.abs(w - deq).max() <= scale.max() / 2 + 1e-7
+    # head 1's error is bounded by ITS OWN small scale, not the outlier's
+    assert np.abs(w[:, 1] - deq[:, 1]).max() <= scale[0, 1].max() / 2 + 1e-7
+    # the attention out-projection (heads, head_dim, out) keeps the
+    # plain per-last-axis granularity
+    wo = RS.randn(4, 16, 64).astype(np.float32)
+    qo = quantize_tree({"out": {"kernel": jnp.asarray(wo)}}, min_size=1)
+    assert np.asarray(qo["out"]["kernel"]["int8_scale"]).shape == (1, 1, 64)
+
+
 def test_quantize_tree_selects_only_big_named_kernels():
     tree = {
         "a": {"kernel": jnp.ones((64, 64)), "bias": jnp.ones((64,))},

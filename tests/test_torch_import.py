@@ -82,6 +82,24 @@ def test_rnn_classifier_parity():
     _assert_close(_valid(out, lengths), _valid(ref, lengths))
 
 
+def test_feedforward_single_linear_parity():
+    """num_layers=0 checkpoints (one Linear in `layers`) have no dense_0;
+    the converter must fall back to the output head for the geometry
+    fields instead of crashing (mirrors _convert_linear's guard)."""
+    x, lengths = _inputs(7)
+    tm = refm.nnetFeedforward(D, 0, H, C)
+    tm.eval()
+    with torch.no_grad():
+        ref_embeds, ref_logits = tm(torch.from_numpy(x))
+
+    variables, cfg = convert_state_dict(tm.state_dict(), {})
+    assert cfg["arch"] == "feedforward" and cfg["num_layers"] == 0
+    assert cfg["feature_dim"] == D and cfg["num_classes"] == C
+    embeds, logits = _apply_native(cfg, variables, x, lengths)
+    _assert_close(logits, ref_logits.numpy())
+    assert len(embeds) == len(ref_embeds) == 0
+
+
 def test_feedforward_parity():
     x, lengths = _inputs(2)
     tm = refm.nnetFeedforward(D, 3, H, C)

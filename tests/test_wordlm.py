@@ -49,6 +49,18 @@ def _rows(s, prefixes):
     return [np.asarray(s(np.asarray([p], np.int32)))[0] for p in prefixes]
 
 
+def test_char_convention_vocab_rejected():
+    """A CHAR-convention vocab (e.g. an imported ESPnet char LM's
+    vocab.json) carries <unk> and <sos/eos>, so it would pass the
+    basic specials guard — but fusing a 'lexicon' of single characters
+    is silent garbage. Its <blank>/<space> markers must be detected."""
+    model = RNNLM(vocab_size=len(CVOCAB), embed_dim=4, hidden=8, layers=1)
+    params = model.init({"params": jax.random.key(0)},
+                        jnp.zeros((1, 3), jnp.int32))
+    with pytest.raises(ValueError, match="CHAR-convention"):
+        LookaheadWordLM(model, params, CVOCAB, CVOCAB)
+
+
 def test_lexical_tree_structure():
     root = make_lexical_tree(WVOCAB, CVOCAB)
     assert sorted(root.ids) == [2, 3, 4]
