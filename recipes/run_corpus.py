@@ -44,6 +44,7 @@ Usage:
   python recipes/run_corpus.py --config recipes/configs/wsj_fdlp_e2e.json \
       --data /path/to/wsj_data --expdir exp/wsj [--stage 1] \
       [--set am.epochs=2] [--test_sets test_dev93,test_eval92]
+      [--check_data]  # preflight the layout, print the plan, no compute
 
 `--set key.path=value` overrides any config entry (the parse_options.sh
 duality). Multichannel configs (`enhancement` section) run the WPE/GEV
@@ -177,6 +178,106 @@ def write_serving_manifest(cfg, model_dir, train_egs_dir):
         json.dump(manifest, f, indent=2)
 
 
+def check_data(cfg, args, branch, sets, test_sets):
+    """Preflight: validate the data-dir layout against the config and
+    print the planned run WITHOUT any compute — so the day a corpus
+    mounts, layout mistakes surface in seconds, not mid-run (the
+    reference surfaces them as stage crashes deep into run_*.sh).
+    Returns a list of problems (empty = ready)."""
+    from speech_recognition_tools_tpu.io.scp import read_scp, read_segments
+    from speech_recognition_tools_tpu.io.text import read_text_file
+    from speech_recognition_tools_tpu.io.wav import read_wav_scp_entry
+
+    problems, notes = [], []
+    fe = cfg.get("frontend", {})
+    srate = int(fe.get("srate", 16000))
+    enh = cfg.get("enhancement")
+    for name in dict.fromkeys(sets):
+        d = os.path.join(args.data, name)
+        if not os.path.isdir(d):
+            problems.append(f"{name}: data set dir missing: {d}")
+            continue
+        wav = os.path.join(d, "wav.scp")
+        if not os.path.exists(wav):
+            problems.append(f"{name}: missing wav.scp")
+            continue
+        entries = read_scp(wav)
+        if not entries:
+            problems.append(f"{name}: wav.scp is empty")
+            continue
+        seg_path = os.path.join(d, "segments")
+        has_seg = os.path.exists(seg_path)
+        if has_seg and enh:
+            problems.append(
+                f"{name}: segments-mode data cannot be combined with an "
+                "enhancement section (enhance the recordings first)"
+            )
+        text = os.path.join(d, "text")
+        if not os.path.exists(text):
+            problems.append(f"{name}: missing text")
+            ids = None
+        else:
+            texts = read_text_file(text)
+            ids = (
+                {s[0] for s in read_segments(seg_path)} if has_seg
+                else {k for k, _ in entries}
+            )
+            n_missing = len(ids - set(texts))
+            if n_missing:
+                problems.append(
+                    f"{name}: {n_missing}/{len(ids)} utterances have no "
+                    "transcription in text"
+                )
+        # spot-check the first wav: readable + sample rate matches the
+        # frontend (a pipe entry runs its command once — still cheap)
+        first = entries[0][1]
+        if enh:
+            from speech_recognition_tools_tpu.enhance.pipeline import (
+                read_multichannel_scp,
+            )
+
+            chans = read_multichannel_scp(wav)[entries[0][0]]
+            first = chans[0]
+            if len(chans) == 1:
+                notes.append(
+                    f"{name}: first utt is single-channel; stage 0 will "
+                    "pass such utts through unenhanced"
+                )
+        try:
+            read_wav_scp_entry(first, expected_srate=srate)
+        except Exception as e:
+            problems.append(
+                f"{name}: first wav entry unreadable at srate={srate}: {e}"
+            )
+        if name in test_sets and enh and enh.get("se_metrics"):
+            if not os.path.exists(os.path.join(d, "clean_wav.scp")):
+                notes.append(
+                    f"{name}: no clean_wav.scp — SE scoring will be skipped"
+                )
+    lex = os.path.join(args.data, "lexicon.txt")
+    if branch == "hybrid":
+        have_ali = all(
+            os.path.exists(os.path.join(args.data, n, "ali.pkl"))
+            for n in (args.train_set, args.dev_set)
+        )
+        if not have_ali and not os.path.exists(lex):
+            problems.append(
+                "hybrid branch: no ali.pkl in train/dev and no "
+                f"{lex} for native forced alignment — provide one"
+            )
+        elif not have_ali:
+            notes.append(
+                "no external ali.pkl: stage 2 will run native "
+                "flat-start + Viterbi alignment (align/forced.py)"
+            )
+        if not os.path.exists(lex):
+            notes.append(
+                "no lexicon.txt: stage 5 writes loglikes arks only "
+                "(no native WFST decode or WER)"
+            )
+    return problems, notes
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
@@ -192,6 +293,10 @@ def main(argv=None):
                    help="comma list (default: config decode.sets or 'test')")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="KEY.PATH=VALUE", help="config override")
+    p.add_argument("--check_data", action="store_true",
+                   help="validate the data-dir layout against the config "
+                        "and print the planned stages, then exit without "
+                        "running anything (rc 1 on problems)")
     args = p.parse_args(argv)
 
     with open(args.config) as f:
@@ -206,6 +311,30 @@ def main(argv=None):
         else [str(s) for s in cfg.get("decode", {}).get("sets", ["test"])]
     )
     sets = [args.train_set, args.dev_set] + test_sets
+
+    if args.check_data:
+        problems, notes = check_data(cfg, args, branch, sets, test_sets)
+        enh = cfg.get("enhancement")
+        planned = [s for s, on in [
+            (0, bool(enh)), (1, True), (2, True),
+            (3, branch == "hybrid" or bool(cfg.get("lm"))), (4, True),
+            (5, True), (6, branch == "hybrid" and bool(cfg.get("pm"))),
+        ] if on and args.stage <= s <= args.stop_stage]
+        print(f"config: {args.config}  branch: {branch}  "
+              f"frontend: {cfg.get('frontend', {}).get('type', 'fdlp')}"
+              f"@{cfg.get('frontend', {}).get('srate', 16000)}Hz")
+        print(f"sets: train={args.train_set} dev={args.dev_set} "
+              f"test={','.join(test_sets)}  planned stages: {planned}")
+        for n in notes:
+            print(f"NOTE: {n}")
+        for pr in problems:
+            print(f"PROBLEM: {pr}")
+        print("check_data: " + ("READY" if not problems
+                                else f"{len(problems)} problem(s)"))
+        if problems:
+            sys.exit(1)
+        return []
+
     exp = args.expdir
     os.makedirs(exp, exist_ok=True)
 

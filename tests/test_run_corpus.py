@@ -86,6 +86,38 @@ def test_override_parsing():
     assert cfg == {"am": {"epochs": 3}, "lm": {"units": 8}}
 
 
+def test_check_data_preflight(tmp_path, capsys):
+    """--check_data validates the layout without compute: READY on a
+    good corpus; wrong srate / missing text / missing alignment sources
+    are reported as problems with rc 1."""
+    data = str(tmp_path / "data")
+    _make_corpus(data)
+    common = [
+        "--config", os.path.join(REPO, "recipes/configs/timit_hybrid.json"),
+        "--data", data, "--expdir", str(tmp_path / "exp"),
+    ]
+    res = run_corpus.main(
+        common + ["--check_data", "--set", "frontend.srate=8000"]
+    )
+    out = capsys.readouterr().out
+    assert res == [] and "READY" in out and "planned stages" in out
+    assert not os.path.exists(str(tmp_path / "exp"))  # no compute, no expdir
+    # config srate (16 kHz) mismatches the 8 kHz wavs -> problem
+    with pytest.raises(SystemExit):
+        run_corpus.main(common + ["--check_data"])
+    assert "sample rate" in capsys.readouterr().out
+    # missing transcriptions + no alignment source at all -> problems
+    os.remove(os.path.join(data, "test", "text"))
+    os.remove(os.path.join(data, "train", "ali.pkl"))
+    os.remove(os.path.join(data, "lexicon.txt"))
+    with pytest.raises(SystemExit):
+        run_corpus.main(
+            common + ["--check_data", "--set", "frontend.srate=8000"]
+        )
+    out = capsys.readouterr().out
+    assert "missing text" in out and "forced alignment" in out
+
+
 def test_hybrid_branch(tmp_path):
     data = str(tmp_path / "data")
     _make_corpus(data)
