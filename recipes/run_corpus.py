@@ -142,6 +142,78 @@ def load_ali(path):
         return pickle.load(f)
 
 
+class StageProfiler:
+    """--profile_stages: per-stage wall-clock + device-memory + artifact
+    sizes -> <expdir>/stage_profile.json. The production-scale
+    observability the reference lacks (its only instrumentation is a
+    featgen wall-clock print, computeFDLPSpectrogram.py:264-271)."""
+
+    def __init__(self, enabled, expdir):
+        self.enabled, self.expdir = enabled, expdir
+        self.stages, self._cur, self._t = [], None, None
+
+    @staticmethod
+    def _device_mem():
+        try:
+            import jax
+
+            ms = jax.local_devices()[0].memory_stats() or {}
+            return {
+                k: int(ms[k])
+                for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+                if k in ms
+            }
+        except Exception:  # backend without memory_stats (e.g. tunnel)
+            return {}
+
+    def _close(self):
+        if self._cur is not None:
+            import time
+
+            self.stages.append({
+                "stage": self._cur,
+                "seconds": round(time.time() - self._t, 2),
+                "device_memory": self._device_mem(),
+            })
+            self._cur = None
+
+    def mark(self, label):
+        if not self.enabled:
+            return
+        import time
+
+        self._close()
+        self._cur, self._t = label, time.time()
+
+    def finish(self):
+        if not self.enabled:
+            return
+        self._close()
+        sizes = {}
+        for entry in sorted(os.listdir(self.expdir)):
+            p = os.path.join(self.expdir, entry)
+            if os.path.isdir(p):
+                total = 0
+                for root, _, files in os.walk(p):
+                    total += sum(
+                        os.path.getsize(os.path.join(root, f))
+                        for f in files
+                    )
+                sizes[entry + "/"] = total
+            else:
+                sizes[entry] = os.path.getsize(p)
+        out = os.path.join(self.expdir, "stage_profile.json")
+        with open(out, "w") as f:
+            json.dump(
+                {"stages": self.stages, "artifact_bytes": sizes}, f, indent=2
+            )
+        for s in self.stages:
+            mem = s["device_memory"].get("peak_bytes_in_use")
+            print(f"[profile] {s['stage']}: {s['seconds']:.1f}s"
+                  + (f"  peak_hbm={mem / 1e9:.2f}GB" if mem else ""))
+        print(f"[profile] stage profile -> {out}")
+
+
 def write_serving_manifest(cfg, model_dir, train_egs_dir):
     """Record the serving handoff next to the trained checkpoints.
 
@@ -183,7 +255,7 @@ def check_data(cfg, args, branch, sets, test_sets):
     print the planned run WITHOUT any compute — so the day a corpus
     mounts, layout mistakes surface in seconds, not mid-run (the
     reference surfaces them as stage crashes deep into run_*.sh).
-    Returns a list of problems (empty = ready)."""
+    Returns a (problems, notes) tuple; empty problems = ready."""
     from speech_recognition_tools_tpu.io.scp import read_scp, read_segments
     from speech_recognition_tools_tpu.io.text import read_text_file
     from speech_recognition_tools_tpu.io.wav import read_wav_scp_entry
@@ -231,19 +303,23 @@ def check_data(cfg, args, branch, sets, test_sets):
         # spot-check the first wav: readable + sample rate matches the
         # frontend (a pipe entry runs its command once — still cheap)
         first = entries[0][1]
-        if enh:
-            from speech_recognition_tools_tpu.enhance.pipeline import (
-                read_multichannel_scp,
-            )
-
-            chans = read_multichannel_scp(wav)[entries[0][0]]
-            first = chans[0]
-            if len(chans) == 1:
-                notes.append(
-                    f"{name}: first utt is single-channel; stage 0 will "
-                    "pass such utts through unenhanced"
-                )
         try:
+            if enh:
+                from speech_recognition_tools_tpu.enhance.pipeline import (
+                    read_multichannel_scp,
+                )
+
+                chans = read_multichannel_scp(wav).get(entries[0][0], [])
+                if not chans:
+                    raise ValueError(
+                        "first wav.scp entry has no channel paths"
+                    )
+                first = chans[0]
+                if len(chans) == 1:
+                    notes.append(
+                        f"{name}: first utt is single-channel; stage 0 "
+                        "will pass such utts through unenhanced"
+                    )
             read_wav_scp_entry(first, expected_srate=srate)
         except Exception as e:
             problems.append(
@@ -256,19 +332,36 @@ def check_data(cfg, args, branch, sets, test_sets):
                 )
     lex = os.path.join(args.data, "lexicon.txt")
     if branch == "hybrid":
-        have_ali = all(
-            os.path.exists(os.path.join(args.data, n, "ali.pkl"))
-            for n in (args.train_set, args.dev_set)
+        # mirror stage 2's ACTUAL gate: the native-realignment branch
+        # runs only when the TRAIN set lacks ali.pkl (and then aligns
+        # both train and dev). Train-has/dev-lacks means dev egs get no
+        # labels — dev loss/FER tracking (the LR schedule's signal)
+        # would silently break, so flag it as a problem.
+        train_ali = os.path.exists(
+            os.path.join(args.data, args.train_set, "ali.pkl")
         )
-        if not have_ali and not os.path.exists(lex):
+        dev_ali = os.path.exists(
+            os.path.join(args.data, args.dev_set, "ali.pkl")
+        )
+        if not train_ali and not os.path.exists(lex):
             problems.append(
-                "hybrid branch: no ali.pkl in train/dev and no "
+                f"hybrid branch: no ali.pkl in {args.train_set} and no "
                 f"{lex} for native forced alignment — provide one"
             )
-        elif not have_ali:
+        elif not train_ali:
             notes.append(
-                "no external ali.pkl: stage 2 will run native "
-                "flat-start + Viterbi alignment (align/forced.py)"
+                "no external train ali.pkl: stage 2 will run native "
+                "flat-start + Viterbi alignment (align/forced.py) over "
+                "train and dev"
+            )
+        elif not dev_ali:
+            problems.append(
+                f"hybrid branch: {args.train_set} has ali.pkl but "
+                f"{args.dev_set} does not — stage 2 only realigns when "
+                "the train set lacks alignments, so dev egs would be "
+                "built without labels (dev loss/FER tracking breaks); "
+                "provide dev ali.pkl or remove the train one to realign "
+                "both natively"
             )
         if not os.path.exists(lex):
             notes.append(
@@ -297,6 +390,9 @@ def main(argv=None):
                    help="validate the data-dir layout against the config "
                         "and print the planned stages, then exit without "
                         "running anything (rc 1 on problems)")
+    p.add_argument("--profile_stages", action="store_true",
+                   help="record per-stage wall-clock, device memory and "
+                        "artifact sizes to <expdir>/stage_profile.json")
     args = p.parse_args(argv)
 
     with open(args.config) as f:
@@ -337,6 +433,7 @@ def main(argv=None):
 
     exp = args.expdir
     os.makedirs(exp, exist_ok=True)
+    prof = StageProfiler(args.profile_stages, exp)
 
     def in_range(s):
         return args.stage <= s <= args.stop_stage
@@ -370,6 +467,7 @@ def main(argv=None):
     enh = cfg.get("enhancement")
     if enh and in_range(0):
         print("=== stage 0: multichannel enhancement (WPE/GEV) + SE scores")
+        prof.mark("0 enhancement")
         from speech_recognition_tools_tpu.enhance.pipeline import (
             maybe_mask_model,
             run_enhancement,
@@ -411,6 +509,7 @@ def main(argv=None):
 
     if in_range(1):
         print(f"=== stage 1: {cfg['frontend'].get('type', 'fdlp')} featgen")
+        prof.mark("1 featgen")
         for name in sets:
             d = dset(name)
             typ, argv = frontend_argv(
@@ -431,6 +530,7 @@ def main(argv=None):
 
     if in_range(2):
         print("=== stage 2: data prep (egs + dict)")
+        prof.mark("2 data prep")
         if branch == "e2e":
             texts = read_text_file(os.path.join(dset(args.train_set), "text"))
             save_vocab(build_char_vocab(texts.values()), vocab_path)
@@ -475,14 +575,21 @@ def main(argv=None):
                     )
                 print(f"native forced alignment over {len(feats_all)} "
                       f"utts (states_per_phone={spp})")
+                ali_history = []
                 labels, n_pdfs = realign_corpus(
                     feats_all, texts_all, lexicon,
                     states_per_phone=spp,
                     silence_phone=acfg.get("silence_phone"),
+                    silence_states=acfg.get("silence_states"),
+                    wpd_silence=acfg.get("wpd_silence", False),
                     num_iters=acfg.get("iters", 2),
                     am_epochs=acfg.get("epochs", 10),
                     hidden_dim=acfg.get("hidden_dim", 96),
+                    history=ali_history,
                 )
+                with open(os.path.join(exp, "align_history.json"),
+                          "w") as f:
+                    json.dump(ali_history, f, indent=2)
                 per_set = {n: {} for n in ali_sets}
                 for k, v in labels.items():
                     per_set[owner[k]][k] = v
@@ -555,6 +662,7 @@ def main(argv=None):
 
     if in_range(3):
         print("=== stage 3: LM")
+        prof.mark("3 LM")
         train_text = os.path.join(dset(args.train_set), "text")
         if branch == "e2e" and cfg.get("lm"):
             from speech_recognition_tools_tpu.cli import train_lm
@@ -578,6 +686,7 @@ def main(argv=None):
 
     if in_range(4):
         print(f"=== stage 4: {branch} AM training")
+        prof.mark("4 AM training")
         if branch == "e2e":
             from speech_recognition_tools_tpu.cli import train_e2e
 
@@ -632,6 +741,7 @@ def main(argv=None):
     results = []
     if in_range(5):
         print("=== stage 5: decode + score")
+        prof.mark("5 decode")
         from speech_recognition_tools_tpu.eval.wer import score_hypotheses
 
         dec = cfg.get("decode", {})
@@ -685,11 +795,24 @@ def main(argv=None):
             graph = os.path.join(exp, "graph")
             if os.path.exists(lex):
                 arpa = glob.glob(os.path.join(exp, "ngram", "*.arpa*"))[0]
-                decode_wfst.main([
+                argv = [
                     "build-graph", arpa, lex, graph,
                     "--states_per_phone",
                     str(dec.get("states_per_phone", 1)),
-                ])
+                ]
+                # graph topology must match the aligner's pdf numbering
+                # when labels came from native realignment (HmmTopology
+                # is shared between align/forced.py and decode/graph.py)
+                acfg5 = cfg.get("align", {})
+                if acfg5.get("silence_phone") is not None:
+                    argv += ["--silence_phone",
+                             str(acfg5["silence_phone"])]
+                if acfg5.get("silence_states"):
+                    argv += ["--silence_states",
+                             str(acfg5["silence_states"])]
+                if acfg5.get("wpd_silence"):
+                    argv.append("--wpd_silence")
+                decode_wfst.main(argv)
             for name in test_sets:
                 ll = os.path.join(exp, f"loglikes_{name}")
                 dump_outputs.main([
@@ -731,6 +854,7 @@ def main(argv=None):
 
     if in_range(6) and branch == "hybrid" and cfg.get("pm"):
         print("=== stage 6: PM model + scores")
+        prof.mark("6 PM")
         from speech_recognition_tools_tpu.cli import pm_score_cli, train_am
 
         pm = cfg["pm"]
@@ -755,6 +879,7 @@ def main(argv=None):
         ])
         print(f"PM scores -> {os.path.join(exp, 'pm.score')}")
 
+    prof.finish()
     print("run_corpus done")
     return results
 

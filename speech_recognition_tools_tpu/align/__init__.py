@@ -4,6 +4,7 @@ alignment pipeline (recipes/timit/run_get_hq_ali.sh -> ali-to-pdf,
 consumed by src/nnet/data_prep_for_seq.py:66-88)."""
 
 from speech_recognition_tools_tpu.align.forced import (
+    HmmTopology,
     equal_align,
     read_lexicon,
     realign_corpus,

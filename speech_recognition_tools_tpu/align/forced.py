@@ -27,6 +27,52 @@ tests/test_forced_align.py).
 import numpy as np
 
 
+class HmmTopology:
+    """Per-phone HMM topology + pdf numbering shared by the aligner and
+    the decoding graph (decode/graph.py).
+
+    pdf = base[phone] + hmm_state. With uniform state counts this
+    degenerates to the legacy convention pdf = phone * states_per_phone
+    + state, so existing alignments/graphs are unchanged unless the new
+    knobs are used:
+
+      silence_states: the silence phone gets its own (longer) chain —
+        the Kaldi-topology tier where silence is a 5-state HMM while
+        speech phones are 3-state (run_get_hq_ali.sh's topology via
+        prepare_lang; SURVEY §2.7).
+      wpd_silence: word-position-dependent silence — utterance-boundary
+        silence gets a DISTINCT pdf block (a virtual phone id
+        `edge_silence_phone`) from inter-word silence, so the AM can
+        model long endpoint silences separately from short pauses.
+    """
+
+    def __init__(self, num_phones, states_per_phone=1, silence_phone=None,
+                 silence_states=None, wpd_silence=False):
+        self.silence_phone = silence_phone
+        self.wpd_silence = bool(wpd_silence) and silence_phone is not None
+        P = num_phones + (1 if self.wpd_silence else 0)
+        self.num_phones = P
+        self.edge_silence_phone = (
+            num_phones if self.wpd_silence else silence_phone
+        )
+        st = np.full(P, states_per_phone, np.int32)
+        if silence_phone is not None and silence_states:
+            st[silence_phone] = silence_states
+            if self.wpd_silence:
+                st[self.edge_silence_phone] = silence_states
+        self._states = st
+        self.base = np.concatenate(
+            [[0], np.cumsum(st)]
+        ).astype(np.int32)
+        self.num_pdfs = int(self.base[-1])
+
+    def states(self, p):
+        return int(self._states[p])
+
+    def pdf(self, p, k):
+        return int(self.base[p]) + k
+
+
 def read_lexicon(path: str) -> dict:
     """Parse 'word phone-id [phone-id ...]' lines -> {word: [ids]} (the
     one lexicon format every aligner entry point shares)."""
@@ -40,11 +86,12 @@ def read_lexicon(path: str) -> dict:
 
 
 def utterance_states(words, lexicon, states_per_phone=1,
-                     silence_phone=None):
+                     silence_phone=None, topo: "HmmTopology | None" = None):
     """Linear HMM state chain for a transcript.
 
     Returns (pdfs, skip_to, start_lo):
-      pdfs[s]: emitting pdf id of state s (phone * states_per_phone + k)
+      pdfs[s]: emitting pdf id of state s (topo.pdf(phone, k); with the
+        default uniform topology that is phone * states_per_phone + k)
       skip_to[s]: -1, or the state index an ADVANCE out of state s may
         additionally jump to (the first state after the next optional
         silence block) — silence blocks between/around words are
@@ -52,23 +99,39 @@ def utterance_states(words, lexicon, states_per_phone=1,
       start_lo: the alternative entry state (first state after a leading
         optional silence block; 0 when there is none) — the path may
         start at state 0 OR start_lo.
+
+    topo: optional HmmTopology for per-phone state counts and
+    word-position-dependent silence (utterance-boundary blocks emit
+    topo.edge_silence_phone); when given it overrides
+    states_per_phone/silence_phone.
     """
-    S = states_per_phone
+    if topo is not None:
+        silence_phone = topo.silence_phone
     pdfs, optional = [], []
 
     def emit(phones, opt):
         for p in phones:
-            for k in range(S):
-                pdfs.append(p * S + k)
+            n_st = (topo.states(p) if topo is not None
+                    else states_per_phone)
+            for k in range(n_st):
+                pdfs.append(
+                    topo.pdf(p, k) if topo is not None
+                    else p * states_per_phone + k
+                )
                 optional.append(opt)
 
-    emit([silence_phone] if silence_phone is not None else [], True)
+    edge_sil = (topo.edge_silence_phone if topo is not None
+                else silence_phone)
+    emit([edge_sil] if silence_phone is not None else [], True)
     for i, w in enumerate(words):
         if w not in lexicon:
             raise KeyError(f"word not in lexicon: {w!r}")
         emit(lexicon[w], False)
         if silence_phone is not None:
-            emit([silence_phone], True)
+            # trailing block (after the last word) is utterance-boundary
+            # silence; inner blocks are inter-word silence
+            last = i == len(words) - 1
+            emit([edge_sil if last else silence_phone], True)
     pdfs = np.asarray(pdfs, np.int32)
     skip_to = np.full(len(pdfs), -1, np.int32)
     # an advance leaving state s-1 may skip a following optional block
@@ -94,13 +157,20 @@ def utterance_states(words, lexicon, states_per_phone=1,
     return pdfs, skip_to, np.int32(start_lo)
 
 
-def trailing_optional(pdfs, skip_to, silence_phone, states_per_phone):
+def trailing_optional(pdfs, skip_to, silence_phone, states_per_phone,
+                      topo: "HmmTopology | None" = None):
     """Index of the last NON-optional state +1, for the two-final
     readout (an utterance may end before its trailing silence)."""
+    if topo is not None:
+        silence_phone = topo.silence_phone
     if silence_phone is None:
         return len(pdfs)
-    S = states_per_phone
-    sil_set = {silence_phone * S + k for k in range(S)}
+    if topo is not None:
+        p = topo.edge_silence_phone
+        sil_set = {topo.pdf(p, k) for k in range(topo.states(p))}
+    else:
+        S = states_per_phone
+        sil_set = {silence_phone * S + k for k in range(S)}
     s = len(pdfs)
     while s > 0 and int(pdfs[s - 1]) in sil_set:
         s -= 1
@@ -265,9 +335,11 @@ def viterbi_align_batch(loglikes, lengths, chains, self_loop_prob=0.5):
 
 
 def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
-                   silence_phone=None, self_loop_prob=0.5,
+                   silence_phone=None, silence_states=None,
+                   wpd_silence=False, self_loop_prob=0.5,
                    num_iters=2, am_epochs=5, hidden_dim=96, num_layers=1,
-                   batch_size=8, seed=0, log=print):
+                   batch_size=8, seed=0, converge_tol=0.002,
+                   history=None, log=print):
     """Flat-start + iterative Viterbi realignment -> frame labels.
 
     feats: {utt: (T, D)}; texts: {utt: 'word word ...'}. Trains the
@@ -275,6 +347,16 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
     on the current labels each iteration, converts its posteriors to
     pseudo-loglikes (log p(s|x) - log prior), and re-aligns. Returns
     ({utt: (T,) pdf labels}, num_pdfs).
+
+    Topology tier (VERDICT r4 #6): silence_states gives the silence
+    phone its own chain length (Kaldi's 5-state silence / 3-state
+    phones), wpd_silence separates utterance-boundary from inter-word
+    silence pdfs — both via HmmTopology, shared with the decode graph.
+
+    Iteration schedule: each realignment logs the fraction of frames
+    whose label changed; the loop stops early once that falls below
+    converge_tol (FER-convergence). Pass history=[] to receive the
+    per-iteration dicts {iter, am_loss, frames_changed_pct}.
     """
     import jax
     import jax.numpy as jnp
@@ -283,13 +365,22 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
     from speech_recognition_tools_tpu import models as M
     from speech_recognition_tools_tpu.train import masked_cross_entropy
 
+    num_phones = 1 + max(
+        max(ph for phs in lexicon.values() for ph in phs),
+        silence_phone if silence_phone is not None else 0,
+    )
+    topo = HmmTopology(
+        num_phones, states_per_phone, silence_phone,
+        silence_states=silence_states, wpd_silence=wpd_silence,
+    )
     utts = [u for u in feats if u in texts]
     chains = {}
     for u in list(utts):
         p, sk, st = utterance_states(
-            texts[u].split(), lexicon, states_per_phone, silence_phone
+            texts[u].split(), lexicon, topo=topo
         )
-        fin_lo = trailing_optional(p, sk, silence_phone, states_per_phone)
+        fin_lo = trailing_optional(p, sk, silence_phone, states_per_phone,
+                                   topo=topo)
         if feats[u].shape[0] < min_align_frames(p, sk, st, fin_lo):
             log(f"WARNING: {u}: {feats[u].shape[0]} frames < shortest "
                 f"chain path — infeasible transcript, dropping")
@@ -298,12 +389,7 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
         chains[u] = (p, sk, st, fin_lo)
     if not utts:
         raise ValueError("no alignable utterances (all infeasible)")
-    num_pdfs = states_per_phone * (
-        1 + max(
-            max(ph for phs in lexicon.values() for ph in phs),
-            silence_phone if silence_phone is not None else 0,
-        )
-    )
+    num_pdfs = topo.num_pdfs
     labels = {u: equal_align(feats[u].shape[0], chains[u][0]) for u in utts}
 
     # The corpus stays RAGGED on the host (the per-utt feats dict) and is
@@ -375,6 +461,7 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
         ).astype(np.float64)
         prior = np.log((counts + 1.0) / (counts.sum() + num_pdfs))
         apply_jit = jax.jit(model.apply)
+        changed = total_frames = 0
         for idx in buckets:
             f, l = dense_batch(idx, with_labels=False)
             logits = np.asarray(apply_jit(params, f, l))[: len(idx)]
@@ -391,7 +478,23 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
                     log(f"WARNING: {utts[i]}: Viterbi found no valid path "
                         f"this iteration — keeping previous labels")
                 else:
+                    changed += int(np.sum(labels[utts[i]] != a[0]))
+                    total_frames += len(a[0])
                     labels[utts[i]] = a[0]
+        pct = changed / max(total_frames, 1)
+        log(f"align iter {it}: labels changed {100.0 * pct:.2f}% "
+            f"of {total_frames} frames")
+        if history is not None:
+            history.append({
+                "iter": it, "am_loss": float(last),
+                "frames_changed_pct": round(100.0 * pct, 3),
+            })
+        # FER-convergence: once realignment stops moving labels, more
+        # train-align rounds only burn compute
+        if pct < converge_tol:
+            log(f"align converged at iter {it} "
+                f"(changed {100.0 * pct:.2f}% < {100.0 * converge_tol}%)")
+            break
     return labels, num_pdfs
 
 

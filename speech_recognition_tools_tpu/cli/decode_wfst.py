@@ -29,6 +29,12 @@ def get_parser():
     b.add_argument("--states_per_phone", type=int, default=3)
     b.add_argument("--self_loop_prob", type=float, default=0.5)
     b.add_argument("--silence_phone", type=int, default=None)
+    b.add_argument("--silence_states", type=int, default=None,
+                   help="silence phone's own HMM chain length (Kaldi's "
+                        "5-state silence / 3-state phones tier)")
+    b.add_argument("--wpd_silence", action="store_true",
+                   help="word-position-dependent silence: distinct pdf "
+                        "block for utterance-boundary silence")
 
     d = sub.add_parser("decode", help="decode loglikes ark over a graph")
     d.add_argument("graph_dir")
@@ -101,6 +107,8 @@ def _build(args):
             states_per_phone=args.states_per_phone,
             self_loop_prob=args.self_loop_prob,
             silence_phone=args.silence_phone,
+            silence_states=args.silence_states,
+            wpd_silence=args.wpd_silence,
         ),
     )
     os.makedirs(args.graph_dir, exist_ok=True)

@@ -28,6 +28,12 @@ def get_parser():
                    help="must match the decode graph's value")
     p.add_argument("--silence_phone", type=int, default=None,
                    help="optional-silence phone id (L_disambig topology)")
+    p.add_argument("--silence_states", type=int, default=None,
+                   help="silence phone's own chain length (Kaldi's "
+                        "5-state silence / 3-state phones tier)")
+    p.add_argument("--wpd_silence", action="store_true",
+                   help="word-position-dependent silence: distinct pdf "
+                        "block for utterance-boundary silence")
     p.add_argument("--self_loop_prob", type=float, default=0.5)
     p.add_argument("--iters", type=int, default=2,
                    help="train->realign iterations after flat-start")
@@ -55,6 +61,8 @@ def main(argv=None):
         feats, texts, lexicon,
         states_per_phone=args.states_per_phone,
         silence_phone=args.silence_phone,
+        silence_states=args.silence_states,
+        wpd_silence=args.wpd_silence,
         self_loop_prob=args.self_loop_prob,
         num_iters=args.iters, am_epochs=args.epochs,
         hidden_dim=args.hidden_dim, num_layers=args.num_layers,

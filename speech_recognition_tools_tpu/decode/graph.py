@@ -36,6 +36,12 @@ class GraphConfig:
     # at sentence start (classic L_disambig optional-silence topology)
     silence_phone: int | None = None
     silence_prob: float = 0.5
+    # topology tier (align/forced.HmmTopology, shared with the native
+    # aligner): silence_states gives silence its own chain length
+    # (Kaldi's 5-state silence); wpd_silence gives utterance-boundary
+    # silence a distinct pdf block from inter-word silence
+    silence_states: int | None = None
+    wpd_silence: bool = False
 
 
 class DecodingGraph:
@@ -98,11 +104,17 @@ def build_decoding_graph(
         raise ValueError(
             f"lexicon entries with no phones: {sorted(empty)[:10]}"
         )
+    from speech_recognition_tools_tpu.align.forced import HmmTopology
+
     num_phones = 1 + max(
         [p for phones in lexicon.values() for p in phones]
         + ([cfg.silence_phone] if cfg.silence_phone is not None else [0])
     )
-    num_pdfs = num_phones * S
+    topo = HmmTopology(
+        num_phones, S, cfg.silence_phone,
+        silence_states=cfg.silence_states, wpd_silence=cfg.wpd_silence,
+    )
+    num_pdfs = topo.num_pdfs
 
     words = {w: i + 1 for i, w in enumerate(sorted(lexicon))}
 
@@ -146,8 +158,8 @@ def build_decoding_graph(
         cur = src
         first = True
         for ph in phones:
-            for st in range(S):
-                pdf = ph * S + st
+            for st in range(topo.states(ph)):
+                pdf = topo.pdf(ph, st)
                 nxt = new_state()
                 # entering arc (emits pdf)
                 arcs.append(
@@ -160,15 +172,18 @@ def build_decoding_graph(
                 cur = nxt
         arcs.append((cur, dst, 0, 0, 0.0))
 
-    def maybe_silence(src, dst):
-        """Optional silence between src and dst (plus direct epsilon)."""
+    def maybe_silence(src, dst, edge=False):
+        """Optional silence between src and dst (plus direct epsilon).
+        edge=True uses the utterance-boundary silence pdf block when the
+        topology is word-position-dependent."""
         if cfg.silence_phone is None:
             arcs.append((src, dst, 0, 0, 0.0))
             return
         sil_cost = -math.log(cfg.silence_prob)
         nosil_cost = -math.log(1.0 - cfg.silence_prob)
         arcs.append((src, dst, 0, 0, nosil_cost))
-        splice_hmm_chain(src, dst, [cfg.silence_phone], 0, sil_cost)
+        ph = topo.edge_silence_phone if edge else cfg.silence_phone
+        splice_hmm_chain(src, dst, [ph], 0, sil_cost)
 
     # word arcs from every stored n-gram
     for g, lp in lm.logprob.items():
@@ -179,7 +194,14 @@ def build_decoding_graph(
         src = ctx_state(ctx)
         cost = -_LN10 * lp
         if w == EOS:
-            arcs.append((src, final_state, 0, 0, cost))
+            if cfg.wpd_silence and cfg.silence_phone is not None:
+                # utterance-final optional silence gets the boundary pdf
+                # block (matches the aligner's trailing edge-silence)
+                mid2 = new_state()
+                arcs.append((src, mid2, 0, 0, cost))
+                maybe_silence(mid2, final_state, edge=True)
+            else:
+                arcs.append((src, final_state, 0, 0, cost))
             continue
         if w == BOS or w not in words:
             continue
@@ -202,9 +224,10 @@ def build_decoding_graph(
         arcs.append((src, dst, 0, 0, -_LN10 * bo))
 
     # optional sentence-initial silence: a silence HMM looping on the
-    # start context (state 0 stays the start state)
+    # start context (state 0 stays the start state); boundary pdf block
+    # under a word-position-dependent topology
     if cfg.silence_phone is not None:
-        splice_hmm_chain(0, 0, [cfg.silence_phone],
+        splice_hmm_chain(0, 0, [topo.edge_silence_phone],
                          0, -math.log(cfg.silence_prob))
 
     return DecodingGraph(arcs, finals, words, num_pdfs)

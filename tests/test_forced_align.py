@@ -119,6 +119,105 @@ class TestViterbi:
         assert min_align_frames(p, sk, st, fin) == 8
 
 
+class TestTopology:
+    """HmmTopology tier (VERDICT r4 #6): per-phone state counts and
+    word-position-dependent silence, shared with decode/graph.py."""
+
+    def test_uniform_matches_legacy_numbering(self):
+        from speech_recognition_tools_tpu.align import HmmTopology
+
+        topo = HmmTopology(5, states_per_phone=2, silence_phone=4)
+        for p in range(5):
+            for k in range(2):
+                assert topo.pdf(p, k) == p * 2 + k
+        assert topo.num_pdfs == 10
+        p_t, sk_t, st_t = utterance_states(
+            ["go", "stop"], LEX, topo=topo
+        )
+        p_l, sk_l, st_l = utterance_states(
+            ["go", "stop"], LEX, states_per_phone=2, silence_phone=4
+        )
+        assert p_t.tolist() == p_l.tolist()
+        assert sk_t.tolist() == sk_l.tolist() and st_t == st_l
+
+    def test_silence_states_lengthens_silence_chain(self):
+        from speech_recognition_tools_tpu.align import HmmTopology
+
+        topo = HmmTopology(5, states_per_phone=3, silence_phone=4,
+                           silence_states=5)
+        assert topo.states(4) == 5 and topo.states(0) == 3
+        assert topo.num_pdfs == 4 * 3 + 5
+        # silence pdfs occupy their own contiguous block
+        assert topo.pdf(4, 0) == 12 and topo.pdf(4, 4) == 16
+        p, sk, st = utterance_states(["go"], LEX, topo=topo)
+        # leading sil (5 states) + 'go' (3) + trailing sil (5)
+        assert len(p) == 13
+        assert st == 5  # entry may skip the 5-state leading block
+
+    def test_wpd_silence_distinct_edge_block(self):
+        from speech_recognition_tools_tpu.align import (
+            HmmTopology,
+            trailing_optional,
+        )
+
+        topo = HmmTopology(5, states_per_phone=1, silence_phone=4,
+                           wpd_silence=True)
+        assert topo.edge_silence_phone == 5
+        assert topo.num_pdfs == 6
+        p, sk, st = utterance_states(["go", "stop"], LEX, topo=topo)
+        # edge-sil | go | inner-sil | stop | edge-sil
+        assert p.tolist() == [5, 0, 4, 1, 2, 5]
+        fin = trailing_optional(p, sk, None, 1, topo=topo)
+        assert fin == 5  # trailing EDGE block recognised as optional
+
+    def test_align_exact_with_wpd_and_silence_states(self):
+        """Viterbi recovery under the full topology tier: 2-state
+        phones, 3-state silence, wpd edge blocks."""
+        from speech_recognition_tools_tpu.align import (
+            HmmTopology,
+            trailing_optional,
+        )
+
+        topo = HmmTopology(5, states_per_phone=2, silence_phone=4,
+                           silence_states=3, wpd_silence=True)
+        P = topo.num_pdfs
+        p, sk, st = utterance_states(["go", "stop"], LEX, topo=topo)
+        fin = trailing_optional(p, sk, None, 2, topo=topo)
+        edge = [topo.pdf(5, k) for k in range(3)]
+        inner = [topo.pdf(4, k) for k in range(3)]
+        go = [topo.pdf(0, k) for k in range(2)]
+        stop = [topo.pdf(1, 0), topo.pdf(1, 1),
+                topo.pdf(2, 0), topo.pdf(2, 1)]
+        true = edge + go + inner + stop + edge
+        ll = np.full((len(true), P), -8.0, np.float32)
+        ll[np.arange(len(true)), true] = 0.0
+        (labels, score), = viterbi_align_batch(
+            ll[None], np.asarray([len(true)]), [(p, sk, st, fin)]
+        )
+        assert labels.tolist() == true
+
+    def test_realign_with_topology_pdf_range(self):
+        rs = np.random.RandomState(5)
+        feats = {"a": rs.randn(30, 4).astype(np.float32),
+                 "b": rs.randn(26, 4).astype(np.float32)}
+        texts = {"a": "go stop", "b": "left go"}
+        hist = []
+        labels, n_pdfs = realign_corpus(
+            feats, texts, LEX, states_per_phone=3, silence_phone=4,
+            silence_states=5, wpd_silence=True,
+            num_iters=3, am_epochs=2, history=hist,
+            log=lambda *a: None,
+        )
+        # 4 phones x 3 + two silence variants x 5
+        assert n_pdfs == 4 * 3 + 5 + 5
+        for u, lab in labels.items():
+            assert len(lab) == feats[u].shape[0]
+            assert lab.min() >= 0 and lab.max() < n_pdfs
+        # FER-convergence history recorded per iteration
+        assert 1 <= len(hist) <= 3
+        assert all("frames_changed_pct" in h for h in hist)
+
+
 class TestRealignRobustness:
     def test_realign_drops_infeasible_utt(self, capsys):
         """realign_corpus drops a too-short utterance with a warning and

@@ -105,6 +105,7 @@ def test_bf16_grads_are_f32_and_training_learns():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_bf16_decode_paths_run():
     cfg = _cfg(compute_dtype="bfloat16")
     model = TransformerASR(cfg)

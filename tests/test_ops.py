@@ -287,13 +287,15 @@ class TestBlockedLevinson:
             ]
         )
 
-    # block=1 (pure scalar recursions, 60 unrolled blocks) and 40 are
-    # edge-geometry compiles that dominate the default suite; 7/15/200
-    # cover the small / production / single-block regimes
+    # every geometry except block=15 (the production regime) is a
+    # compile-heavy edge case (40-51 s each on the 1-core CI box) —
+    # slow-gated; `pytest -m ''` sweeps 1/7/15/40/200
     @pytest.mark.parametrize(
         "block",
-        [pytest.param(1, marks=pytest.mark.slow), 7, 15,
-         pytest.param(40, marks=pytest.mark.slow), 200],
+        [pytest.param(1, marks=pytest.mark.slow),
+         pytest.param(7, marks=pytest.mark.slow), 15,
+         pytest.param(40, marks=pytest.mark.slow),
+         pytest.param(200, marks=pytest.mark.slow)],
     )
     def test_matches_scan(self, block):
         from speech_recognition_tools_tpu.ops.levinson import (
@@ -309,6 +311,7 @@ class TestBlockedLevinson:
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a0), atol=1e-12)
         np.testing.assert_allclose(np.asarray(e1), np.asarray(e0), atol=1e-13)
 
+    @pytest.mark.slow
     def test_degenerate_bands_stay_guarded(self):
         """Silent (r=0) and pure-tone (|k|->1 clamp) lanes must stay
         bounded under the same guards as the scan. Exact value agreement

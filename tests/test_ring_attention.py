@@ -145,6 +145,11 @@ class TestEncodeRing:
         )
         return model, params, batch
 
+    # full-encoder ring parity is compile-heavy (~47 s on the 1-core CI
+    # box); the default suite keeps TestRingAttention's layer-level
+    # parity as the fast representative and the dryrun covers the
+    # sharded path (stage 7)
+    @pytest.mark.slow
     @pytest.mark.parametrize(
         "encoder_type",
         ["transformer", pytest.param("conformer", marks=pytest.mark.slow)],

@@ -106,6 +106,15 @@ def test_check_data_preflight(tmp_path, capsys):
     with pytest.raises(SystemExit):
         run_corpus.main(common + ["--check_data"])
     assert "sample rate" in capsys.readouterr().out
+    # train has ali.pkl but dev doesn't: stage 2's realign branch would
+    # NOT run (it gates on the train set only), so preflight must flag
+    # the label-less dev egs as a problem, not report READY
+    os.remove(os.path.join(data, "dev", "ali.pkl"))
+    with pytest.raises(SystemExit):
+        run_corpus.main(
+            common + ["--check_data", "--set", "frontend.srate=8000"]
+        )
+    assert "dev egs would be built without labels" in capsys.readouterr().out
     # missing transcriptions + no alignment source at all -> problems
     os.remove(os.path.join(data, "test", "text"))
     os.remove(os.path.join(data, "train", "ali.pkl"))

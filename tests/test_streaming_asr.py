@@ -434,6 +434,7 @@ def test_token_confidences_match_offline_definition():
     np.testing.assert_allclose(sb.state(sid).confs, want, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_rescored_partial_equals_final_beam():
     """After finish(), the attention-rescored 'partial' IS the offline
     joint beam over the full chunked encode; mid-stream it runs over a

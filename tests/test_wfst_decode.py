@@ -153,6 +153,38 @@ class TestOptionalSilence:
         ids, _ = dec.decode(ll, acoustic_scale=1.0, beam=1e9)
         assert [g.id_to_word()[i] for i in ids] == ["go"]
 
+    def test_topology_tier_matches_aligner(self, tmp_path):
+        """Graph built with silence_states + wpd_silence shares the
+        aligner's HmmTopology pdf numbering, and decodes a label chain
+        PRODUCED by the aligner's utterance_states (the exact
+        pdf-consistency contract between stage 2 and stage 5 of
+        run_corpus; VERDICT r4 #6)."""
+        from speech_recognition_tools_tpu.align import (
+            HmmTopology,
+            trailing_optional,
+            utterance_states,
+        )
+
+        lm = train_ngram_lm(SENTS, order=2)
+        cfg = GraphConfig(states_per_phone=2, silence_phone=5,
+                          silence_states=3, wpd_silence=True)
+        g = build_decoding_graph(lm, LEX, cfg)
+        topo = HmmTopology(6, 2, 5, silence_states=3, wpd_silence=True)
+        assert g.num_pdfs == topo.num_pdfs
+        # aligner-side chain for 'go stop' with edge + inner silences
+        words = ["go", "stop"]
+        p, sk, st = utterance_states(words, LEX, topo=topo)
+        # forced path: every state once, silences included
+        pdfs = [int(x) for x in p]
+        ll = np.full((len(pdfs), g.num_pdfs), -10.0, np.float32)
+        ll[np.arange(len(pdfs)), pdfs] = 0.0
+        path = str(tmp_path / "hclg_topo.txt")
+        g.write(path)
+        dec = WfstDecoder(path)
+        ids, cost = dec.decode(ll, acoustic_scale=1.0, beam=1e9)
+        assert [g.id_to_word()[i] for i in ids] == words
+        assert np.isfinite(cost)
+
 
 class TestDecodeCli:
     def test_full_chain(self, tmp_path):
