@@ -97,7 +97,7 @@ def frontend_argv(fe, scp, out, data_set_dir):
         "fdlp": ("srate", "nfilters", "fduration", "order", "coeff_num",
                  "coeff_range", "overlap_fraction", "fbank_type", "frate",
                  "odd_mod_zero", "gamma_weight", "lifter_config",
-                 "precision"),
+                 "precision", "batch_size", "bucket_seconds"),
         "melspec": ("srate", "nfilters", "fduration", "frate", "nfft",
                     "spectrum_type", "fbank_type"),
         "mfcc": ("srate", "nfilters", "fduration", "frate", "nfft",
@@ -701,8 +701,8 @@ def main(argv=None):
                       "dunits", "mtlalpha", "lsm_weight", "dropout",
                       "warmup_steps", "transformer_lr", "grad_clip",
                       "epochs", "batch_size", "average_last",
-                      "encoder_type", "conv_kernel",
-                      "attn_chunk", "attn_left_chunks"):
+                      "encoder_type", "conv_kernel", "compute_dtype",
+                      "bucket_frames", "attn_chunk", "attn_left_chunks"):
                 if k in am:
                     argv += [f"--{k}", str(am[k])]
             if am.get("specaug"):
@@ -758,6 +758,18 @@ def main(argv=None):
                     "--penalty", str(dec.get("penalty", 0.0)),
                     "--max_len", str(dec.get("max_len", 200)),
                 ]
+                # default to the fully-jitted batched beam search: the
+                # host-loop path dispatches one decoder call per step
+                # and compiles one program per prefix length — fine for
+                # a toy set, catastrophic at corpus scale (decode.jit:
+                # false restores the host loop)
+                if dec.get("jit", True):
+                    argv += [
+                        "--jit_decode",
+                        "--batch_size", str(dec.get("batch_size", 8)),
+                        "--bucket_frames",
+                        str(dec.get("bucket_frames", 32)),
+                    ]
                 if cfg.get("lm") and os.path.isdir(os.path.join(exp, "lm")):
                     argv += ["--lm_dir", os.path.join(exp, "lm"),
                              "--lm_weight", str(dec.get("lm_weight", 1.0))]

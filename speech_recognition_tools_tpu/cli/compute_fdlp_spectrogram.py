@@ -31,6 +31,11 @@ def get_parser():
     parser.add_argument("--add_noise", help="'type,snr' | clean | diff")
     parser.add_argument("--srate", type=int, default=16000)
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--bucket_seconds", type=float, default=1.0,
+                        help="round padded batch length up to this many "
+                             "seconds; raise (e.g. 4) on real corpora so "
+                             "XLA compiles a handful of shapes instead "
+                             "of one per second of length spread")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard each batch over all devices (one "
                              "program replaces the reference's queue.pl "
@@ -94,6 +99,8 @@ def main(argv=None):
     ctx, meter = profiled_extraction(args)
     with ctx:
         feats = run_batched(signals, batch_fn, batch_size=args.batch_size,
+                            bucket_multiple=int(
+                                args.bucket_seconds * args.srate),
                             data_parallel=args.data_parallel,
                             meter=meter, srate=args.srate)
     finish(args, feats, meter=meter)

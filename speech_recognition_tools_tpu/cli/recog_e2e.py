@@ -29,6 +29,11 @@ def get_parser():
     p.add_argument("--batch_size", type=int, default=1,
                    help="(--jit_decode) utterances per batched search "
                         "program")
+    p.add_argument("--bucket_frames", type=int, default=32,
+                   help="round padded batch frames up to this multiple; "
+                        "raise (e.g. 256) on real corpora so the jitted "
+                        "search compiles a handful of shapes, not one "
+                        "per batch")
     p.add_argument("--lm_dir", help="train_lm checkpoint dir for RNNLM "
                                     "shallow fusion (decode.yaml lm-weight)")
     p.add_argument("--lm_weight", type=float, default=1.0)
@@ -46,6 +51,14 @@ def get_parser():
     p.add_argument("--oov_penalty", type=float, default=1e-4,
                    help="(--word_lm_dir) per-char penalty factor for "
                         "out-of-lexicon words")
+    p.add_argument("--attn_chunk", type=int, default=None,
+                   help="override the checkpoint's encoder attention "
+                        "chunking at decode time — run a full-context "
+                        "model with chunked masks (the io/torch_import "
+                        "--attn_chunk approximation, measurable on any "
+                        "checkpoint); default: from the checkpoint")
+    p.add_argument("--attn_left_chunks", type=int, default=None,
+                   help="override left-context chunks with --attn_chunk")
     p.add_argument("--streaming", action="store_true",
                    help="online decode: feed features chunk-by-chunk "
                         "through the incremental encoder "
@@ -101,7 +114,8 @@ def _load_lm(lm_dir, ckpt="final"):
     return model, payload["params"]
 
 
-def _load(model_dir, ckpt, compute_dtype="float32"):
+def _load(model_dir, ckpt, compute_dtype="float32",
+          attn_chunk=None, attn_left_chunks=None):
     import jax
     import jax.numpy as jnp
 
@@ -123,8 +137,11 @@ def _load(model_dir, ckpt, compute_dtype="float32"):
         mtlalpha=cfg_d["mtlalpha"], lsm_weight=cfg_d["lsm_weight"],
         encoder_type=cfg_d.get("encoder_type", "transformer"),
         conv_kernel=cfg_d.get("conv_kernel", 15),
-        attn_chunk=cfg_d.get("attn_chunk", 0),
-        attn_left_chunks=cfg_d.get("attn_left_chunks", -1),
+        attn_chunk=(cfg_d.get("attn_chunk", 0)
+                    if attn_chunk is None else attn_chunk),
+        attn_left_chunks=(cfg_d.get("attn_left_chunks", -1)
+                          if attn_left_chunks is None
+                          else attn_left_chunks),
         compute_dtype=compute_dtype,
     )
     model = TransformerASR(cfg)
@@ -150,7 +167,9 @@ def main(argv=None):
     )
 
     dirs = args.model_dir.split(",")
-    loaded = [_load(d, args.ckpt, args.compute_dtype) for d in dirs]
+    loaded = [_load(d, args.ckpt, args.compute_dtype,
+                    args.attn_chunk, args.attn_left_chunks)
+              for d in dirs]
     model, params, cfg, vocab = loaded[0]
 
     lm_apply_host, lm_apply_jit = None, None
@@ -239,7 +258,8 @@ def main(argv=None):
         print("WARNING: --api cl decodes utterance-by-utterance; "
               "forcing batch_size 1")
         batch = 1
-    for b in iter_egs_batches(args.egs_dir, batch, drop_labels=True):
+    for b in iter_egs_batches(args.egs_dir, batch, drop_labels=True,
+                              bucket_multiple=args.bucket_frames):
         feats = jnp.asarray(b["feats"])
         lengths = jnp.asarray(b["lengths"])
         key = b["keys"][0]

@@ -62,6 +62,10 @@ def get_parser():
                         "drop samples with subsampled-enc-len - "
                         "tokens*ratio < delta")
     p.add_argument("--min_io_delta", type=int, default=0)
+    p.add_argument("--bucket_frames", type=int, default=32,
+                   help="round padded batch frames up to this multiple; "
+                        "raise (e.g. 128) on real corpora to cut the "
+                        "number of distinct shapes XLA compiles")
     p.add_argument("--frame_rate", type=float, default=100.0,
                    help="feature frame rate in Hz (FdlpConfig.frate) — "
                         "only used to convert frames to audio seconds "
@@ -118,13 +122,14 @@ def ctc_feasible(num_frames, num_tokens, min_io_ratio=1.0, min_io_delta=0):
 
 
 def token_batches(egs_dir, texts, vocab, batch_size, min_io_ratio=1.0,
-                  min_io_delta=0):
+                  min_io_delta=0, bucket_frames=32):
     import numpy as np
 
     from speech_recognition_tools_tpu.io import iter_egs_batches
     from speech_recognition_tools_tpu.io.text import encode_text
 
-    for b in iter_egs_batches(egs_dir, batch_size, drop_labels=True):
+    for b in iter_egs_batches(egs_dir, batch_size, drop_labels=True,
+                              bucket_multiple=bucket_frames):
         keys, idx = [], []
         for i, k in enumerate(b["keys"]):
             if k not in texts:
@@ -139,7 +144,12 @@ def token_batches(egs_dir, texts, vocab, batch_size, min_io_ratio=1.0,
         if not keys:
             continue
         toks = [encode_text(texts[k], vocab) for k in keys]
+        # round the token axis up to a multiple of 16: otherwise nearly
+        # every batch carries a unique (frames, tokens) shape pair and
+        # XLA recompiles the train step per batch (padding is masked by
+        # token_lengths, so this is shape hygiene, not a numeric change)
         U = max(max(len(t) for t in toks) + 1, 4)
+        U = -(-U // 16) * 16
         tokens = np.zeros((len(keys), U), np.int32)
         tlen = np.zeros(len(keys), np.int32)
         for i, t in enumerate(toks):
@@ -313,7 +323,8 @@ def main(argv=None):
     model = TransformerASR(cfg)
 
     first = next(token_batches(args.egs_dir, texts, vocab, args.batch_size,
-                               args.min_io_ratio, args.min_io_delta))
+                               args.min_io_ratio, args.min_io_delta,
+                               args.bucket_frames))
     params = model.init(
         {"params": jax.random.key(args.seed),
          "dropout": jax.random.key(args.seed + 1)},
@@ -536,7 +547,8 @@ def main(argv=None):
         losses = []
         meter = ThroughputMeter()
         for batch in token_batches(args.egs_dir, texts, vocab, args.batch_size,
-                               args.min_io_ratio, args.min_io_delta):
+                               args.min_io_ratio, args.min_io_delta,
+                               args.bucket_frames):
             batch = pp_trim({k: jnp.asarray(v) for k, v in batch.items()})
             if batch is None:
                 continue
