@@ -634,6 +634,18 @@ def main(argv=None):
                 am["num_classes"] = 1 + max(maxes)
         for name in sets:
             feats = dict(read_mat_scp(feats_scp(name)))
+            # fail loud on non-finite features: one inf frame would
+            # poison global CMVN and every training step downstream
+            # (the dress rehearsal caught f32 envelope overflow this
+            # way; the reference would silently train on NaNs)
+            bad = [k for k, v in feats.items()
+                   if not np.isfinite(v).all()]
+            if bad:
+                raise ValueError(
+                    f"{name}: {len(bad)}/{len(feats)} utterances have "
+                    f"non-finite feature values (first: {bad[:3]}) — "
+                    "featgen bug or corrupted ark; re-run stage 1"
+                )
             if egs_cfg.get("cmvn") == "per_utt":
                 feats = {
                     k: (v - v.mean(0)) / np.where(v.std(0) == 0, 1.0, v.std(0))

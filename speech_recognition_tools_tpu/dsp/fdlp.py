@@ -192,6 +192,18 @@ def _band_cepstra(cos_dct, fbank, order, coeff_num, backend="scan",
         r = banded_autocorr_compact(cos_dct, fbank, order + 2, ac_plan)
     else:
         r = banded_autocorr(cos_dct, fbank, order + 2)  # (P, nb, order+2)
+    if r.dtype == jnp.float32:
+        # f32 fast path only: tiny diagonal loading (white-noise ridge)
+        # bounds the LPC pole radii. On near-periodic audio a band's
+        # order-150 predictor legitimately carries ~1e21-scale
+        # coefficients whose cancellation the f64 reference survives but
+        # f32 cannot (NaN cepstra poisoned a whole synthetic corpus —
+        # round-5 dress rehearsal). 1e-5 collapses max|a| from 3e21 to
+        # ~8 on the pathological bands and shifts healthy-band features
+        # well inside fast mode's documented ~1e-4 synthetic tolerance.
+        # The f64 (mixed/high) path is untouched: it needs no ridge and
+        # must keep <1e-4 reference conformance.
+        r = r.at[..., 0].mul(1.0 + 1e-5)
     if backend == "fused":
         from speech_recognition_tools_tpu.ops.pallas_lpc import (
             lpc_cepstra_pallas,
@@ -338,15 +350,22 @@ def _fdlp_impl(
     # straight into the final log feature. In high mode the tiny (C x kk)
     # projection therefore stays f64 through the exp; fast mode accepts it.
     ceps = ceps * jnp.asarray(c["weights"], lpc_dtype)[None, None, :]
-    env = jnp.exp(
-        jnp.einsum(
-            "pbc,ck->pbk",
-            ceps,
-            jnp.asarray(c["cosmat"], lpc_dtype),
-            preferred_element_type=lpc_dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    ).astype(dtype)
+    log_env = jnp.einsum(
+        "pbc,ck->pbk",
+        ceps,
+        jnp.asarray(c["cosmat"], lpc_dtype),
+        preferred_element_type=lpc_dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # A pole sitting on a band harmonic (near-periodic audio) can push
+    # the log-envelope past exp's dtype range; the f64 reference returns
+    # a huge-but-finite value, f32 would return inf and poison CMVN/
+    # training with NaNs (caught by the corpus dress rehearsal on
+    # synthetic speech). Saturate the exponent dtype-safely: 75 keeps
+    # exp(.) * kk-window OLA sums inside f32; only pathological frames
+    # engage the clamp.
+    env_cap = 700.0 if lpc_dtype == jnp.float64 else 75.0
+    env = jnp.exp(jnp.minimum(log_env, env_cap)).astype(dtype)
     env = env * jnp.asarray(c["env_win"], dtype)[None, None, :]
     env = env.reshape(B, max_frames, nb, c["kk"])
     if shard is not None:

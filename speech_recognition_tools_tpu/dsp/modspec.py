@@ -145,6 +145,10 @@ def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int,
             lambda t: banded_autocorr(t, jnp.real(fbank_d), nlags), tpad
         )  # (nc, fc, NB, nlags)
         r = r.reshape(-1, NB, nlags)[:P0].reshape(P0 * NB, nlags)
+        if r.dtype == jnp.float32:
+            # f32 diagonal loading — same near-periodic pole-explosion
+            # guard as dsp/fdlp._band_cepstra (see comment there)
+            r = r.at[..., 0].mul(1.0 + 1e-5)
         on_tpu = jax.default_backend() in ("tpu", "axon")
         if on_tpu and r.dtype == jnp.float32:
             from speech_recognition_tools_tpu.ops.pallas_lpc import (
@@ -188,6 +192,8 @@ def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int,
             bfb, bandb = args
             z = jnp.take(trans, bfb, axis=0) * jnp.take(fbank_d, bandb, axis=0)
             r = circular_autocorr(z, cfg.order + 2, keepreal=keepreal)
+            if r.dtype == jnp.float32:
+                r = r.at[..., 0].mul(1.0 + 1e-5)
             xlpc, gg = lpc_from_autocorr(r, cfg.order)
             if cfg.set_unity_gain:
                 gg = jnp.ones_like(gg)

@@ -76,13 +76,17 @@ def _stream_envelopes(windows, fbank_arr, cfg: FdlpConfig):
         backend=lpc_backend,
     )
     ceps = ceps * jnp.asarray(c["weights"], dtype)[None, None, :]
-    env = jnp.exp(
+    # same dtype-safe exponent saturation as the batch path (fdlp.py:
+    # near-periodic audio can overflow f32 exp; streamed == batch)
+    env_cap = 700.0 if dtype == jnp.float64 else 75.0
+    env = jnp.exp(jnp.minimum(
         jnp.einsum(
             "pbc,ck->pbk", ceps, jnp.asarray(c["cosmat"], dtype),
             preferred_element_type=dtype,
             precision=jax.lax.Precision.HIGHEST,
-        )
-    )
+        ),
+        env_cap,
+    ))
     env = env * jnp.asarray(c["env_win"], dtype)[None, None, :]
     return env
 

@@ -288,6 +288,31 @@ class TestFdlpSpectrogram:
         d = np.abs(np.asarray(feats[0, :T], np.float64) - oracle)
         assert d.max() < 0.05 and d.mean() < 1e-3, (d.max(), d.mean())
 
+    def test_fast_f32_finite_on_near_periodic_audio(self):
+        """Near-periodic, int16-scale audio drives FDLP poles toward the
+        unit circle; the log-envelope can exceed f32 exp range. The f64
+        reference stays finite, so fast mode must too (exponent is
+        saturated dtype-safely) — unguarded, 99% of a synthetic-speech
+        corpus came out with inf cells and NaN'd global CMVN (round-5
+        dress rehearsal)."""
+        rs = np.random.RandomState(0)
+        srate = 16000
+        t = np.arange(4 * srate) / srate
+        # strong harmonic stack + light noise at int16 scale
+        sig = np.zeros_like(t)
+        for k in range(1, 12):
+            sig += np.sin(2 * np.pi * 220.0 * k * t + rs.uniform(0, 6))
+        sig = sig / np.abs(sig).max() * 18000 + rs.randn(len(t)) * 10
+        cfg = FdlpConfig(nfilters=80, order=150, fduration=1.5,
+                         coeff_num=100, coeff_range="1,100")
+        feats, nout = fdlp_spectrogram_batch(
+            sig[None], np.asarray([len(sig)]), cfg, dtype=jnp.float32
+        )
+        out = np.asarray(feats[0, : int(nout[0])])
+        assert np.isfinite(out).all(), (
+            (~np.isfinite(out)).sum(), "non-finite cells in fast mode"
+        )
+
 
 class TestMelMfccModspec:
     def test_melspec_parity(self):
