@@ -148,7 +148,7 @@ def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int,
         if r.dtype == jnp.float32:
             # f32 diagonal loading — same near-periodic pole-explosion
             # guard as dsp/fdlp._band_cepstra (see comment there)
-            r = r.at[..., 0].mul(1.0 + 1e-5)
+            r = r.at[..., 0].mul(1.0 + 1e-4)
         on_tpu = jax.default_backend() in ("tpu", "axon")
         if on_tpu and r.dtype == jnp.float32:
             from speech_recognition_tools_tpu.ops.pallas_lpc import (
@@ -193,7 +193,7 @@ def _modspec_impl(signals, num_samples, cfg: ModSpecConfig, max_samples: int,
             z = jnp.take(trans, bfb, axis=0) * jnp.take(fbank_d, bandb, axis=0)
             r = circular_autocorr(z, cfg.order + 2, keepreal=keepreal)
             if r.dtype == jnp.float32:
-                r = r.at[..., 0].mul(1.0 + 1e-5)
+                r = r.at[..., 0].mul(1.0 + 1e-4)
             xlpc, gg = lpc_from_autocorr(r, cfg.order)
             if cfg.set_unity_gain:
                 gg = jnp.ones_like(gg)
