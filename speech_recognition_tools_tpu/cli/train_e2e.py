@@ -543,9 +543,11 @@ def main(argv=None):
     from speech_recognition_tools_tpu.utils.profiling import ThroughputMeter
 
     rng = jax.random.key(args.seed + 2 + start_epoch)
+    import time as _time
     for epoch in range(start_epoch, args.epochs):
         losses = []
         meter = ThroughputMeter()
+        compile_s = 0.0
         for batch in token_batches(args.egs_dir, texts, vocab, args.batch_size,
                                args.min_io_ratio, args.min_io_delta,
                                args.bucket_frames):
@@ -554,8 +556,22 @@ def main(argv=None):
                 continue
             batch = place_batch(batch)
             rng, sub = jax.random.split(rng)
+            t0 = _time.time()
             params, opt_state, loss, aux = step(params, opt_state, batch, sub)
             losses.append(float(loss))
+            dt = _time.time() - t0
+            # corpus-scale observability: a slow step is (almost always)
+            # a fresh (B, T, U) shape compile — surface it immediately
+            # instead of staying silent until the epoch summary
+            if dt > 10.0:
+                shp = (batch["feats"].shape[0], batch["feats"].shape[1],
+                       batch["tokens"].shape[1])
+                compile_s += dt
+                print(f"  step {len(losses)}: {dt:.1f}s "
+                      f"(new shape {shp} compiled)", flush=True)
+            elif len(losses) % 50 == 0:
+                print(f"  step {len(losses)}: loss {float(loss):.4f} "
+                      f"({dt * 1000:.0f} ms/step)", flush=True)
             # frames -> audio seconds at --frame_rate (SURVEY §5
             # throughput counters; float(loss) above already synchronised)
             meter.update(
@@ -564,7 +580,9 @@ def main(argv=None):
                 / args.frame_rate,
             )
         print(f"epoch {epoch + 1}: loss {sum(losses)/max(len(losses),1):.4f} "
-              f"({meter.summary()})")
+              f"({meter.summary()}"
+              + (f"; {compile_s:.0f}s in shape compiles" if compile_s else "")
+              + ")")
         # checkpoints are ALWAYS loop-layout (recog/resume-compatible);
         # PP merges its stacked blocks AND optimizer moments back
         save_p = to_loop_layout(params)
