@@ -61,11 +61,13 @@ def main():
     print("devices:", jax.devices(), flush=True)
 
     def make(cfg_kw, Bt=16, Tt=800, Ut=112):
-        cfg = TransformerASRConfig(
+        kw = dict(
             vocab_size=52, adim=256, aheads=4, elayers=12, eunits=2048,
             dlayers=6, dunits=2048, dropout=0.1, mtlalpha=0.3,
-            compute_dtype="bfloat16", **cfg_kw,
+            compute_dtype="bfloat16",
         )
+        kw.update(cfg_kw)
+        cfg = TransformerASRConfig(**kw)
         model = TransformerASR(cfg)
         rs = np.random.RandomState(7)
         batch = {
@@ -82,7 +84,7 @@ def main():
 
     results = {}
 
-    def timeit(name, fn, state, advance, iters=None, repeats=None):
+    def timeit(name, fn, state, iters=None, repeats=None):
         """fn(state) -> (state, scalar dep). Chained: each iteration's
         input depends on the previous output; fetch once per repeat."""
         iters = iters or args.iters
@@ -119,20 +121,25 @@ def main():
         p, o, loss, _ = step(p, o, batch, jax.random.fold_in(rng, i))
         return (p, o, i + 1), loss
 
-    timeit("step_full_B16", full_fn, (params, opt_state, 0))
+    # the CLI step donates params/opt_state; give it its own copies so
+    # the later variants can still read the originals
+    timeit("step_full_B16", full_fn,
+           (jax.tree.map(jnp.array, params), tx.init(params), 0))
 
     # grad only (no optimizer) — params perturbed by a zero scalar from
     # the previous loss so iterations chain without the update
+    # eps-perturb INSIDE the jit: an eager tree-map would be one tiny
+    # dispatch per param leaf through the tunnel and dominate the time
     grad_fn_jit = jax.jit(
-        lambda p, b, r: jax.value_and_grad(
+        lambda p, eps, b, r: jax.value_and_grad(
             lambda q: asr_loss(model, q, b, r, cfg)[0]
-        )(p)
+        )(jax.tree.map(
+            lambda x: x + eps if x.dtype == jnp.float32 else x, p))
     )
 
     def grad_fn(st):
         p, i, eps = st
-        pp = jax.tree.map(lambda x: x + eps if x.dtype == jnp.float32 else x, p)
-        loss, g = grad_fn_jit(pp, batch, jax.random.fold_in(rng, i))
+        loss, g = grad_fn_jit(p, eps, batch, jax.random.fold_in(rng, i))
         return (p, i + 1, loss * 0.0), loss
 
     timeit("grad_only_B16", grad_fn, (params, 0, jnp.float32(0.0)))
@@ -176,7 +183,7 @@ def main():
         timeit(name, fn2, (0, jnp.float32(0.0)))
 
     # optimizer-only: adam update on frozen grads (chained via params)
-    _, g_frozen = grad_fn_jit(params, batch, rng)
+    _, g_frozen = grad_fn_jit(params, jnp.float32(0.0), batch, rng)
     opt_jit = jax.jit(lambda p, o, g: (
         lambda u, o2: (optax.apply_updates(p, u), o2)
     )(*tx.update(g, o, p)))
@@ -186,7 +193,8 @@ def main():
         p, o = opt_jit(p, o, g_frozen)
         return (p, o, 0), jax.tree_util.tree_leaves(p)[0].ravel()[0]
 
-    timeit("opt_only_B16", opt_fn, (params, tx.init(params), 0))
+    timeit("opt_only_B16", opt_fn,
+           (jax.tree.map(jnp.array, params), tx.init(params), 0))
 
     # ---- batch scaling of the full step
     for Bt in (32, 64):

@@ -18,12 +18,16 @@ fi
 
 for prec in fast high; do
   echo "=== precision=$prec"
-  timeout 7200 python -u recipes/run_corpus.py \
+  # high (f64) compiles are expensive through the remote-compile
+  # tunnel; pad everything to ONE 15 s bucket so the f64 program
+  # compiles once (padding compute is trivial at >1000x realtime)
+  bsec=4; [ "$prec" = high ] && bsec=15
+  timeout 10800 python -u recipes/run_corpus.py \
     --config recipes/configs/wsj_fdlp_e2e.json \
     --data "$DATA" --expdir "$OUT/$prec" \
     --profile_stages \
     --set frontend.precision=$prec \
-    --set frontend.bucket_seconds=4 \
+    --set frontend.bucket_seconds=$bsec \
     --set am.elayers=6 --set am.dlayers=3 \
     --set am.eunits=1024 --set am.dunits=1024 \
     --set am.epochs=15 --set am.compute_dtype=bfloat16 \

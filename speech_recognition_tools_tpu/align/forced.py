@@ -339,7 +339,7 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
                    wpd_silence=False, self_loop_prob=0.5,
                    num_iters=2, am_epochs=5, hidden_dim=96, num_layers=1,
                    batch_size=8, seed=0, converge_tol=0.002,
-                   history=None, log=print):
+                   history=None, iter_callback=None, log=print):
     """Flat-start + iterative Viterbi realignment -> frame labels.
 
     feats: {utt: (T, D)}; texts: {utt: 'word word ...'}. Trains the
@@ -489,6 +489,10 @@ def realign_corpus(feats, texts, lexicon, *, states_per_phone=1,
                 "iter": it, "am_loss": float(last),
                 "frames_changed_pct": round(100.0 * pct, 3),
             })
+        if iter_callback is not None:
+            # e.g. score FER-vs-truth per iteration without retaining
+            # every intermediate label set in memory
+            iter_callback(it, labels)
         # FER-convergence: once realignment stops moving labels, more
         # train-align rounds only burn compute
         if pct < converge_tol:
