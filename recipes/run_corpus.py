@@ -433,6 +433,11 @@ def main(argv=None):
 
     exp = args.expdir
     os.makedirs(exp, exist_ok=True)
+    from speech_recognition_tools_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     prof = StageProfiler(args.profile_stages, exp)
 
     def in_range(s):

@@ -24,6 +24,11 @@ from speech_recognition_tools_tpu.io.wav import read_wav_scp_entry
 def load_signals(args, srate):
     """Load wavs (scp or segments mode) and apply host-side augmentation
     exactly like the reference CLIs (noise/reverb/diff before framing)."""
+    from speech_recognition_tools_tpu.utils.cache import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache()
     import scipy.signal
 
     entries = read_scp(args.scp)

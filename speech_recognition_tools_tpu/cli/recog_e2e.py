@@ -156,6 +156,9 @@ def _load(model_dir, ckpt, compute_dtype="float32",
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from speech_recognition_tools_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

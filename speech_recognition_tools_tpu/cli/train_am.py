@@ -481,6 +481,9 @@ def make_loss(args, model, encode_fn=None):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from speech_recognition_tools_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     from speech_recognition_tools_tpu.io import iter_egs_batches, load_egs

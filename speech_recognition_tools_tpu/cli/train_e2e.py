@@ -244,6 +244,9 @@ def resolve_init_checkpoint(path):
 
 def main(argv=None):
     args = get_parser().parse_args(argv)
+    from speech_recognition_tools_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import optax
