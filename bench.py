@@ -469,545 +469,560 @@ def main():
     _note(f"prod fast: {dt_prod * 1000:.1f} ms")
     PARTIAL["ms_per_batch_prod_fast"] = round(dt_prod * 1000, 1)
     _persist_partial()
-    dt_prod_high = guarded(
-        "prod high (north-star <1e-4 mode)",
-        lambda: measure(fdlp_fn(FdlpConfig(**prod, precision="high")),
-                        iters=4),
-        min_left=240.0, partial_key="ms_per_batch_prod_high",
-    )
-    # ---- priority tier 2 (VERDICT r4 #3): train + serving MUST land in
-    # the driver capture, so they run immediately after the north-star
-    # lines, before the A/B partners and the workload family. Each line
-    # is compile-dominated through the tunnel (~2-5 min), so ordering —
-    # not iteration counts — is what decides what fits in the budget.
-
-    # e2e training step (the production wsj geometry, bf16 compute):
-    # full value_and_grad + adam update through the SAME make_train_step
-    # the train_e2e CLI jits. Reported as steps/s + analytic matmul MFU
-    # (this is the MXU-bound workload, unlike the VPU-bound featgen).
-    train_tflops = [0.0]
-
-    def run_train_step():
-        import optax
-
-        from speech_recognition_tools_tpu.cli.train_e2e import (
-            make_train_step,
+    # Everything past the headline runs inside _rest(): a TPU
+    # worker crash (observed mid-compile on the offline-decode
+    # program, 2026-08-20) must still emit the persisted-partial
+    # JSON line instead of dying with a traceback and no artifact.
+    def _rest():
+        dt_prod_high = guarded(
+            "prod high (north-star <1e-4 mode)",
+            lambda: measure(fdlp_fn(FdlpConfig(**prod, precision="high")),
+                            iters=4),
+            min_left=240.0, partial_key="ms_per_batch_prod_high",
         )
-        from speech_recognition_tools_tpu.models.transformer_asr import (
-            TransformerASR,
-            TransformerASRConfig,
-            noam_schedule,
-        )
+        # ---- priority tier 2 (VERDICT r4 #3): train + serving MUST land in
+        # the driver capture, so they run immediately after the north-star
+        # lines, before the A/B partners and the workload family. Each line
+        # is compile-dominated through the tunnel (~2-5 min), so ordering —
+        # not iteration counts — is what decides what fits in the budget.
 
-        tcfg = TransformerASRConfig(
-            vocab_size=52, adim=256, aheads=4, elayers=12, eunits=2048,
-            dlayers=6, dunits=2048, dropout=0.1, mtlalpha=0.3,
-            compute_dtype="bfloat16",
-        )
-        tmodel = TransformerASR(tcfg)
-        Bt, Tt, Ut = 16, 800, 100
-        rs_t = np.random.RandomState(7)
-        batch = {
-            "feats": jnp.asarray(rs_t.randn(Bt, Tt, 80).astype(np.float32)),
-            "lengths": jnp.full((Bt,), Tt, jnp.int32),
-            "tokens": jnp.asarray(
-                rs_t.randint(1, 50, (Bt, Ut)).astype(np.int32)
-            ),
-            "token_lengths": jnp.full((Bt,), Ut, jnp.int32),
-        }
-        params = tmodel.init(
-            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-            batch["feats"][:1], batch["lengths"][:1], batch["tokens"][:1],
-        )
-        tx = optax.chain(
-            optax.clip_by_global_norm(5.0),
-            optax.adam(noam_schedule(tcfg.adim, 25000, 10.0)),
-        )
-        opt_state = tx.init(params)
-        step = make_train_step(tmodel, tcfg, tx)
-        rng = jax.random.PRNGKey(2)
+        # e2e training step (the production wsj geometry, bf16 compute):
+        # full value_and_grad + adam update through the SAME make_train_step
+        # the train_e2e CLI jits. Reported as steps/s + analytic matmul MFU
+        # (this is the MXU-bound workload, unlike the VPU-bound featgen).
+        train_tflops = [0.0]
 
-        # analytic fwd matmul flops (2mn k per GEMM), x3 for fwd+bwd
-        a, e, d_u = tcfg.adim, tcfg.eunits, tcfg.dunits
-        Te = Tt // 4  # conv2d subsampling
-        enc = tcfg.elayers * (8 * Te * a * a + 4 * Te * Te * a
-                              + 4 * Te * a * e)
-        dec = tcfg.dlayers * (
-            8 * Ut * a * a + 4 * Ut * Ut * a        # self-attn
-            + 4 * Ut * a * a + 4 * Te * a * a       # cross-attn q/o + k/v
-            + 4 * Ut * Te * a                       # cross scores+context
-            + 4 * Ut * a * d_u
-        )
-        train_tflops[0] = 3.0 * Bt * (enc + dec) / 1e12
+        def run_train_step():
+            import optax
 
-        # dependency-chained: params/opt_state thread through the loop,
-        # so the tunnel runtime cannot memoize; fetch loss at the end
-        params, opt_state, loss, _ = step(params, opt_state, batch, rng)
-        float(loss)  # compile + sync
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            for i in range(4):
-                params, opt_state, loss, _ = step(
-                    params, opt_state, batch, jax.random.fold_in(rng, i)
-                )
-            float(loss)
-            best = min(best, (time.time() - t0) / 4)
-        return best
-
-    dt_train = guarded(
-        "e2e train step (wsj geometry, bf16)", run_train_step,
-        min_left=240.0, partial_key="s_train_step_e2e",
-    )
-
-    # online serving: 8 concurrent streams through StreamBatcher (one
-    # padded batched encoder step per scheduling round; production-size
-    # 12-layer chunked-attention encoder). Reported as AGGREGATE
-    # x-realtime = streams * audio_seconds / wall — host scheduling
-    # included, i.e. honest serving throughput, not a kernel number.
-    _serving_model_cache = []
-
-    def _serving_model():
-        # built once, shared by the 8-stream and 64-stream lines — a
-        # second init would pay another tunneled forward pass for the
-        # identical (model, params) pair
-        if _serving_model_cache:
-            return _serving_model_cache[0]
-        from speech_recognition_tools_tpu.models.transformer_asr import (
-            TransformerASR,
-            TransformerASRConfig,
-        )
-
-        scfg = TransformerASRConfig(
-            vocab_size=52, adim=256, aheads=4, elayers=12, eunits=2048,
-            dlayers=1, dunits=256, dropout=0.0,
-            attn_chunk=16, attn_left_chunks=4,
-        )
-        smodel = TransformerASR(scfg)
-        sparams = smodel.init(
-            {"params": jax.random.PRNGKey(0),
-             "dropout": jax.random.PRNGKey(1)},
-            jnp.zeros((1, 80, 80), jnp.float32), jnp.asarray([80]),
-            jnp.zeros((1, 4), jnp.int32),
-        )
-        _serving_model_cache.append((smodel, sparams))
-        return smodel, sparams
-
-    def _drive_streams(smodel, params, n_streams, frames=1000):
-        # ONE batcher for warmup + timing: its jitted step compiles
-        # on the first drive; the timed drive reuses the compiled
-        # program (finished streams are released, no state build-up).
-        # defer_s enables dynamic batching (the serve.py default):
-        # per-stream pushes coalesce into FULL batched rounds.
-        from speech_recognition_tools_tpu.infer.streaming_asr import (
-            StreamBatcher,
-        )
-
-        rs_s = np.random.RandomState(5)
-        featss = rs_s.randn(n_streams, frames, 80).astype(np.float32)
-        sb = StreamBatcher(
-            smodel, params, max_streams=n_streams, store_memory=False,
-            defer_s=0.03,
-        )
-
-        def drive(lat=None):
-            sids = [sb.open() for _ in range(n_streams)]
-            for off in range(0, frames, 100):
-                t0 = time.time()
-                for i, sid in enumerate(sids):
-                    sb.push(sid, featss[i, off : off + 100])
-                if lat is not None:
-                    lat.append(time.time() - t0)
-            for sid in sids:
-                sb.finish(sid)
-                sb.release(sid)
-
-        drive()  # compile + warm
-        lat = []  # per-round (1 s of audio x n_streams) latency
-        t0 = time.time()
-        drive(lat)
-        dt = time.time() - t0
-        lat_ms = np.sort(np.asarray(lat)) * 1000
-        n = len(lat_ms)
-
-        def pct(q):  # nearest-rank percentile
-            return round(
-                float(lat_ms[min(n - 1, max(0, -(-q * n // 100) - 1))]), 1
+            from speech_recognition_tools_tpu.cli.train_e2e import (
+                make_train_step,
+            )
+            from speech_recognition_tools_tpu.models.transformer_asr import (
+                TransformerASR,
+                TransformerASRConfig,
+                noam_schedule,
             )
 
-        return dt, {
-            "p50": pct(50),
-            "p90": pct(90),
-            "max": round(float(lat_ms[-1]), 1),
-            "budget": 1000.0,
-        }
-
-    serve_lat = serve_lat8 = None
-
-    def run_serve_f32():
-        nonlocal serve_lat
-        smodel, sparams = _serving_model()
-        dt, serve_lat = _drive_streams(smodel, sparams, 8)
-        return dt
-
-    dt_serve = guarded(
-        "online serving (8-stream StreamBatcher, f32)", run_serve_f32,
-        min_left=200.0, partial_key="s_serve_8x10s",
-    )
-
-    # ---- priority tier 3: A/B partners of the headline ----
-    dt_light = guarded("light", lambda: measure(fdlp_fn(FdlpConfig())),
-                       partial_key="ms_per_batch_light")
-    dt_prod_scan = guarded(
-        "prod scan-backend",
-        lambda: measure(fdlp_fn(FdlpConfig(**prod, lpc_backend="scan"))),
-        min_left=120.0, partial_key="ms_per_batch_prod_scan",
-    )
-
-    # offline batch decode: the reference's slowest stage is decode
-    # (decode_dnn.sh / asr_recog.py fan out a grid of single-utterance
-    # jobs, e2e/wsj/run_fdlp_e1.sh:527-543); here B utterances run as ONE
-    # jitted joint CTC/attention beam search program (beam 10, max_len
-    # 100 — conf/decode.yaml), with and without RNNLM shallow fusion.
-    decode_meta = {}
-
-    def run_offline_decode(with_lm):
-        from speech_recognition_tools_tpu.decode.beam_jit import (
-            beam_search_jit_batched,
-        )
-        from speech_recognition_tools_tpu.models.rnnlm import (
-            RNNLM,
-            make_jit_fusion_scorer,
-        )
-        from speech_recognition_tools_tpu.models.transformer_asr import (
-            TransformerASR,
-            TransformerASRConfig,
-        )
-
-        dcfg = TransformerASRConfig(
-            vocab_size=52, adim=256, aheads=4, elayers=12, eunits=2048,
-            dlayers=6, dunits=2048, dropout=0.0,
-        )
-        dmodel = TransformerASR(dcfg)
-        Bd, Td = 8, 800  # 8 x 8 s utterances per program
-        rs_d = np.random.RandomState(11)
-        dfeats = jnp.asarray(rs_d.randn(Bd, Td, 80).astype(np.float32))
-        dlens = jnp.full((Bd,), Td, jnp.int32)
-        dparams = dmodel.init(
-            {"params": jax.random.key(3), "dropout": jax.random.key(4)},
-            dfeats[:1], dlens[:1], jnp.zeros((1, 4), jnp.int32),
-        )
-        lm_apply = None
-        if with_lm:
-            lm_model = RNNLM(vocab_size=52, embed_dim=256, hidden=1000)
-            lm_params = lm_model.init(
-                jax.random.key(5), jnp.zeros((1, 4), jnp.int32)
+            tcfg = TransformerASRConfig(
+                vocab_size=52, adim=256, aheads=4, elayers=12, eunits=2048,
+                dlayers=6, dunits=2048, dropout=0.1, mtlalpha=0.3,
+                compute_dtype="bfloat16",
             )
-            lm_apply = make_jit_fusion_scorer(lm_model, lm_params)
-
-        def decode(f):
-            toks, scores = beam_search_jit_batched(
-                dmodel, dparams, f, dlens, beam_size=10, max_len=100,
-                ctc_weight=0.3, lm_apply=lm_apply, lm_weight=0.7,
+            tmodel = TransformerASR(tcfg)
+            Bt, Tt, Ut = 16, 800, 100
+            rs_t = np.random.RandomState(7)
+            batch = {
+                "feats": jnp.asarray(rs_t.randn(Bt, Tt, 80).astype(np.float32)),
+                "lengths": jnp.full((Bt,), Tt, jnp.int32),
+                "tokens": jnp.asarray(
+                    rs_t.randint(1, 50, (Bt, Ut)).astype(np.int32)
+                ),
+                "token_lengths": jnp.full((Bt,), Ut, jnp.int32),
+            }
+            params = tmodel.init(
+                {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                batch["feats"][:1], batch["lengths"][:1], batch["tokens"][:1],
             )
-            return scores
+            tx = optax.chain(
+                optax.clip_by_global_norm(5.0),
+                optax.adam(noam_schedule(tcfg.adim, 25000, 10.0)),
+            )
+            opt_state = tx.init(params)
+            step = make_train_step(tmodel, tcfg, tx)
+            rng = jax.random.PRNGKey(2)
 
-        # dependency-chained (same rationale as measure()): perturb the
-        # feats by a zero scalar derived from the previous scores
-        s = decode(dfeats)  # compile
-        d = s.ravel()[0] * 0.0
-        float(d)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
+            # analytic fwd matmul flops (2mn k per GEMM), x3 for fwd+bwd
+            a, e, d_u = tcfg.adim, tcfg.eunits, tcfg.dunits
+            Te = Tt // 4  # conv2d subsampling
+            enc = tcfg.elayers * (8 * Te * a * a + 4 * Te * Te * a
+                                  + 4 * Te * a * e)
+            dec = tcfg.dlayers * (
+                8 * Ut * a * a + 4 * Ut * Ut * a        # self-attn
+                + 4 * Ut * a * a + 4 * Te * a * a       # cross-attn q/o + k/v
+                + 4 * Ut * Te * a                       # cross scores+context
+                + 4 * Ut * a * d_u
+            )
+            train_tflops[0] = 3.0 * Bt * (enc + dec) / 1e12
+
+            # dependency-chained: params/opt_state thread through the loop,
+            # so the tunnel runtime cannot memoize; fetch loss at the end
+            params, opt_state, loss, _ = step(params, opt_state, batch, rng)
+            float(loss)  # compile + sync
+            best = float("inf")
             for _ in range(2):
-                s = decode(dfeats + d)
-                d = s.ravel()[0] * 0.0
-            float(d)
-            best = min(best, (time.time() - t0) / 2)
-        decode_meta["batch"] = Bd
-        decode_meta["utt_seconds"] = Td / 100.0
-        return best
+                t0 = time.time()
+                for i in range(4):
+                    params, opt_state, loss, _ = step(
+                        params, opt_state, batch, jax.random.fold_in(rng, i)
+                    )
+                float(loss)
+                best = min(best, (time.time() - t0) / 4)
+            return best
 
-    dt_dec = guarded(
-        "offline decode (beam 10, no LM)",
-        lambda: run_offline_decode(False),
-        min_left=240.0, partial_key="s_offline_decode_beam10",
-    )
-    dt_dec_lm = guarded(
-        "offline decode (beam 10 + RNNLM fusion)",
-        lambda: run_offline_decode(True),
-        min_left=200.0, partial_key="s_offline_decode_beam10_rnnlm",
-    )
-
-    # ---- BASELINE.json workload family one-liners ----
-    from speech_recognition_tools_tpu.dsp.augment import add_noise_snr
-
-    mel_cfg = MelConfig(nfilters=80)
-    dt_mel = guarded(
-        "melspec",
-        lambda: measure(lambda xin: mel_spectrum_batch(xin, lensd, mel_cfg)[0]),
-        partial_key="ms_per_batch_melspec",
-    )
-
-    # noise-augmented FDLP (BASELINE "noise-mixing augmentation")
-    noise = jnp.asarray(_speech_batch(1, n, srate, seed=1)[0])
-    key = jax.random.PRNGKey(0)
-    fast_cfg = FdlpConfig(**prod)
-
-    @jax.jit
-    def noisy_fdlp(xin):
-        mixed_sig = add_noise_snr(key, xin, noise, 10.0)
-        return fdlp_spectrogram_batch(mixed_sig, lensd, fast_cfg)[0]
-
-    dt_noisy = guarded("noisy fdlp", lambda: measure(noisy_fdlp),
-                       partial_key="ms_per_batch_noisy_fdlp")
-
-    # real + complex M-vectors (10 s x 8 utts; the complex path's
-    # shared-lag treatment is VERDICT r2 #5)
-    Bm = 8
-    lm = jnp.asarray(lens[:Bm])
-
-    def mod_fn(cfg):
-        return lambda xin: modulation_spectrum_batch(xin[:Bm], lm, cfg)[0]
-
-    dt_mod_real = guarded(
-        "mvector real", lambda: measure(mod_fn(ModSpecConfig()), iters=3),
-        min_left=180.0, partial_key="ms_per_batch_mvector_real",
-    )
-    dt_mod_cplx = guarded(
-        "mvector complex",
-        lambda: measure(mod_fn(ModSpecConfig(complex_modulation=True)),
-                        iters=3),
-        min_left=180.0, partial_key="ms_per_batch_mvector_complex",
-    )
-
-    # 8ch enhancement front-end: STFT -> quantile masks -> GEV (+BAN) ->
-    # iSTFT -> FDLP (BASELINE "8ch beamformit/WPE front-end + FDLP").
-    # Primary path: the WHOLE chain as one on-device program — the GEV
-    # eigensolve lowers to TPU via ops/clinalg's real embedding and no
-    # complex array ever reaches the host (enhance/onchip.py). Fallback
-    # if that fails to lower on the current backend: host enhancement +
-    # on-chip featgen (the pre-round-3 deployed split).
-    from speech_recognition_tools_tpu.enhance.onchip import gev_enhance_chain
-
-    rs = np.random.RandomState(2)
-    n8 = 4 * srate
-    clean8 = _speech_batch(1, n8, srate, seed=3)[0]
-    delays = rs.randint(0, 8, size=8)
-    mc = np.stack([np.roll(clean8, d) for d in delays]) + \
-        rs.randn(8, n8).astype(np.float32) * 200.0
-    mcd = jnp.asarray(mc)
-    len8 = jnp.asarray([n8], jnp.int32)
-    fdlp8_cfg = FdlpConfig(**prod)
-
-    @jax.jit
-    def chain8_onchip(xin):
-        y = gev_enhance_chain(xin)
-        return fdlp_spectrogram_batch(y[None], len8, fdlp8_cfg)[0]
-
-    dt_8ch = guarded(
-        "8ch gev chain (on-chip)",
-        lambda: measure(chain8_onchip, iters=3, arg=mcd),
-        min_left=180.0, partial_key="ms_per_batch_gev8ch",
-    )
-    if dt_8ch is None:
-        from speech_recognition_tools_tpu.enhance.beamforming import (
-            gev_beamform,
+        dt_train = guarded(
+            "e2e train step (wsj geometry, bf16)", run_train_step,
+            min_left=240.0, partial_key="s_train_step_e2e",
         )
-        from speech_recognition_tools_tpu.enhance.masks import quantile_mask
-        from speech_recognition_tools_tpu.enhance.stft import istft, stft
 
-        def chain8_split(_xin):
-            with jax.default_device(jax.devices("cpu")[0]):
-                X = stft(jnp.asarray(mc))  # (ch, T, F)
-                sp = np.asarray(quantile_mask(np.asarray(X)))
-                spf = np.median(np.transpose(sp, (2, 0, 1)), axis=1)
-                Y = gev_beamform(
-                    np.asarray(jnp.transpose(X, (2, 0, 1))), spf, 1.0 - spf
-                )
-                y = np.asarray(istft(jnp.asarray(Y.T)))[:n8]
-            return fdlp_spectrogram_batch(
-                jnp.asarray(y)[None], len8, fdlp8_cfg
-            )[0]
+        # online serving: 8 concurrent streams through StreamBatcher (one
+        # padded batched encoder step per scheduling round; production-size
+        # 12-layer chunked-attention encoder). Reported as AGGREGATE
+        # x-realtime = streams * audio_seconds / wall — host scheduling
+        # included, i.e. honest serving throughput, not a kernel number.
+        _serving_model_cache = []
 
-        def run_8ch_split():
-            jax.block_until_ready(chain8_split(None))
+        def _serving_model():
+            # built once, shared by the 8-stream and 64-stream lines — a
+            # second init would pay another tunneled forward pass for the
+            # identical (model, params) pair
+            if _serving_model_cache:
+                return _serving_model_cache[0]
+            from speech_recognition_tools_tpu.models.transformer_asr import (
+                TransformerASR,
+                TransformerASRConfig,
+            )
+
+            scfg = TransformerASRConfig(
+                vocab_size=52, adim=256, aheads=4, elayers=12, eunits=2048,
+                dlayers=1, dunits=256, dropout=0.0,
+                attn_chunk=16, attn_left_chunks=4,
+            )
+            smodel = TransformerASR(scfg)
+            sparams = smodel.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                jnp.zeros((1, 80, 80), jnp.float32), jnp.asarray([80]),
+                jnp.zeros((1, 4), jnp.int32),
+            )
+            _serving_model_cache.append((smodel, sparams))
+            return smodel, sparams
+
+        def _drive_streams(smodel, params, n_streams, frames=1000):
+            # ONE batcher for warmup + timing: its jitted step compiles
+            # on the first drive; the timed drive reuses the compiled
+            # program (finished streams are released, no state build-up).
+            # defer_s enables dynamic batching (the serve.py default):
+            # per-stream pushes coalesce into FULL batched rounds.
+            from speech_recognition_tools_tpu.infer.streaming_asr import (
+                StreamBatcher,
+            )
+
+            rs_s = np.random.RandomState(5)
+            featss = rs_s.randn(n_streams, frames, 80).astype(np.float32)
+            sb = StreamBatcher(
+                smodel, params, max_streams=n_streams, store_memory=False,
+                defer_s=0.03,
+            )
+
+            def drive(lat=None):
+                sids = [sb.open() for _ in range(n_streams)]
+                for off in range(0, frames, 100):
+                    t0 = time.time()
+                    for i, sid in enumerate(sids):
+                        sb.push(sid, featss[i, off : off + 100])
+                    if lat is not None:
+                        lat.append(time.time() - t0)
+                for sid in sids:
+                    sb.finish(sid)
+                    sb.release(sid)
+
+            drive()  # compile + warm
+            lat = []  # per-round (1 s of audio x n_streams) latency
             t0 = time.time()
-            for _ in range(3):
-                jax.block_until_ready(chain8_split(None))
-            return (time.time() - t0) / 3
+            drive(lat)
+            dt = time.time() - t0
+            lat_ms = np.sort(np.asarray(lat)) * 1000
+            n = len(lat_ms)
+
+            def pct(q):  # nearest-rank percentile
+                return round(
+                    float(lat_ms[min(n - 1, max(0, -(-q * n // 100) - 1))]), 1
+                )
+
+            return dt, {
+                "p50": pct(50),
+                "p90": pct(90),
+                "max": round(float(lat_ms[-1]), 1),
+                "budget": 1000.0,
+            }
+
+        serve_lat = serve_lat8 = None
+
+        def run_serve_f32():
+            nonlocal serve_lat
+            smodel, sparams = _serving_model()
+            dt, serve_lat = _drive_streams(smodel, sparams, 8)
+            return dt
+
+        dt_serve = guarded(
+            "online serving (8-stream StreamBatcher, f32)", run_serve_f32,
+            min_left=200.0, partial_key="s_serve_8x10s",
+        )
+
+        # ---- priority tier 3: A/B partners of the headline ----
+        dt_light = guarded("light", lambda: measure(fdlp_fn(FdlpConfig())),
+                           partial_key="ms_per_batch_light")
+        dt_prod_scan = guarded(
+            "prod scan-backend",
+            lambda: measure(fdlp_fn(FdlpConfig(**prod, lpc_backend="scan"))),
+            min_left=120.0, partial_key="ms_per_batch_prod_scan",
+        )
+
+
+        # ---- BASELINE.json workload family one-liners ----
+        from speech_recognition_tools_tpu.dsp.augment import add_noise_snr
+
+        mel_cfg = MelConfig(nfilters=80)
+        dt_mel = guarded(
+            "melspec",
+            lambda: measure(lambda xin: mel_spectrum_batch(xin, lensd, mel_cfg)[0]),
+            partial_key="ms_per_batch_melspec",
+        )
+
+        # noise-augmented FDLP (BASELINE "noise-mixing augmentation")
+        noise = jnp.asarray(_speech_batch(1, n, srate, seed=1)[0])
+        key = jax.random.PRNGKey(0)
+        fast_cfg = FdlpConfig(**prod)
+
+        @jax.jit
+        def noisy_fdlp(xin):
+            mixed_sig = add_noise_snr(key, xin, noise, 10.0)
+            return fdlp_spectrogram_batch(mixed_sig, lensd, fast_cfg)[0]
+
+        dt_noisy = guarded("noisy fdlp", lambda: measure(noisy_fdlp),
+                           partial_key="ms_per_batch_noisy_fdlp")
+
+        # real + complex M-vectors (10 s x 8 utts; the complex path's
+        # shared-lag treatment is VERDICT r2 #5)
+        Bm = 8
+        lm = jnp.asarray(lens[:Bm])
+
+        def mod_fn(cfg):
+            return lambda xin: modulation_spectrum_batch(xin[:Bm], lm, cfg)[0]
+
+        dt_mod_real = guarded(
+            "mvector real", lambda: measure(mod_fn(ModSpecConfig()), iters=3),
+            min_left=180.0, partial_key="ms_per_batch_mvector_real",
+        )
+        dt_mod_cplx = guarded(
+            "mvector complex",
+            lambda: measure(mod_fn(ModSpecConfig(complex_modulation=True)),
+                            iters=3),
+            min_left=180.0, partial_key="ms_per_batch_mvector_complex",
+        )
+
+        # 8ch enhancement front-end: STFT -> quantile masks -> GEV (+BAN) ->
+        # iSTFT -> FDLP (BASELINE "8ch beamformit/WPE front-end + FDLP").
+        # Primary path: the WHOLE chain as one on-device program — the GEV
+        # eigensolve lowers to TPU via ops/clinalg's real embedding and no
+        # complex array ever reaches the host (enhance/onchip.py). Fallback
+        # if that fails to lower on the current backend: host enhancement +
+        # on-chip featgen (the pre-round-3 deployed split).
+        from speech_recognition_tools_tpu.enhance.onchip import gev_enhance_chain
+
+        rs = np.random.RandomState(2)
+        n8 = 4 * srate
+        clean8 = _speech_batch(1, n8, srate, seed=3)[0]
+        delays = rs.randint(0, 8, size=8)
+        mc = np.stack([np.roll(clean8, d) for d in delays]) + \
+            rs.randn(8, n8).astype(np.float32) * 200.0
+        mcd = jnp.asarray(mc)
+        len8 = jnp.asarray([n8], jnp.int32)
+        fdlp8_cfg = FdlpConfig(**prod)
+
+        @jax.jit
+        def chain8_onchip(xin):
+            y = gev_enhance_chain(xin)
+            return fdlp_spectrogram_batch(y[None], len8, fdlp8_cfg)[0]
 
         dt_8ch = guarded(
-            "8ch gev chain (host/chip split fallback)", run_8ch_split,
-            min_left=120.0, partial_key="ms_per_batch_gev8ch_split",
+            "8ch gev chain (on-chip)",
+            lambda: measure(chain8_onchip, iters=3, arg=mcd),
+            min_left=180.0, partial_key="ms_per_batch_gev8ch",
+        )
+        if dt_8ch is None:
+            from speech_recognition_tools_tpu.enhance.beamforming import (
+                gev_beamform,
+            )
+            from speech_recognition_tools_tpu.enhance.masks import quantile_mask
+            from speech_recognition_tools_tpu.enhance.stft import istft, stft
+
+            def chain8_split(_xin):
+                with jax.default_device(jax.devices("cpu")[0]):
+                    X = stft(jnp.asarray(mc))  # (ch, T, F)
+                    sp = np.asarray(quantile_mask(np.asarray(X)))
+                    spf = np.median(np.transpose(sp, (2, 0, 1)), axis=1)
+                    Y = gev_beamform(
+                        np.asarray(jnp.transpose(X, (2, 0, 1))), spf, 1.0 - spf
+                    )
+                    y = np.asarray(istft(jnp.asarray(Y.T)))[:n8]
+                return fdlp_spectrogram_batch(
+                    jnp.asarray(y)[None], len8, fdlp8_cfg
+                )[0]
+
+            def run_8ch_split():
+                jax.block_until_ready(chain8_split(None))
+                t0 = time.time()
+                for _ in range(3):
+                    jax.block_until_ready(chain8_split(None))
+                return (time.time() - t0) / 3
+
+            dt_8ch = guarded(
+                "8ch gev chain (host/chip split fallback)", run_8ch_split,
+                min_left=120.0, partial_key="ms_per_batch_gev8ch_split",
+            )
+
+        # offline batch decode: the reference's slowest stage is decode
+        # (decode_dnn.sh / asr_recog.py fan out a grid of single-utterance
+        # jobs, e2e/wsj/run_fdlp_e1.sh:527-543); here B utterances run as ONE
+        # jitted joint CTC/attention beam search program (beam 10, max_len
+        # 100 — conf/decode.yaml), with and without RNNLM shallow fusion.
+        decode_meta = {}
+
+        def run_offline_decode(with_lm):
+            from speech_recognition_tools_tpu.decode.beam_jit import (
+                beam_search_jit_batched,
+            )
+            from speech_recognition_tools_tpu.models.rnnlm import (
+                RNNLM,
+                make_jit_fusion_scorer,
+            )
+            from speech_recognition_tools_tpu.models.transformer_asr import (
+                TransformerASR,
+                TransformerASRConfig,
+            )
+
+            dcfg = TransformerASRConfig(
+                vocab_size=52, adim=256, aheads=4, elayers=12, eunits=2048,
+                dlayers=6, dunits=2048, dropout=0.0,
+            )
+            dmodel = TransformerASR(dcfg)
+            Bd, Td = 4, 800  # 4 x 8 s utterances per program
+            rs_d = np.random.RandomState(11)
+            dfeats = jnp.asarray(rs_d.randn(Bd, Td, 80).astype(np.float32))
+            dlens = jnp.full((Bd,), Td, jnp.int32)
+            dparams = dmodel.init(
+                {"params": jax.random.key(3), "dropout": jax.random.key(4)},
+                dfeats[:1], dlens[:1], jnp.zeros((1, 4), jnp.int32),
+            )
+            lm_apply = None
+            if with_lm:
+                lm_model = RNNLM(vocab_size=52, embed_dim=256, hidden=1000)
+                lm_params = lm_model.init(
+                    jax.random.key(5), jnp.zeros((1, 4), jnp.int32)
+                )
+                lm_apply = make_jit_fusion_scorer(lm_model, lm_params)
+
+            def decode(f):
+                toks, scores = beam_search_jit_batched(
+                    dmodel, dparams, f, dlens, beam_size=10, max_len=100,
+                    ctc_weight=0.3, lm_apply=lm_apply, lm_weight=0.7,
+                )
+                return scores
+
+            # dependency-chained (same rationale as measure()): perturb the
+            # feats by a zero scalar derived from the previous scores
+            s = decode(dfeats)  # compile
+            d = s.ravel()[0] * 0.0
+            float(d)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                for _ in range(2):
+                    s = decode(dfeats + d)
+                    d = s.ravel()[0] * 0.0
+                float(d)
+                best = min(best, (time.time() - t0) / 2)
+            decode_meta["batch"] = Bd
+            decode_meta["utt_seconds"] = Td / 100.0
+            return best
+
+        dt_dec = guarded(
+            "offline decode (beam 10, no LM)",
+            lambda: run_offline_decode(False),
+            min_left=240.0, partial_key="s_offline_decode_beam10",
+        )
+        dt_dec_lm = guarded(
+            "offline decode (beam 10 + RNNLM fusion)",
+            lambda: run_offline_decode(True),
+            min_left=200.0, partial_key="s_offline_decode_beam10_rnnlm",
         )
 
-    # int8 serving variant (weight-only int8 encoder, infer/quantize.py):
-    # same stack, the big matmul weights stay int8 in HBM (dequant fused
-    # per use). Lower priority than the f32 line — it is an A/B partner,
-    # not the representative serving number.
-    def run_serve_int8():
-        nonlocal serve_lat8
-        from speech_recognition_tools_tpu.infer.quantize import (
-            quantize_encoder,
+        # int8 serving variant (weight-only int8 encoder, infer/quantize.py):
+        # same stack, the big matmul weights stay int8 in HBM (dequant fused
+        # per use). Lower priority than the f32 line — it is an A/B partner,
+        # not the representative serving number.
+        def run_serve_int8():
+            nonlocal serve_lat8
+            from speech_recognition_tools_tpu.infer.quantize import (
+                quantize_encoder,
+            )
+
+            smodel, sparams = _serving_model()
+            dt, serve_lat8 = _drive_streams(smodel, quantize_encoder(sparams), 8)
+            return dt
+
+        dt_serve8 = guarded(
+            "online serving int8 (8-stream StreamBatcher)", run_serve_int8,
+            min_left=150.0, partial_key="s_serve_8x10s_int8",
         )
 
-        smodel, sparams = _serving_model()
-        dt, serve_lat8 = _drive_streams(smodel, quantize_encoder(sparams), 8)
-        return dt
+        # serving CAPACITY: how many live real-time streams one chip
+        # sustains. 64 concurrent streams through one batcher; the chip
+        # keeps up as long as each 1-s-of-audio scheduling round stays
+        # under 1 s wall (p90 < budget). f32 only; lowest budget priority,
+        # so it runs LAST — a hang here cannot starve any headline line.
+        serve_cap_lat = None
 
-    dt_serve8 = guarded(
-        "online serving int8 (8-stream StreamBatcher)", run_serve_int8,
-        min_left=150.0, partial_key="s_serve_8x10s_int8",
-    )
+        def run_serving_capacity():
+            nonlocal serve_cap_lat
+            smodel, sparams = _serving_model()
+            dt, serve_cap_lat = _drive_streams(smodel, sparams, 64)
+            return dt
 
-    # serving CAPACITY: how many live real-time streams one chip
-    # sustains. 64 concurrent streams through one batcher; the chip
-    # keeps up as long as each 1-s-of-audio scheduling round stays
-    # under 1 s wall (p90 < budget). f32 only; lowest budget priority,
-    # so it runs LAST — a hang here cannot starve any headline line.
-    serve_cap_lat = None
+        dt_serve64 = guarded(
+            "serving capacity (64-stream StreamBatcher)", run_serving_capacity,
+            min_left=400.0, partial_key="s_serve_64x10s",
+        )
 
-    def run_serving_capacity():
-        nonlocal serve_cap_lat
-        smodel, sparams = _serving_model()
-        dt, serve_cap_lat = _drive_streams(smodel, sparams, 64)
-        return dt
+        rt = audio_seconds / dt_prod
 
-    dt_serve64 = guarded(
-        "serving capacity (64-stream StreamBatcher)", run_serving_capacity,
-        min_left=400.0, partial_key="s_serve_64x10s",
-    )
+        def xrt(dt, seconds=audio_seconds):
+            return round(seconds / dt, 1) if dt else "skipped"
 
-    rt = audio_seconds / dt_prod
+        def ratio(dt):
+            return round(dt / dt_prod, 2) if dt else "skipped"
 
-    def xrt(dt, seconds=audio_seconds):
-        return round(seconds / dt, 1) if dt else "skipped"
-
-    def ratio(dt):
-        return round(dt / dt_prod, 2) if dt else "skipped"
-
-    result = {
-        "metric": "fdlp_spectrogram_realtime_factor",
-        "value": round(rt, 1),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rt / 1000.0, 3),
-        "detail": {
-            "config": "production e2e front-end (80 mel bands, order 150, "
-                      "1.5 s windows, 100 ceps; e2e/wsj/run_fdlp_e1.sh)",
-            "batch": B, "utt_seconds": secs, "srate": srate,
-            "variance_note": "absolute factors ride a shared tunnel with "
-                             "~±40% between-process variance (NOTES.md); "
-                             "the ab_ratios are in-process and stable",
-            "ms_per_batch_prod_fast": round(dt_prod * 1000, 1),
-            "prod_high_precision_realtime_factor": xrt(dt_prod_high),
-            "light_config_realtime_factor": xrt(dt_light),
-            "parity": {
-                "fast": "~1e-4 synthetic / up to ~1e-1 on silence-heavy "
-                        "real speech (f32 transform error on quiet bands)",
-                "high": "<1e-4 guaranteed by tests/test_dsp_parity.py::"
-                        "test_mixed_precision_production_config vs the "
-                        "reference oracle (~2e-7 synthetic; worst of the "
-                        "70 reference wavs 5e-7; 'mixed' is an alias)",
-            },
-            "ab_ratios": {
-                "high_over_fast": ratio(dt_prod_high),
-                "scan_over_fused_kernel": ratio(dt_prod_scan),
-            },
-            "mfu": _mfu_detail(prod, B, n, dt_prod, dt_prod_high),
-            "workloads_x_realtime": {
-                "melspec_80band": xrt(dt_mel),
-                "fdlp_noise_augmented": xrt(dt_noisy),
-                "mvector_real": xrt(dt_mod_real, Bm * secs),
-                "mvector_complex": xrt(dt_mod_cplx, Bm * secs),
-                "gev8ch_to_fdlp": xrt(dt_8ch, n8 / srate),
-                "online_serve_8stream_aggregate": xrt(dt_serve, 8 * 10.0),
-                "online_serve_8stream_aggregate_int8": xrt(
-                    dt_serve8, 8 * 10.0
+        result = {
+            "metric": "fdlp_spectrogram_realtime_factor",
+            "value": round(rt, 1),
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": round(rt / 1000.0, 3),
+            "detail": {
+                "config": "production e2e front-end (80 mel bands, order 150, "
+                          "1.5 s windows, 100 ceps; e2e/wsj/run_fdlp_e1.sh)",
+                "batch": B, "utt_seconds": secs, "srate": srate,
+                "variance_note": "absolute factors ride a shared tunnel with "
+                                 "~±40% between-process variance (NOTES.md); "
+                                 "the ab_ratios are in-process and stable",
+                "ms_per_batch_prod_fast": round(dt_prod * 1000, 1),
+                "prod_high_precision_realtime_factor": xrt(dt_prod_high),
+                "light_config_realtime_factor": xrt(dt_light),
+                "parity": {
+                    "fast": "~1e-4 synthetic / up to ~1e-1 on silence-heavy "
+                            "real speech (f32 transform error on quiet bands)",
+                    "high": "<1e-4 guaranteed by tests/test_dsp_parity.py::"
+                            "test_mixed_precision_production_config vs the "
+                            "reference oracle (~2e-7 synthetic; worst of the "
+                            "70 reference wavs 5e-7; 'mixed' is an alias)",
+                },
+                "ab_ratios": {
+                    "high_over_fast": ratio(dt_prod_high),
+                    "scan_over_fused_kernel": ratio(dt_prod_scan),
+                },
+                "mfu": _mfu_detail(prod, B, n, dt_prod, dt_prod_high),
+                "workloads_x_realtime": {
+                    "melspec_80band": xrt(dt_mel),
+                    "fdlp_noise_augmented": xrt(dt_noisy),
+                    "mvector_real": xrt(dt_mod_real, Bm * secs),
+                    "mvector_complex": xrt(dt_mod_cplx, Bm * secs),
+                    "gev8ch_to_fdlp": xrt(dt_8ch, n8 / srate),
+                    "online_serve_8stream_aggregate": xrt(dt_serve, 8 * 10.0),
+                    "online_serve_8stream_aggregate_int8": xrt(
+                        dt_serve8, 8 * 10.0
+                    ),
+                    "offline_decode_beam10": xrt(
+                        dt_dec,
+                        decode_meta.get("batch", 0)
+                        * decode_meta.get("utt_seconds", 0.0),
+                    ),
+                    "offline_decode_beam10_rnnlm": xrt(
+                        dt_dec_lm,
+                        decode_meta.get("batch", 0)
+                        * decode_meta.get("utt_seconds", 0.0),
+                    ),
+                },
+                # jitted batched joint CTC/attention beam search (decode/
+                # beam_jit.py) at production geometry; p50 per-utt latency =
+                # batch wall / B (all B decode in one program)
+                "offline_decode": (
+                    {
+                        "geometry": "12 enc / 6 dec, adim 256, units 2048, "
+                                    "beam 10, max_len 100, ctc_weight 0.3, "
+                                    f"B{decode_meta.get('batch')} x "
+                                    f"{decode_meta.get('utt_seconds')} s utts",
+                        "utts_per_s": round(
+                            decode_meta.get("batch", 0) / dt_dec, 2
+                        ),
+                        "p50_per_utt_ms": round(
+                            dt_dec * 1000 / max(decode_meta.get("batch", 1), 1),
+                            1,
+                        ),
+                        "utts_per_s_rnnlm": (
+                            round(decode_meta.get("batch", 0) / dt_dec_lm, 2)
+                            if dt_dec_lm else "skipped"
+                        ),
+                    }
+                    if dt_dec
+                    else "skipped"
                 ),
-                "offline_decode_beam10": xrt(
-                    dt_dec,
-                    decode_meta.get("batch", 0)
-                    * decode_meta.get("utt_seconds", 0.0),
+                # wall latency to advance all 8 streams by 1 s of audio (one
+                # scheduling round over the batched chunked encoder); under
+                # budget=1000 ms means live serving keeps up with real time
+                "train_step_e2e": (
+                    {
+                        "geometry": "B16 x 800 frames, elayers 12 / dlayers 6, "
+                                    "adim 256, units 2048, bf16 compute, adam "
+                                    "+ noam (the train_e2e CLI's step)",
+                        "ms_per_step": round(dt_train * 1000, 1),
+                        "steps_per_s": round(1.0 / dt_train, 2),
+                        "analytic_matmul_tflops_per_step": round(
+                            train_tflops[0], 2
+                        ),
+                        "achieved_tflops": round(train_tflops[0] / dt_train, 1),
+                        "mxu_util_pct_of_197tflops_bf16": round(
+                            100.0 * train_tflops[0] / dt_train / 197.0, 1
+                        ),
+                    }
+                    if dt_train
+                    else "skipped"
                 ),
-                "offline_decode_beam10_rnnlm": xrt(
-                    dt_dec_lm,
-                    decode_meta.get("batch", 0)
-                    * decode_meta.get("utt_seconds", 0.0),
+                "serve_chunk_latency_ms": serve_lat or "skipped",
+                "serve_chunk_latency_ms_int8": serve_lat8 or "skipped",
+                # capacity: 64 live streams on one chip; sustained iff p90
+                # round latency stays under the 1 s budget
+                "serve_capacity_64stream": (
+                    {
+                        "aggregate_x_realtime": xrt(dt_serve64, 64 * 10.0),
+                        "round_latency_ms": serve_cap_lat,
+                        "sustains_realtime": bool(
+                            serve_cap_lat and serve_cap_lat["p90"] < 1000.0
+                        ),
+                    }
+                    if dt_serve64
+                    else "skipped"
                 ),
+                # measured (r4, in-process A/B at this geometry): the step is
+                # dispatch-bound through the tunneled chip (~6-8 ms/step for
+                # f32 == bf16 == int8 alike), so the int8 line tracks the f32
+                # one within tunnel variance. int8's value is the 4x smaller
+                # weight HBM footprint (production-size encoders / many
+                # resident models), not latency at this size.
+                "serve_int8_note": "weight-HBM compression, not a latency "
+                                   "optimization; step is dispatch-bound at "
+                                   "this geometry",
             },
-            # jitted batched joint CTC/attention beam search (decode/
-            # beam_jit.py) at production geometry; p50 per-utt latency =
-            # batch wall / B (all B decode in one program)
-            "offline_decode": (
-                {
-                    "geometry": "12 enc / 6 dec, adim 256, units 2048, "
-                                "beam 10, max_len 100, ctc_weight 0.3, "
-                                f"B{decode_meta.get('batch')} x "
-                                f"{decode_meta.get('utt_seconds')} s utts",
-                    "utts_per_s": round(
-                        decode_meta.get("batch", 0) / dt_dec, 2
-                    ),
-                    "p50_per_utt_ms": round(
-                        dt_dec * 1000 / max(decode_meta.get("batch", 1), 1),
-                        1,
-                    ),
-                    "utts_per_s_rnnlm": (
-                        round(decode_meta.get("batch", 0) / dt_dec_lm, 2)
-                        if dt_dec_lm else "skipped"
-                    ),
-                }
-                if dt_dec
-                else "skipped"
-            ),
-            # wall latency to advance all 8 streams by 1 s of audio (one
-            # scheduling round over the batched chunked encoder); under
-            # budget=1000 ms means live serving keeps up with real time
-            "train_step_e2e": (
-                {
-                    "geometry": "B16 x 800 frames, elayers 12 / dlayers 6, "
-                                "adim 256, units 2048, bf16 compute, adam "
-                                "+ noam (the train_e2e CLI's step)",
-                    "ms_per_step": round(dt_train * 1000, 1),
-                    "steps_per_s": round(1.0 / dt_train, 2),
-                    "analytic_matmul_tflops_per_step": round(
-                        train_tflops[0], 2
-                    ),
-                    "achieved_tflops": round(train_tflops[0] / dt_train, 1),
-                    "mxu_util_pct_of_197tflops_bf16": round(
-                        100.0 * train_tflops[0] / dt_train / 197.0, 1
-                    ),
-                }
-                if dt_train
-                else "skipped"
-            ),
-            "serve_chunk_latency_ms": serve_lat or "skipped",
-            "serve_chunk_latency_ms_int8": serve_lat8 or "skipped",
-            # capacity: 64 live streams on one chip; sustained iff p90
-            # round latency stays under the 1 s budget
-            "serve_capacity_64stream": (
-                {
-                    "aggregate_x_realtime": xrt(dt_serve64, 64 * 10.0),
-                    "round_latency_ms": serve_cap_lat,
-                    "sustains_realtime": bool(
-                        serve_cap_lat and serve_cap_lat["p90"] < 1000.0
-                    ),
-                }
-                if dt_serve64
-                else "skipped"
-            ),
-            # measured (r4, in-process A/B at this geometry): the step is
-            # dispatch-bound through the tunneled chip (~6-8 ms/step for
-            # f32 == bf16 == int8 alike), so the int8 line tracks the f32
-            # one within tunnel variance. int8's value is the 4x smaller
-            # weight HBM footprint (production-size encoders / many
-            # resident models), not latency at this size.
-            "serve_int8_note": "weight-HBM compression, not a latency "
-                               "optimization; step is dispatch-bound at "
-                               "this geometry",
-        },
-    }
+        }
+        return result
+
+    try:
+        result = _rest()
+    except BaseException as e:  # incl. runtime UNAVAILABLE after a worker crash
+        _note(f"CRASH mid-bench: {type(e).__name__}: {e}")
+        result = _emit_best_available(
+            f"bench crashed mid-run ({type(e).__name__}); persisted "
+            "partial measurements reported")
     watchdog.cancel()
     print(json.dumps(result))
 
