@@ -806,12 +806,23 @@ def main():
                 {"params": jax.random.key(3), "dropout": jax.random.key(4)},
                 dfeats[:1], dlens[:1], jnp.zeros((1, 4), jnp.int32),
             )
+            # the bench process runs with x64 enabled (high mode), which
+            # makes init produce f64 params — the beam search would then
+            # run on software-emulated f64 matmuls (~10x slow; measured
+            # 29.4 s/batch vs the rehearsal's ~1 s/utt). Serve/decode is
+            # an f32 surface: cast.
+            dparams = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if x.dtype == jnp.float64 else x, dparams)
             lm_apply = None
             if with_lm:
                 lm_model = RNNLM(vocab_size=52, embed_dim=256, hidden=1000)
                 lm_params = lm_model.init(
                     jax.random.key(5), jnp.zeros((1, 4), jnp.int32)
                 )
+                lm_params = jax.tree.map(
+                    lambda x: x.astype(jnp.float32)
+                    if x.dtype == jnp.float64 else x, lm_params)
                 lm_apply = make_jit_fusion_scorer(lm_model, lm_params)
 
             def decode(f):
